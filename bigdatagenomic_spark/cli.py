@@ -1,0 +1,96 @@
+"""CLI driver (reference operator R9, assembly_final.cpp:648-748).
+
+Mirrors the reference invocation (README:11):
+
+    python -m bigdatagenomic_spark.cli assemble \\
+        --infile GraphLab_Input.txt --outfile out --source 33 --destination 5
+
+Differences from the reference, by design: ``--destination`` presence is
+actually validated (the reference's duplicated ``source`` check at
+assembly_final.cpp:692-699 never checks it), per-phase wall-clock is
+printed like the reference's ``elapsed_seconds`` reporting
+(:716/:725/:736), and the sink format is selectable (the reference only
+writes per-vertex text blocks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from bigdatagenomic_spark.operators import assembly as asm
+from bigdatagenomic_spark.session import get_spark
+from bigdatagenomic_spark.sources.graphlab_text import read_graphlab_text, reads_to_edges
+from bigdatagenomic_spark.sources.writers import write_best_path_text, write_parquet
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bigdatagenomic-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+    a = sub.add_parser("assemble", help="run the 3-phase assembly pipeline")
+    a.add_argument("--infile", required=True, help="GraphLab-format read file")
+    a.add_argument("--outfile", required=True, help="output directory")
+    a.add_argument("--source", type=int, required=True, help="start vertex id")
+    a.add_argument("--destination", type=int, required=True, help="exempt dead-end vertex id")
+    a.add_argument("--bit-compat", action="store_true",
+                   help="reproduce the reference's A3 1-base-overlap quirk")
+    a.add_argument("--format", choices=["text", "parquet"], default="text",
+                   help="sink format (text = reference per-vertex blocks)")
+    a.add_argument("--cpus", type=int, default=None)
+    return p
+
+
+def cmd_assemble(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="bdg-assemble", cpus=args.cpus)
+    t0 = time.time()
+    reads = read_graphlab_text(spark, args.infile)
+    edges = reads_to_edges(reads)
+    n_reads, n_edges = reads.count(), edges.count()
+    if n_reads == 0:
+        print(f"error: no parseable reads in {args.infile}", file=sys.stderr)
+        return 2
+    print(f"loaded {n_reads} reads, {n_edges} edges in {time.time()-t0:.2f}s")
+
+    t1 = time.time()
+    annotated, assembled = asm.assemble(
+        reads, edges, args.source, args.destination, bit_compat=args.bit_compat
+    )
+    result = assembled.collect()
+    if not result or result[0].content is None:
+        print(f"error: source vertex {args.source} not found in input", file=sys.stderr)
+        return 2
+    row = result[0]
+    print(f"assembled in {time.time()-t1:.2f}s")
+    print(f"sequence: offset={row.offset} length={row.length}")
+    print(f"head: {row.content[:60]}")
+
+    t2 = time.time()
+    if args.format == "text":
+        write_best_path_text(annotated, args.outfile)
+    else:
+        write_parquet(annotated, args.outfile)
+    with open_sequence_path(args.outfile) as fh:
+        fh.write(row.content + "\n")
+    print(f"wrote {args.outfile} ({args.format}) in {time.time()-t2:.2f}s")
+    return 0
+
+
+def open_sequence_path(outdir: str):
+    """The assembled sequence goes next to the per-vertex sink, like the
+    reference's single-line ``result`` artifact."""
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    return open(os.path.join(outdir, "assembled_sequence.txt"), "w")
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "assemble":
+        return cmd_assemble(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,47 @@
+"""Sinks (operator R8).
+
+The reference writes one text block per vertex via ``best_path_writer``
+(assembly_final.cpp:631-645, invoked :740-744):
+
+    id \\t next_id \\n --Offset: .. \\n --Length: .. \\n --Content-- \\n
+    Content Size: .. \\n <content>
+
+``write_best_path_text`` reproduces that block format with a pure-column
+``concat`` projection + ``df.write.text`` (distributed, no driver
+collect). The engine's *default* sink is parquet (columnar, splittable,
+compressed — what you actually want at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def best_path_block(df: DataFrame) -> DataFrame:
+    """Format annotated reads as the reference's per-vertex text block."""
+    block = F.concat(
+        F.col("read_id").cast("string"),
+        F.lit("\t"),
+        F.col("next_id").cast("string"),
+        F.lit("\n--Offset: "),
+        F.col("offset").cast("string"),
+        F.lit("\n--Length: "),
+        F.col("length").cast("string"),
+        F.lit("\n--Content--\nContent Size: "),
+        F.length("content").cast("string"),
+        F.lit("\n"),
+        F.col("content"),
+    )
+    return df.select(block.alias("value"))
+
+
+def write_best_path_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    best_path_block(df).write.mode(mode).text(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
