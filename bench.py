@@ -1,0 +1,65 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
+     "queries": {"q01_scan_filter": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop-format write (full compute,
+no materialization cost). A warm-up action runs first so JVM/codegen
+startup is not billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from bigdatagenomic_spark import queries as registry
+from bigdatagenomic_spark.session import get_spark
+
+# one per major operator family (BASELINE.md suggested set)
+HEADLINE = [
+    "q01_scan_filter",
+    "q03_inner_join",
+    "q08_agg_tpch_q1",
+    "q13_rank_window",
+    "q15_topk",
+    "q27_assembly",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bdg-bench")
+    qs = registry.queries()
+    # warm-up: JVM, parquet footer reads, codegen
+    force(qs["q01_scan_filter"](spark, sf_dir))
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

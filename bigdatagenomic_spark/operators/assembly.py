@@ -154,17 +154,25 @@ def extract_path(
     reads_with_next: DataFrame,
     source: int,
     max_rounds: int = 40,
+    driver_walk_threshold: int = 4_000_000,
 ) -> DataFrame:
     """Extract the ``next_id`` chain from ``source`` as (pos, read_id).
 
     The reference never materializes the path — its merge program
     re-signals parents until fixpoint (O(path length) supersteps,
-    assembly_final.cpp:602-619). We instead extract the path explicitly
-    with **pointer doubling**: maintain P = the first 2^k path positions
-    and T = the 2^k-step successor table; each round appends T-shifted
-    copies of P and squares T. O(log L) shuffles instead of O(L)
-    supersteps — the difference between 17 rounds and 100k rounds on a
-    100k-long chain.
+    assembly_final.cpp:602-619). We extract the path explicitly, with an
+    adaptive physical strategy (same spirit as broadcast-vs-shuffle join
+    selection):
+
+    * **small successor table** (≤ ``driver_walk_threshold`` rows — the
+      same "fits in one node's memory" regime where Spark would broadcast
+      it): collect the (vid → succ) map and walk the chain driver-side in
+      O(L); one job instead of O(log L) shuffle rounds.
+    * **large graph**: **pointer doubling** — maintain P = the first 2^k
+      path positions and T = the 2^k-step successor table; each round
+      appends T-shifted copies of P and squares T. O(log L) shuffles
+      instead of O(L) supersteps — 17 rounds, not 100k, for a 100k-long
+      chain; ``localCheckpoint`` each round cuts lineage.
 
     ``next_id == 0`` (or null) is the leaf sentinel (assembly_final.cpp:
     101). Cycles are cut by keeping the minimum position per vertex and
@@ -177,7 +185,20 @@ def extract_path(
         )
         .where(F.col("s").isNotNull() & (F.col("s") != 0))
     )
-    # T_k: (v, s, step) — s is the 2^k-step successor of v
+
+    n_succ = succ.count()
+    if n_succ <= driver_walk_threshold:
+        nxt = dict(succ.collect())
+        order: list[tuple[int, int]] = []
+        seen: set[int] = set()
+        v = source
+        while v is not None and v not in seen:
+            order.append((len(order), v))
+            seen.add(v)
+            v = nxt.get(v)
+        return spark.createDataFrame(order, "pos LONG, read_id LONG")
+
+    # T_k: (v, s) — s is the 2^k-step successor of v
     t = succ.localCheckpoint(eager=True)
     path = spark.createDataFrame([(0, source)], "pos LONG, read_id LONG")
     path = path.localCheckpoint(eager=True)
@@ -196,10 +217,10 @@ def extract_path(
             .select("pos", "read_id")
         ).localCheckpoint(eager=True)
         new_count = new_path.count()
-        if new_count == n_vertices:
-            path = new_path
-            break
+        converged = new_count == n_vertices
         path, n_vertices = new_path, new_count
+        if converged:
+            break
         # square T: 2^k-step ∘ 2^k-step = 2^(k+1)-step
         t2 = t.select(F.col("v").alias("v2"), F.col("s").alias("mid"))
         t = (

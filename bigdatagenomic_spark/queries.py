@@ -1,0 +1,319 @@
+"""Central query registry: name -> (builder, oracle_sql | None).
+
+The driver contract (``__spark_entry__.py``) and the test harness both
+consume this registry. Every entry's builder is ``(spark, sf_dir) ->
+DataFrame``; the oracle is ANSI SQL DuckDB runs on the same parquet
+(views pre-registered: region nation customer supplier part orders
+lineitem events documents embeddings). Column names/aliases match the
+Spark output exactly; approximate operators carry ``None`` (rows-only
+check).
+
+DuckDB 1.0 portability notes (empirically validated):
+  * ``list_reduce`` string-concat lambdas are buggy in DuckDB 1.0 (the
+    accumulated string silently stops growing after a few iterations) —
+    oracles that need an ordered string fold use a window/string_agg
+    formulation instead (see q27_assembly).
+  * ``round()`` half-way behavior matches Spark's HALF_UP for the
+    2-decimal money values exercised here (validated by the harness).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatagenomic_spark.operators import relational as R
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    _REGISTRY[name] = (fn, oracle)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+# ---------------------------------------------------------------------------
+# relational surface Q01-Q23 (SURVEY.md §2.B)
+# ---------------------------------------------------------------------------
+
+register(
+    "q01_scan_filter",
+    R.q01_scan_filter,
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""",
+)
+
+register(
+    "q02_predicates",
+    R.q02_predicates,
+    """SELECT o_orderkey FROM orders
+       WHERE o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 1000 AND 5000
+         AND o_orderpriority LIKE '1%' ORDER BY o_orderkey""",
+)
+
+register(
+    "q03_inner_join",
+    R.q03_inner_join,
+    """SELECT c.c_custkey, o.o_orderkey FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       ORDER BY c.c_custkey, o.o_orderkey""",
+)
+
+register(
+    "q04_broadcast_join",
+    R.q04_broadcast_join,
+    """SELECT n.n_name, count(*) AS cnt FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name ORDER BY n.n_name""",
+)
+
+register(
+    "q05_outer_join",
+    R.q05_outer_join,
+    """SELECT c.c_custkey, o.o_orderkey FROM customer c
+       LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST""",
+)
+
+register(
+    "q06_anti_join",
+    R.q06_anti_join,
+    """SELECT c_custkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       ORDER BY c_custkey""",
+)
+
+register(
+    "q07_range_join",
+    R.q07_range_join,
+    """SELECT p1.p_partkey AS k1, p2.p_partkey AS k2 FROM part p1
+       JOIN part p2 ON p1.p_size < p2.p_size AND p1.p_partkey + 100 = p2.p_partkey
+       ORDER BY k1, k2""",
+)
+
+register(
+    "q08_agg_tpch_q1",
+    R.q08_agg_tpch_q1,
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(avg(l_quantity), 2) AS avg_qty,
+              count(*) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+)
+
+register(
+    "q09_count_distinct",
+    R.q09_count_distinct,
+    "SELECT count(DISTINCT o_custkey) AS n_custkeys FROM orders",
+)
+
+register("q10_approx_count_distinct", R.q10_approx_count_distinct, None)
+
+register(
+    "q11_rollup",
+    R.q11_rollup,
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders
+       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+)
+
+register(
+    "q12_argmax",
+    R.q12_argmax,
+    """SELECT o_custkey, o_orderkey AS best_order FROM (
+         SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
+)
+
+register(
+    "q13_rank_window",
+    R.q13_rank_window,
+    """SELECT o_custkey, o_orderkey,
+              row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+       FROM orders ORDER BY o_custkey, rn""",
+)
+
+register(
+    "q14_running_sum",
+    R.q14_running_sum,
+    """SELECT l_orderkey, l_linenumber,
+              round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+       FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+)
+
+register(
+    "q15_topk",
+    R.q15_topk,
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+)
+
+register(
+    "q16_intersect",
+    R.q16_intersect,
+    """SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey""",
+)
+
+register(
+    "q17_string_funcs",
+    R.q17_string_funcs,
+    """SELECT p_partkey, upper(substr(p_name, 1, 5)) AS name5,
+              CAST(length(p_name) AS INT) AS name_len,
+              p_brand || '#' || p_type AS brand_type
+       FROM part ORDER BY p_partkey""",
+)
+
+register(
+    "q18_date_funcs",
+    R.q18_date_funcs,
+    """SELECT CAST(year(o_orderdate) AS INT) AS y,
+              CAST(month(o_orderdate) AS INT) AS m, count(*) AS cnt
+       FROM orders GROUP BY 1, 2 ORDER BY y, m""",
+)
+
+register(
+    "q19_math_funcs",
+    R.q19_math_funcs,
+    """SELECT l_orderkey, l_linenumber,
+              round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+              CAST(floor(sqrt(abs(l_extendedprice))) AS BIGINT) AS sqrt_floor
+       FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+)
+
+register(
+    "q20_case_when",
+    R.q20_case_when,
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice > 10000 THEN 'big' ELSE 'small' END AS bucket
+       FROM orders ORDER BY o_orderkey""",
+)
+
+register(
+    "q21_array_l2norm",
+    R.q21_array_l2norm,
+    """SELECT vec_id,
+              round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 2)
+                AS l2sq
+       FROM embeddings ORDER BY vec_id""",
+)
+
+register(
+    "q22_json_extract",
+    R.q22_json_extract,
+    """SELECT event_id, json_extract_string(props, '$.k') AS k_val
+       FROM events ORDER BY event_id""",
+)
+
+register(
+    "q23_subquery",
+    R.q23_subquery,
+    """SELECT o_orderkey FROM orders
+       WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+       ORDER BY o_orderkey""",
+)
+
+
+# ---------------------------------------------------------------------------
+# q27 — the assembly pipeline under the oracle gate
+# ---------------------------------------------------------------------------
+#
+# The driver tables carry no reads/edges, so a deterministic read set is
+# derived from `documents` (both engines derive it identically): 60 reads,
+# content = ACGT-filtered text (rpad/truncated), interval layout chosen so
+# consecutive reads exercise overlap (B), adjacency (C), containment (B')
+# and gaps (D); per-vertex score strictly decreasing in doc_id so the
+# argmax chain is 0->1->...->59 even with the decoy +2 edges. The Spark
+# side runs the REAL pipeline (best-child argmax -> pointer-doubling path
+# -> merge fold). The oracle is an independent *window* formulation of
+# the same semantics (valid for forward chains: first covering read wins,
+# gaps filled with N) — deliberately not a SQL transliteration of the
+# fold, and immune to DuckDB 1.0's buggy string-building list_reduce.
+
+def q27_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.operators import assembly as asm
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    n = 60
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < n)
+    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    reads = docs.select(
+        F.col("doc_id").alias("read_id"),
+        length.alias("length"),
+        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content"),
+        (F.col("doc_id") * 12 + (F.col("doc_id") % 5) * 2).cast("int").alias("offset"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.col("doc_id")), 6).alias("score"),
+    )
+    edges = (
+        reads.select(F.col("read_id").alias("src"))
+        .select(
+            "src",
+            F.explode(
+                F.filter(
+                    F.array(F.col("src") + 1, F.col("src") + 2),
+                    lambda d: d < F.lit(n),
+                )
+            ).alias("dst"),
+        )
+    )
+    with_next = asm.with_next_id(reads, edges)
+    path = asm.extract_path(with_next, source=0)
+    merged = asm.merge_path(path, reads)
+    return merged.select(
+        F.col("offset").cast("int").alias("offset"),
+        F.col("length").cast("int").alias("length"),
+        "content",
+    )
+
+
+register(
+    "q27_assembly",
+    q27_assembly,
+    """
+    WITH r AS (
+      SELECT doc_id,
+             CAST(12*doc_id + (doc_id%5)*2 AS INT) AS o,
+             CAST(13 + (doc_id%3)*2 AS INT) AS l,
+             substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'), 17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS c
+      FROM documents WHERE doc_id < 60
+    ), w AS (
+      SELECT doc_id, o, l, c, o + l - 1 AS e,
+             max(o + l - 1) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+      FROM r
+    ), contrib AS (
+      SELECT doc_id, o, e,
+             CASE
+               WHEN pe IS NULL THEN c
+               WHEN e <= pe THEN ''
+               ELSE repeat('N', greatest(o - pe - 1, 0))
+                    || substr(c, greatest(pe + 1 - o, 0) + 1, e - greatest(pe, o - 1))
+             END AS piece
+      FROM w
+    )
+    SELECT CAST(min(o) AS INT) AS offset,
+           CAST(max(e) - min(o) + 1 AS INT) AS length,
+           string_agg(piece, '' ORDER BY doc_id) AS content
+    FROM contrib
+    """,
+)

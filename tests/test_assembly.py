@@ -123,7 +123,10 @@ def test_scatter_invalidation_marks_unchosen(spark):
 # phase 3a: path extraction
 # ---------------------------------------------------------------------------
 
-def test_extract_path_chain_and_cycle(spark):
+# threshold=0 forces the distributed pointer-doubling strategy; default
+# exercises the adaptive driver-side walk (small successor table)
+@pytest.mark.parametrize("threshold", [0, 4_000_000])
+def test_extract_path_chain_and_cycle(spark, threshold):
     n = 37
     rows = [(i, 4, "ACGT", i * 10, 0.5, [i + 1]) for i in range(1, n)] + [
         (n, 4, "ACGT", n * 10, 0.5, [])
@@ -131,7 +134,8 @@ def test_extract_path_chain_and_cycle(spark):
     reads = make_reads(spark, rows)
     edges = reads_to_edges(reads)
     with_next = asm.with_next_id(reads, edges)
-    path = asm.extract_path(with_next, 1).collect()
+    path = asm.extract_path(with_next, 1, driver_walk_threshold=threshold).collect()
+    path.sort(key=lambda r: r.pos)
     assert [r.read_id for r in path] == list(range(1, n + 1))
     assert [r.pos for r in path] == list(range(n))
 
@@ -143,7 +147,8 @@ def test_extract_path_chain_and_cycle(spark):
     ]
     reads_c = make_reads(spark, rows_c)
     with_next_c = asm.with_next_id(reads_c, reads_to_edges(reads_c))
-    path_c = asm.extract_path(with_next_c, 1).collect()
+    path_c = asm.extract_path(with_next_c, 1, driver_walk_threshold=threshold).collect()
+    path_c.sort(key=lambda r: r.pos)
     assert [(r.pos, r.read_id) for r in path_c] == [(0, 1), (1, 2), (2, 3)]
 
 
