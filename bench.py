@@ -27,6 +27,9 @@ HEADLINE = [
     "q08_agg_tpch_q1",
     "q13_rank_window",
     "q15_topk",
+    "q24_dedup_exact",
+    "q25_term_counts",
+    "q26_cosine_topk",
     "q27_assembly",
 ]
 

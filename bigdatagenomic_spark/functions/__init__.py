@@ -1,0 +1,86 @@
+"""Shared column-expression helpers (pure Catalyst expressions, no UDFs).
+
+Everything here is engine-portable by construction: each helper has an
+exact DuckDB-SQL equivalent used by the oracle strings in
+``bigdatagenomic_spark.queries`` (e.g. ``md5_long`` ==
+``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``), validated byte-for-byte
+in tests. This is what lets approximate-looking operators (minhash,
+simhash, fingerprints) be *deterministic* and therefore sit under the
+driver's hash-match gate instead of a weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2^31 - 1 (Mersenne prime) — modulus for the minhash permutation family;
+# keeps a*h+b products within int64 under ANSI overflow checking.
+MERSENNE31 = 2_147_483_647
+
+# fixed permutation family for minhash (seeded offline, hardcoded so the
+# DuckDB oracle can embed the same literals)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (1203077161, 723469752), (1610612741, 383845423), (805306457, 1102520059),
+    (402653189, 1431655765), (201326611, 268435459), (100663319, 1077952576),
+    (50331653, 1840700269), (25165843, 555555555), (12582917, 1987654321),
+    (6291469, 123456789), (3145739, 987654321), (1572869, 192837465),
+    (786433, 1029384756), (393241, 1122334455), (196613, 1357924680),
+    (98317, 864197532),
+]
+
+
+def md5_long(col: Column | str) -> Column:
+    """Deterministic 60-bit hash of a string, identical across engines.
+
+    Spark: ``conv(substring(md5(x),1,15),16,10)`` cast to long.
+    DuckDB: ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercase word tokens: split on non-alphanumeric, drop empties."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - F.lit(n - 1), F.lit(1)))
+    # try_element_at: ANSI mode errors on out-of-range element_at; short
+    # docs (< n tokens) produce partial shingles via concat_ws null-skip,
+    # matching the DuckDB oracle's NULL list indexing + concat_ws
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(tok, (i + F.lit(j)).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """Character n-gram shingles (1-based substring positions)."""
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length(col) - F.lit(n - 1), F.lit(1))
+    )
+    return F.transform(idx, lambda i: F.substring(col, i, n))
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two numeric arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; both inputs cast to double arrays by the caller."""
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))

@@ -1,0 +1,206 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` (north star).
+
+Five dedup families, all as declarative DataFrame plans:
+
+  * exact        — md5 group-by, keep lowest doc_id (``q24`` + survivors)
+  * n-gram Jaccard — distinct word-3-gram shingles, shingle-bucket
+                   self-join, exact Jaccard (the verify stage every
+                   approximate family reduces to)
+  * MinHash+LSH  — 16 deterministic permutations (md5-based, portable),
+                   4 bands x 4 rows, band-bucket join -> candidate pairs
+                   -> exact-Jaccard verification
+  * SimHash      — 32-bit sign-of-sum signature over token hashes
+  * embedding cosine — exact pairwise cosine over a bounded sample
+
+Everything is deterministic (md5-backed hash family, fixed coefficients)
+so even the "approximate" families hash-match their DuckDB oracles.
+
+Scale notes: the shingle self-join is the classic near-dup plan at 100 TB
+— explode to (shingle, doc) pairs, shuffle on shingle, pair within
+buckets. Hot shingles (stopword-only trigrams) are the skew risk; the
+LSH path bounds bucket width by construction (band signature), and the
+exact path should be run only on LSH candidates at scale (here also
+exposed standalone, on a bounded doc sample, for the oracle gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatagenomic_spark.functions import (
+    MERSENNE31,
+    MINHASH_COEFFS,
+    cosine,
+    md5_long,
+    tokens,
+    word_shingles,
+)
+from bigdatagenomic_spark.sources.tables import load_table
+
+# bounded samples keep the O(n^2)-flavored checks cheap at any sf
+PAIR_SAMPLE_DOCS = 400
+EMB_SAMPLE_VECS = 200
+JACCARD_THRESHOLD = 0.05
+COSINE_DUP_THRESHOLD = 0.25
+
+
+def q24_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (lowest doc_id) per distinct text."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("group_size"))
+        .select("keep_id", "group_size")
+        .orderBy("keep_id")
+    )
+
+
+def _doc_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct word-3-gram shingles per doc."""
+    return d.select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("sh")
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity for a bounded doc sample."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_SAMPLE_DOCS)
+    sh = _doc_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    b = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    jacc = (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jacc"),
+        )
+    )
+    return jacc.where(F.col("jacc") >= JACCARD_THRESHOLD).orderBy("a_id", "b_id")
+
+
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """16 minhash values per doc over the deterministic md5 hash family."""
+    sh = _doc_shingles(d).withColumn("h", md5_long("sh") % MERSENNE31)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_SAMPLE_DOCS)
+    return minhash_signatures(d).orderBy("doc_id")
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands x 4 rows): candidate pairs sharing any band,
+    verified with exact Jaccard."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_SAMPLE_DOCS)
+    sig = minhash_signatures(d)
+    bands = None
+    for band in range(4):
+        cols = [f"s{band * 4 + r}" for r in range(4)]
+        one = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("bkey"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # verify candidates with exact jaccard (no threshold: LSH already gated)
+    sh = _doc_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ash = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    bsh = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    common = (
+        cand.join(ash, "a_id")
+        .join(bsh, "b_id")
+        .where(F.col("sh") == F.col("sh_b"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    return (
+        cand.join(common, ["a_id", "b_id"], "left")
+        .join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0))),
+                4,
+            ).alias("jacc"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+def simhash_signatures(d: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash over token hashes (term-frequency weighted)."""
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tok = tok.withColumn("h", md5_long("t"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_SAMPLE_DOCS)
+    return simhash_signatures(d).orderBy("doc_id")
+
+
+def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a bounded vector sample."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < EMB_SAMPLE_VECS)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        pairs.select("a_id", "b_id", sim.alias("sim"))
+        .where(F.col("sim") >= COSINE_DUP_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )

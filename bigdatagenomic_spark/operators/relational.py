@@ -118,8 +118,8 @@ def q08_agg_tpch_q1(spark, sf_dir):
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            round2_portable(F.sum("l_extendedprice")).alias("sum_base_price"),
+            round2_portable(F.avg("l_quantity")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -178,21 +178,28 @@ def q13_rank_window(spark, sf_dir):
     )
 
 
-# Q14 — analytic window: running aggregate with frame spec
+# Q14 — analytic window: running aggregate with frame spec.
+# (l_orderkey, l_linenumber) is NOT unique in the driver data (the
+# generator emits duplicate linenumbers), so a ROWS frame ordered by
+# linenumber alone is nondeterministic — the window order includes
+# enough columns to be total (verified unique at sf0.1).
 def q14_running_sum(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    tiebreak = ["l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"]
     w = (
         W.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
+        .orderBy(*tiebreak)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
         li.select(
             "l_orderkey",
             "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
             F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", *tiebreak)
     )
 
 
@@ -240,6 +247,17 @@ def q18_date_funcs(spark, sf_dir):
     )
 
 
+def round2_portable(col: "F.Column") -> "F.Column":
+    """Engine-portable HALF_UP 2-decimal rounding for positive doubles.
+
+    Spark's round() converts the double through its shortest decimal
+    repr (6126.6449999999995 -> "6126.645" -> .65) while DuckDB rounds
+    the binary value (-> .64). floor(x*100 + 0.5)/100 is pure double
+    arithmetic, bit-identical in both engines.
+    """
+    return F.floor(col * 100 + F.lit(0.5)).cast("double") / 100
+
+
 # Q19 — math functions
 def q19_math_funcs(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -248,7 +266,7 @@ def q19_math_funcs(spark, sf_dir):
         li.select(
             "l_orderkey",
             "l_linenumber",
-            F.round(charge, 2).alias("charge"),
+            round2_portable(charge).alias("charge"),
             F.floor(F.sqrt(F.abs(F.col("l_extendedprice")))).cast("long").alias("sqrt_floor"),
         )
         .orderBy("l_orderkey", "l_linenumber")

@@ -1,0 +1,131 @@
+"""Similarity search over the ``embeddings`` table (north star).
+
+* ``q26_cosine_topk`` — exact brute-force top-k cosine for a bounded
+  query set, as pure Catalyst expressions (zip_with dot product, window
+  top-k). Deterministic -> DuckDB hash-checked. This is the baseline
+  every ANN variant is measured against.
+* ``q_sim_lsh_topk`` — the scale path: random-hyperplane LSH (signed
+  projections onto deterministic pseudo-random hyperplanes) bucketing
+  candidates, exact cosine re-ranking inside buckets. Approximate by
+  contract (rows-only check); tests measure recall vs the exact top-k.
+
+Scale notes: brute force is O(Q x N) — fine for Q small (it broadcasts
+the query set), unusable for all-pairs at 100 TB. The LSH plan shuffles
+on bucket signature, so each query compares against its bucket only;
+recall/cost trades via n_planes. The hyperplanes are derived from
+md5(vec-slot) hashes, not an RNG, so the plan is reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bigdatagenomic_spark.functions import cosine, md5_long
+from bigdatagenomic_spark.sources.tables import load_table
+
+N_QUERIES = 8
+TOP_K = 5
+
+
+def _vecs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def cosine_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self)."""
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = candidates.select(F.col("vec_id"), F.col("v").alias("cv"))
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", "sim", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+def q26_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    return cosine_topk(vecs.where(F.col("vec_id") < N_QUERIES), vecs)
+
+
+# ---------------------------------------------------------------------------
+# LSH variant (approximate, rows-only by contract)
+# ---------------------------------------------------------------------------
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — no RNG state."""
+    import hashlib
+
+    vals = []
+    for i in range(dim):
+        h = hashlib.md5(f"plane{plane}:{i}".encode()).digest()
+        vals.append((int.from_bytes(h[:8], "big") / 2**63) - 1.0)
+    return vals
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Random-hyperplane LSH: sign-signature bucket join + exact re-rank."""
+
+    def signature(vcol):
+        sig = None
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+            proj = F.aggregate(
+                F.zip_with(vcol, plane, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        return sig.cast("long")
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        signature(F.col("v")).alias("sig"),
+    )
+    c = candidates.select("vec_id", F.col("v").alias("cv"), signature(F.col("v")).alias("sig"))
+    sims = (
+        q.join(c, "sig")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", "sim", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    return lsh_bucketed_topk(vecs.where(F.col("vec_id") < N_QUERIES), vecs)

@@ -106,8 +106,8 @@ register(
     R.q08_agg_tpch_q1,
     """SELECT l_returnflag, l_linestatus,
               round(sum(l_quantity), 2) AS sum_qty,
-              round(sum(l_extendedprice), 2) AS sum_base_price,
-              round(avg(l_quantity), 2) AS avg_qty,
+              floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+              floor(avg(l_quantity) * 100 + 0.5) / 100 AS avg_qty,
               count(*) AS count_order
        FROM lineitem GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus""",
@@ -151,10 +151,14 @@ register(
 register(
     "q14_running_sum",
     R.q14_running_sum,
-    """SELECT l_orderkey, l_linenumber,
-              round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+              round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                             l_extendedprice
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
-       FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+       FROM lineitem
+       ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+                l_extendedprice""",
 )
 
 register(
@@ -192,7 +196,8 @@ register(
     "q19_math_funcs",
     R.q19_math_funcs,
     """SELECT l_orderkey, l_linenumber,
-              round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+              floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100
+                AS charge,
               CAST(floor(sqrt(abs(l_extendedprice))) AS BIGINT) AS sqrt_floor
        FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 )
@@ -317,3 +322,245 @@ register(
     FROM contrib
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: text analysis, dedup, similarity search
+# ---------------------------------------------------------------------------
+#
+# The md5-backed hash family makes minhash/simhash/fingerprints fully
+# deterministic, so they are hash-checked like exact operators. DuckDB
+# equivalences (validated in tests/test_llm_ops.py):
+#   md5_long(x)  == CAST('0x' || substr(md5(x),1,15) AS BIGINT)
+#   tokens(x)    == list_filter(string_split_regex(lower(x),'[^a-z0-9]+'),
+#                               t -> t <> '')
+
+from bigdatagenomic_spark.functions import MINHASH_COEFFS as _MH
+from bigdatagenomic_spark.operators import dedup as D
+from bigdatagenomic_spark.operators import similarity as S
+from bigdatagenomic_spark.operators import text as T
+
+_TOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_H = "CAST(('0x' || substr(md5({x}),1,15)) AS BIGINT)"
+
+register(
+    "q24_dedup_exact",
+    D.q24_dedup_exact,
+    """SELECT min(doc_id) AS keep_id, count(*) AS group_size
+       FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+)
+
+register(
+    "q25_term_counts",
+    T.q25_term_counts,
+    """SELECT w, count(*) AS c FROM (
+         SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
+       WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 50""",
+)
+
+register(
+    "q_text_tokens",
+    T.q_text_tokens,
+    f"""SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS INT)
+            AS n_ws_tokens,
+          CAST(len({_TOK}) AS INT) AS n_word_tokens,
+          CAST(length(text) AS INT) AS len_chars
+        FROM documents ORDER BY doc_id""",
+)
+
+register(
+    "q_text_quality",
+    T.q_text_quality,
+    f"""WITH s AS (
+          SELECT doc_id,
+                 {_TOK} AS tok,
+                 length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+                 greatest(length(text), 1) AS nch
+          FROM documents
+        ), r AS (
+          SELECT doc_id,
+                 CAST(len(tok) AS INT) AS n_tokens,
+                 len(list_filter(tok, x -> list_contains(
+                     ['the','a','of','and','to','is','in','it'], x))) AS stop_cnt,
+                 greatest(len(tok), 1) AS safe_n, alpha, nch
+          FROM s
+        )
+        SELECT doc_id, n_tokens,
+               round(stop_cnt / CAST(safe_n AS DOUBLE), 4) AS stop_ratio,
+               round(alpha / CAST(nch AS DOUBLE), 4) AS alpha_ratio,
+               round(0.5 * least(n_tokens, 100) / 100.0
+                     + 0.3 * (alpha / CAST(nch AS DOUBLE))
+                     + 0.2 * least((stop_cnt / CAST(safe_n AS DOUBLE)) * 5.0, 1.0),
+                     4) AS quality
+        FROM r ORDER BY doc_id""",
+)
+
+_LANGSETS_SQL = {
+    "en": "['the','a','of','and','to','is','in','it']",
+    "de": "['der','die','das','und','ist','ein']",
+    "fr": "['le','les','et','est','une','dans']",
+    "es": "['el','los','y','es','una','en']",
+}
+_LANG_CNT = ",\n".join(
+    f"CAST(len(list_filter(tok, x -> list_contains({lst}, x))) AS INT) AS {lang}_cnt"
+    for lang, lst in _LANGSETS_SQL.items()
+)
+register(
+    "q_text_langid",
+    T.q_text_langid,
+    f"""WITH s AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+        c AS (SELECT doc_id, {_LANG_CNT} FROM s)
+        SELECT doc_id, en_cnt, de_cnt, fr_cnt, es_cnt,
+               CASE WHEN en_cnt >= de_cnt AND en_cnt >= fr_cnt AND en_cnt >= es_cnt
+                         AND en_cnt > 0 THEN 'en'
+                    WHEN de_cnt >= fr_cnt AND de_cnt >= es_cnt AND de_cnt > 0 THEN 'de'
+                    WHEN fr_cnt >= es_cnt AND fr_cnt > 0 THEN 'fr'
+                    WHEN es_cnt > 0 THEN 'es'
+                    ELSE 'und' END AS pred_lang
+        FROM c ORDER BY doc_id""",
+)
+
+register(
+    "q_text_fingerprint",
+    T.q_text_fingerprint,
+    f"""WITH s AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, {_H.format(x='norm')} AS fp,
+                 list_transform(
+                   list_transform(range(1, greatest(length(norm) - 4, 1) + 1),
+                                  i -> substr(norm, i, 5)),
+                   g -> {_H.format(x='g')}) AS hs
+          FROM s
+        )
+        SELECT doc_id, fp, list_min(hs) AS min_shingle_h, list_max(hs) AS max_shingle_h
+        FROM sh ORDER BY doc_id""",
+)
+
+# shared oracle fragments for shingle-based dedup (doc_id < sample bound)
+_SHINGLES_CTE = f"""
+  tok AS (SELECT doc_id, {_TOK} AS t
+          FROM documents WHERE doc_id < {D.PAIR_SAMPLE_DOCS}),
+  sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS sh
+    FROM tok),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+  common AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+    FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+"""
+
+register(
+    "q_dedup_ngram_jaccard",
+    D.q_dedup_ngram_jaccard,
+    f"""WITH {_SHINGLES_CTE}
+        SELECT a_id, b_id,
+               round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 4) AS jacc
+        FROM (SELECT c.a_id, c.b_id, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+              FROM common c
+              JOIN sizes sa ON c.a_id = sa.doc_id
+              JOIN sizes sb ON c.b_id = sb.doc_id)
+        WHERE round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 4)
+              >= {D.JACCARD_THRESHOLD}
+        ORDER BY a_id, b_id""",
+)
+
+_SIG_EXPRS = ",\n".join(
+    f"min(({a} * h + {b}) % 2147483647) AS s{i}" for i, (a, b) in enumerate(_MH)
+)
+_SIG_CTE = f"""
+  h AS (SELECT doc_id, {_H.format(x='sh')} % 2147483647 AS h FROM sh),
+  sig AS (SELECT doc_id, {_SIG_EXPRS} FROM h GROUP BY doc_id)
+"""
+
+register(
+    "q_dedup_minhash_sig",
+    D.q_dedup_minhash_sig,
+    f"""WITH {_SHINGLES_CTE}, {_SIG_CTE}
+        SELECT * FROM sig ORDER BY doc_id""",
+)
+
+_BANDS_SQL = "\nUNION ALL\n".join(
+    "SELECT doc_id, {band} AS band, md5(concat_ws(',', {cols})) AS bkey FROM sig".format(
+        band=band, cols=", ".join(f"s{band * 4 + r}" for r in range(4))
+    )
+    for band in range(4)
+)
+
+register(
+    "q_dedup_minhash_pairs",
+    D.q_dedup_minhash_pairs,
+    f"""WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        bands AS ({_BANDS_SQL}),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM bands a JOIN bands b USING (band, bkey)
+                 WHERE a.doc_id < b.doc_id)
+        SELECT c.a_id, c.b_id,
+               round(coalesce(cm.n_common, 0)
+                     / CAST(sa.n_sh + sb.n_sh - coalesce(cm.n_common, 0) AS DOUBLE),
+                     4) AS jacc
+        FROM cand c
+        LEFT JOIN common cm ON c.a_id = cm.a_id AND c.b_id = cm.b_id
+        JOIN sizes sa ON c.a_id = sa.doc_id
+        JOIN sizes sb ON c.b_id = sb.doc_id
+        ORDER BY c.a_id, c.b_id""",
+)
+
+_BITSUMS = ",\n".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32)
+)
+_SIMHASH_SUM = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(32)
+)
+register(
+    "q_dedup_simhash",
+    D.q_dedup_simhash,
+    f"""WITH tok AS (
+          SELECT doc_id, unnest({_TOK}) AS t
+          FROM documents WHERE doc_id < {D.PAIR_SAMPLE_DOCS}),
+        h AS (SELECT doc_id, {_H.format(x='t')} AS h FROM tok),
+        bs AS (SELECT doc_id, {_BITSUMS} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash
+        FROM bs ORDER BY doc_id""",
+)
+
+_COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))")
+
+register(
+    "q_dedup_embcos",
+    D.q_dedup_embcos,
+    f"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < {D.EMB_SAMPLE_VECS})
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round({_COS.format(a='a.v', b='b.v')}, 4) AS sim
+        FROM s a JOIN s b ON a.vec_id < b.vec_id
+        WHERE round({_COS.format(a='a.v', b='b.v')}, 4) >= {D.COSINE_DUP_THRESHOLD}
+        ORDER BY a_id, b_id""",
+)
+
+register(
+    "q26_cosine_topk",
+    S.q26_cosine_topk,
+    f"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM s WHERE vec_id < {S.N_QUERIES}),
+        sims AS (
+          SELECT query_id, vec_id, round({_COS.format(a='qv', b='v')}, 4) AS sim
+          FROM q CROSS JOIN s WHERE query_id <> vec_id),
+        r AS (SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rn
+              FROM sims)
+        SELECT query_id, vec_id, sim, CAST(rn AS INT) AS rn
+        FROM r WHERE rn <= {S.TOP_K} ORDER BY query_id, rn""",
+)
+
+# approximate by contract: LSH bucketing changes the candidate set; checked
+# rows-only by the driver, recall-vs-exact in tests
+register("q_sim_lsh_topk", S.q_sim_lsh_topk, None)
