@@ -564,3 +564,51 @@ register(
 # approximate by contract: LSH bucketing changes the candidate set; checked
 # rows-only by the driver, recall-vs-exact in tests
 register("q_sim_lsh_topk", S.q_sim_lsh_topk, None)
+
+
+# ---------------------------------------------------------------------------
+# streaming surface, batch-mode checks (SURVEY.md §2.B S02/S03)
+# ---------------------------------------------------------------------------
+#
+# The streaming ops are unified batch/stream plans; here the batch mode is
+# oracle-checked (window bounds as epoch seconds so both engines hash the
+# same), while tests/test_streaming.py proves stream==batch equivalence.
+
+from bigdatagenomic_spark.streaming import ops as STR
+
+register(
+    "q_s02_window_agg",
+    STR.q_s02_window_agg,
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS w_start,
+              event_type, count(*) AS n_events,
+              floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+
+# Spark session_window semantics: merge while ts - prev < gap; session end =
+# last ts + gap. DuckDB oracle: gaps-and-islands with the same break rule.
+register(
+    "q_s03_session_agg",
+    STR.q_s03_session_agg,
+    """WITH o AS (
+         SELECT user_id, ts, value,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+         FROM events),
+       m AS (
+         SELECT user_id, ts, value,
+                CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+         FROM o),
+       g AS (
+         SELECT user_id, ts, value,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+         FROM m)
+       SELECT user_id,
+              CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+              CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS s_end,
+              count(*) AS n_events,
+              floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+       FROM g GROUP BY user_id, sid
+       ORDER BY user_id, s_start""",
+)

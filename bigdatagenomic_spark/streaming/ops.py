@@ -1,0 +1,142 @@
+"""Unified batch/stream event transformations (S01-S06).
+
+Each function is a pure DataFrame -> DataFrame plan; pass a batch
+``events`` table and it runs as a normal Catalyst plan, pass a
+``readStream`` DataFrame and the identical plan runs incrementally with
+state. Watermarks (S04) are what bound streaming state at scale: without
+them a windowed agg on a 100 TB/day stream accumulates state forever.
+State shuffles on the grouping key (event_type / user_id), so the
+number of shuffle partitions is also the state-store partition count —
+size it to the key cardinality, not the data volume.
+
+Window bounds are emitted as epoch *seconds* (BIGINT) rather than raw
+timestamps so results hash identically across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdatagenomic_spark.operators.relational import round2_portable
+from bigdatagenomic_spark.sources.tables import load_table
+
+
+def _maybe_watermark(events: DataFrame, watermark: str | None) -> DataFrame:
+    # S04: watermarks only matter (and only apply) on streaming plans;
+    # on batch input the same plan simply sees all rows.
+    if watermark and events.isStreaming:
+        return events.withWatermark("ts", watermark)
+    return events
+
+
+def tumbling_agg(
+    events: DataFrame, duration: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """S02 (tumbling): per-window, per-event-type count + value sum."""
+    return (
+        _maybe_watermark(events, watermark)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            round2_portable(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """S02 (sliding): overlapping windows — each event lands in
+    duration/slide windows."""
+    return (
+        _maybe_watermark(events, watermark)
+        .groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """S03: per-user session windows (merge while inter-event gap < gap).
+
+    Session end = last event ts + gap (Spark ``session_window``
+    semantics; the DuckDB oracle reproduces them with gaps-and-islands).
+    """
+    return (
+        _maybe_watermark(events, watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            round2_portable(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("s_start"),
+            F.unix_timestamp(F.col("w.end")).alias("s_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """S05: stateful dedup on event_id.
+
+    Streaming uses ``dropDuplicatesWithinWatermark`` so the seen-keys
+    state is bounded by the watermark delay (the unbounded
+    ``dropDuplicates`` would OOM the state store on an infinite
+    stream); batch mode is plain dropDuplicates over all rows.
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def enrich_with_nation(events: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """S06: stream-static join — enrich events with the customer's nation.
+
+    Both dims are broadcast: a stream-static join against a broadcast
+    table is stateless (no streaming state at all), the right shape for
+    a slowly-changing dimension at any stream volume.
+    """
+    dim = F.broadcast(
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+    return events.join(dim, events.user_id == dim.c_custkey, "inner").select(
+        "event_id", "ts", "user_id", "event_type", "value", "nation_name"
+    )
+
+
+# --- batch-mode registry entries (oracle-checked; SURVEY.md §2.B S02/S03) ---
+
+
+def q_s02_window_agg(spark, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_agg(ev, "1 hour").orderBy("w_start", "event_type")
+
+
+def q_s03_session_agg(spark, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_agg(ev, "30 minutes").orderBy("user_id", "s_start")

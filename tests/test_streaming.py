@@ -1,0 +1,194 @@
+"""Streaming batch-equivalence tests (SURVEY.md §5.2 item 5, S01-S07).
+
+Every streaming op is the SAME plan as its batch form (unified
+transformations); these tests replay the events table as a chunked file
+stream and assert the streaming result equals the batch result, plus
+one synthetic-late-data test proving the watermark actually drops.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdatagenomic_spark.sources.tables import load_table
+from bigdatagenomic_spark.streaming import (
+    dedup_events,
+    enrich_with_nation,
+    run_to_memory,
+    running_user_totals,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+from bigdatagenomic_spark.streaming.replay import (
+    read_event_stream,
+    write_chunks,
+    write_event_chunks,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    ev = load_table(spark, SF_DIR, "events").select(*[f.name for f in EVENT_SCHEMA])
+    out = str(tmp_path_factory.mktemp("event_chunks"))
+    write_event_chunks(ev, out, n_chunks=4)
+    return out
+
+
+def _batch_events(spark):
+    return load_table(spark, SF_DIR, "events").select(*[f.name for f in EVENT_SCHEMA])
+
+
+def _stream_events(spark, replay_dir):
+    return read_event_stream(spark, replay_dir, EVENT_SCHEMA)
+
+
+def _as_map(df, key_cols, val_cols):
+    return {
+        tuple(r[k] for k in key_cols): tuple(r[v] for v in val_cols)
+        for r in df.collect()
+    }
+
+
+def _assert_equal_aggs(stream_df, batch_df, key_cols, exact_cols, approx_cols=()):
+    s = _as_map(stream_df, key_cols, list(exact_cols) + list(approx_cols))
+    b = _as_map(batch_df, key_cols, list(exact_cols) + list(approx_cols))
+    assert set(s) == set(b)
+    n_exact = len(exact_cols)
+    for k in b:
+        assert s[k][:n_exact] == b[k][:n_exact], f"key {k}: {s[k]} != {b[k]}"
+        for sv, bv in zip(s[k][n_exact:], b[k][n_exact:]):
+            # incremental double summation can land on the other side of a
+            # .xx5 rounding boundary — allow one ulp of the 2-dec rounding
+            assert abs(sv - bv) <= 0.011, f"key {k}: {s[k]} != {b[k]}"
+
+
+def test_s02_tumbling_stream_equals_batch(spark, replay_dir):
+    got = run_to_memory(tumbling_agg(_stream_events(spark, replay_dir)), "complete")
+    want = tumbling_agg(_batch_events(spark))
+    _assert_equal_aggs(
+        got, want, ["w_start", "event_type"], ["n_events"], ["sum_value"]
+    )
+
+
+def test_s02_sliding_stream_equals_batch(spark, replay_dir):
+    got = run_to_memory(sliding_agg(_stream_events(spark, replay_dir)), "complete")
+    want = sliding_agg(_batch_events(spark))
+    _assert_equal_aggs(got, want, ["w_start", "event_type"], ["n_events"])
+
+
+def test_s03_session_stream_equals_batch(spark, replay_dir):
+    got = run_to_memory(session_agg(_stream_events(spark, replay_dir)), "complete")
+    want = session_agg(_batch_events(spark))
+    _assert_equal_aggs(
+        got, want, ["user_id", "s_start"], ["s_end", "n_events"], ["sum_value"]
+    )
+
+
+def test_s04_watermark_drops_late_rows(spark, tmp_path):
+    """Synthetic replay: a row arriving after the watermark passed (and
+    evicted) its window must be excluded from the appended result.
+
+    Note Spark's exact semantics (verified empirically): window eviction
+    at the end of batch N uses the watermark derived from batches ≤ N-1,
+    while the late-row drop filter in batch N uses the watermark that was
+    in force DURING batch N-1 — one batch older. So the late row must
+    arrive two batches after the window's data to be provably dropped.
+    """
+
+    def ev(eid, hh, mm, val):
+        return (eid, datetime(2024, 3, 1, hh, mm, 0), 1, "view", val, "{}")
+
+    c1 = spark.createDataFrame([ev(1, 5, 10, 1.0), ev(2, 10, 0, 1.0)], EVENT_SCHEMA)
+    # batch 1 raises the in-force watermark to 09:30 and evicts [05,06)
+    c2 = spark.createDataFrame([ev(4, 11, 0, 1.0)], EVENT_SCHEMA)
+    # event 3 is late: its window [05:00,06:00) was evicted a batch ago
+    c3 = spark.createDataFrame([ev(3, 5, 20, 100.0), ev(5, 11, 10, 1.0)], EVENT_SCHEMA)
+    chunk_dir = str(tmp_path / "late_chunks")
+    write_chunks([c1, c2, c3], chunk_dir)
+
+    stream = read_event_stream(spark, chunk_dir, EVENT_SCHEMA)
+    got = run_to_memory(
+        tumbling_agg(stream, duration="1 hour", watermark="30 minutes"), "append"
+    ).collect()
+
+    # only [05:00,06:00) is finalized (final wm 10:40 < later window
+    # ends); it holds event 1 alone — late event 3 was dropped, not merged
+    assert len(got) == 1
+    (row,) = got
+    assert row.w_start == int(datetime(2024, 3, 1, 5, 0).timestamp())
+    assert row.n_events == 1
+    assert row.sum_value == 1.0
+
+
+def test_s05_stateful_dedup(spark, tmp_path):
+    """Duplicate event_ids across chunks (within the watermark) are
+    dropped; streaming output matches batch dropDuplicates."""
+    ev = _batch_events(spark)
+    doubled = ev.union(ev)  # every event arrives twice
+    chunk_dir = str(tmp_path / "dup_chunks")
+    write_event_chunks(doubled, chunk_dir, n_chunks=4)
+
+    stream = read_event_stream(spark, chunk_dir, EVENT_SCHEMA)
+    got = run_to_memory(dedup_events(stream), "append")
+    want_n = dedup_events(ev).count()
+    assert ev.count() == want_n  # event_id unique in source data
+    assert got.select("event_id").distinct().count() == want_n
+    assert got.count() == want_n
+
+
+def test_s06_stream_static_join(spark, replay_dir):
+    customer = load_table(spark, SF_DIR, "customer")
+    nation = load_table(spark, SF_DIR, "nation")
+    got = run_to_memory(
+        enrich_with_nation(_stream_events(spark, replay_dir), customer, nation),
+        "append",
+    )
+    want = enrich_with_nation(_batch_events(spark), customer, nation)
+    assert got.count() == want.count()
+    g = _as_map(got, ["event_id"], ["nation_name"])
+    w = _as_map(want, ["event_id"], ["nation_name"])
+    assert g == w
+
+
+def test_s07_custom_stateful_running_totals(spark, replay_dir):
+    """applyInPandasWithState accumulator: the last update per user must
+    equal the batch per-user aggregate."""
+    got = run_to_memory(
+        running_user_totals(_stream_events(spark, replay_dir)), "update"
+    )
+    # update-mode memory sink appends every refresh; the running count is
+    # monotone, so max(n_events) per user is the final state
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+    want = (
+        _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    g = _as_map(final, ["user_id"], ["n_events", "total_value"])
+    w = _as_map(want, ["user_id"], ["n_events", "total_value"])
+    assert set(g) == set(w)
+    for k in w:
+        assert g[k][0] == w[k][0]
+        assert abs(g[k][1] - w[k][1]) < 1e-6
