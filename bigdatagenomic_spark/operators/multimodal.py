@@ -1,0 +1,211 @@
+"""Multimodal column surface: opaque binary payloads + typed metadata.
+
+The engine treats image/audio/video as an opaque ``BINARY`` column plus a
+typed metadata struct, processed with Arrow-batched Python
+(``mapInPandas`` / ``pandas_udf``) — the Spark-idiomatic shape for codec
+work that built-in functions can't express. What is REAL here and fully
+tested: the schema, the payload plumbing, the Arrow batch shapes, the
+explode/repartition strategy, and deterministic byte-level transforms.
+What is STUBBED: actual image/audio codec decode — the container has no
+PIL/ffmpeg/soundfile, so ``decode_image`` raises ``NotImplementedError``
+unless given the deterministic fake decoder used by tests. Swapping the
+fake for a real codec changes one function, not the plan.
+
+Payloads are synthesized deterministically from ``documents.text``
+(UTF-8 bytes; the driver data is pure ASCII so byte and char offsets
+coincide — asserted in tests), which keeps every non-stub operator
+DuckDB-oracle-checkable.
+
+Scale notes: payload rows are wide (KB-MB), so the operators keep binary
+columns OUT of shuffles — metadata extraction projects before any
+exchange, and frame sampling explodes AFTER the per-doc Python step so
+only sampled frames ever hit the wire. ``mapInPandas`` batch size is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default
+10k); for MB-scale payloads set it to ~100 to keep Arrow batches inside
+executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdatagenomic_spark.sources.tables import load_table
+
+FRAME_BYTES = 64  # fake fixed-size "video frame"
+FRAME_STRIDE = 4  # sample every 4th frame
+
+MM_META_FIELDS = ("mime", "n_bytes", "sha256")
+
+
+def attach_payloads(documents: DataFrame) -> DataFrame:
+    """documents -> multimodal table: (doc_id, payload BINARY, meta STRUCT).
+
+    Stand-in for reading real media blobs; everything downstream sees
+    only (binary, typed metadata) and is agnostic to what the bytes are.
+    """
+    payload = F.encode(F.col("text"), "UTF-8")
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+# --- metadata extraction (pure built-ins, JVM-side) ------------------------
+
+
+def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque payloads — no Python in the plan."""
+    mm = attach_payloads(load_table(spark, sf_dir, "documents"))
+    return (
+        mm.select("doc_id", "meta.mime", "meta.n_bytes", "meta.sha256")
+        .orderBy("doc_id")
+    )
+
+
+# --- frame sampling (mapInPandas: per-doc codec-style work) ----------------
+
+
+def sample_frames(
+    mm: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Split each payload into fixed-size frames, keep every stride-th.
+
+    The Python step runs per input row and emits only sampled frames
+    (one output row per kept frame) — the binary never shuffles whole.
+    A real video pipeline swaps the byte-slice for a container demuxer
+    with the same (payload in, frame rows out) Arrow contract.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_len, out_md5 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n_frames = (len(buf) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    frame = buf[i * frame_bytes : (i + 1) * frame_bytes]
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_len.append(len(frame))
+                    out_md5.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_len": pd.Series(out_len, dtype="int32"),
+                    "frame_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return mm.mapInPandas(
+        gen, "doc_id BIGINT, frame_idx INT, frame_len INT, frame_md5 STRING"
+    )
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = attach_payloads(load_table(spark, sf_dir, "documents"))
+    return sample_frames(mm).orderBy("doc_id", "frame_idx")
+
+
+# --- byte-level feature extraction (scalar pandas_udf) ---------------------
+
+
+# explicit StructType (not a DDL string): the decorator must not need a
+# live SparkSession at import time
+_BYTE_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("max_byte", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_BYTE_FEATURES_TYPE)
+def byte_features(payload: pd.Series) -> pd.DataFrame:
+    """Vectorized feature extraction from raw bytes (Arrow in, Arrow out).
+
+    Stand-in for e.g. embedding extraction from decoded pixels; the
+    contract (binary series in, struct series out) is the real part.
+    """
+    firsts, maxs, means = [], [], []
+    for payload_bytes in payload:
+        buf = bytes(payload_bytes)
+        firsts.append(buf[0] if buf else None)
+        maxs.append(max(buf) if buf else None)
+        means.append(sum(buf) / len(buf) if buf else None)
+    return pd.DataFrame({"first_byte": firsts, "max_byte": maxs, "mean_byte": means})
+
+
+def q_mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = attach_payloads(load_table(spark, sf_dir, "documents"))
+    return (
+        mm.select("doc_id", byte_features("payload").alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.first_byte").alias("first_byte"),
+            F.col("f.max_byte").alias("max_byte"),
+            # portable HALF_UP (see relational.round2_portable): keeps the
+            # 4-decimal mean bit-identical with the DuckDB oracle
+            (F.floor(F.col("f.mean_byte") * 10000 + F.lit(0.5)).cast("double") / 10000)
+            .alias("mean_byte"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- decode stubs (codec boundary) ----------------------------------------
+
+
+def fake_image_decoder(buf: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in decoder: (width, height, pixel_checksum)."""
+    h = hashlib.md5(buf).digest()
+    width = 16 + h[0] % 16
+    height = 16 + h[1] % 16
+    checksum = int.from_bytes(h[2:6], "big")
+    return width, height, checksum
+
+
+def decode_images(mm: DataFrame, decoder=None) -> DataFrame:
+    """Decode payloads to (width, height, pixel_checksum) rows.
+
+    ``decoder`` is the codec boundary: pass ``fake_image_decoder`` (or a
+    real ``PIL.Image.open``-based callable when the library exists).
+    Without a decoder this raises ``NotImplementedError`` — loudly, at
+    plan-build time, not per-row inside executors.
+    """
+    if decoder is None:
+        raise NotImplementedError(
+            "no image codec available in this environment; pass "
+            "decoder=fake_image_decoder (tests) or a PIL-backed callable"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decoder(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                    "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                    "pixel_checksum": pd.Series(
+                        [d[2] for d in decoded], dtype="int64"
+                    ),
+                }
+            )
+
+    return mm.mapInPandas(
+        gen, "doc_id BIGINT, width INT, height INT, pixel_checksum BIGINT"
+    )

@@ -612,3 +612,56 @@ register(
        FROM g GROUP BY user_id, sid
        ORDER BY user_id, s_start""",
 )
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns (north star): binary payload + typed metadata
+# ---------------------------------------------------------------------------
+#
+# Payloads are UTF-8 bytes of documents.text (driver data is pure ASCII,
+# asserted in tests/test_multimodal.py, so byte and char offsets coincide
+# and every non-stub op is oracle-checkable). decode_images is the stubbed
+# codec boundary — no registry entry, exercised in tests with the fake
+# decoder.
+
+from bigdatagenomic_spark.operators import multimodal as MM
+
+register(
+    "q_mm_metadata",
+    MM.q_mm_metadata,
+    """SELECT doc_id, 'text/plain' AS mime,
+              octet_length(encode(text)) AS n_bytes,
+              sha256(text) AS sha256
+       FROM documents ORDER BY doc_id""",
+)
+
+register(
+    "q_mm_frame_sample",
+    MM.q_mm_frame_sample,
+    f"""WITH f AS (
+          SELECT doc_id, text,
+                 unnest(range(0, CAST(ceil(length(text) / {MM.FRAME_BYTES}.0) AS BIGINT),
+                              {MM.FRAME_STRIDE})) AS frame_idx
+          FROM documents)
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(length(substring(text, frame_idx * {MM.FRAME_BYTES} + 1,
+                                     {MM.FRAME_BYTES})) AS INT) AS frame_len,
+               md5(substring(text, frame_idx * {MM.FRAME_BYTES} + 1,
+                             {MM.FRAME_BYTES})) AS frame_md5
+        FROM f ORDER BY doc_id, frame_idx""",
+)
+
+register(
+    "q_mm_byte_features",
+    MM.q_mm_byte_features,
+    """WITH c AS (
+         SELECT doc_id,
+                list_transform(range(1, length(text) + 1),
+                               i -> ascii(substring(text, i, 1))) AS codes
+         FROM documents)
+       SELECT doc_id,
+              CAST(codes[1] AS INT) AS first_byte,
+              CAST(list_max(codes) AS INT) AS max_byte,
+              floor(list_aggregate(codes, 'avg') * 10000 + 0.5) / 10000 AS mean_byte
+       FROM c ORDER BY doc_id""",
+)

@@ -1,0 +1,78 @@
+"""Multimodal column surface tests (schema, Arrow plumbing, codec stubs).
+
+Oracle parity for q_mm_* runs in test_relational_oracle.py; here we test
+the parts the oracle can't see: the ASCII invariant the oracles rely on,
+the stubbed codec boundary, and fake-decoder determinism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdatagenomic_spark.operators.multimodal import (
+    FRAME_BYTES,
+    FRAME_STRIDE,
+    attach_payloads,
+    decode_images,
+    fake_image_decoder,
+    sample_frames,
+)
+from bigdatagenomic_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def mm(spark):
+    return attach_payloads(load_table(spark, SF_DIR, "documents"))
+
+
+def test_ascii_invariant(spark):
+    """The oracles equate byte and char offsets — driver text must be ASCII."""
+    d = load_table(spark, SF_DIR, "documents")
+    n_bad = d.where(
+        F.octet_length(F.encode("text", "UTF-8")) != F.length("text")
+    ).count()
+    assert n_bad == 0
+
+
+def test_payload_schema(mm):
+    schema = dict(mm.dtypes)
+    assert schema["payload"] == "binary"
+    assert schema["meta"] == "struct<mime:string,n_bytes:int,sha256:string>"
+
+
+def test_frame_sample_matches_local(spark, mm):
+    got = {
+        (r.doc_id, r.frame_idx): (r.frame_len, r.frame_md5)
+        for r in sample_frames(mm).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in docs:
+        buf = r.text.encode()
+        n_frames = (len(buf) + FRAME_BYTES - 1) // FRAME_BYTES
+        for i in range(0, n_frames, FRAME_STRIDE):
+            frame = buf[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+            want[(r.doc_id, i)] = (len(frame), hashlib.md5(frame).hexdigest())
+    assert got == want
+
+
+def test_decode_without_codec_raises(mm):
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_images(mm)
+
+
+def test_decode_with_fake_decoder(spark, mm):
+    got = {r.doc_id: (r.width, r.height, r.pixel_checksum)
+           for r in decode_images(mm, decoder=fake_image_decoder).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for r in docs:
+        assert got[r.doc_id] == fake_image_decoder(r.text.encode())
+    widths = {w for (w, _, _) in got.values()}
+    assert widths <= set(range(16, 32))
