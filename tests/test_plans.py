@@ -1,0 +1,89 @@
+"""Physical-plan shape assertions (SURVEY.md §7.2 item 4, the 100 TB gate).
+
+These tests pin the *plan*, not the result: filters must reach the
+parquet scan, scans must prune columns, small dims must broadcast,
+aggregates must have a map-side partial phase, and top-k must never
+globally sort. All explain-only — nothing executes, so they run against
+the bench-scale directory.
+"""
+
+from __future__ import annotations
+
+from bigdatagenomic_spark import queries as Q
+from bigdatagenomic_spark.plans import (
+    codegen_stage_count,
+    exchange_count,
+    formatted_plan,
+    has_operator,
+    join_kinds,
+    pushed_filters,
+    scan_schemas,
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+
+_QS = Q.queries()
+
+
+def _df(spark, name):
+    return _QS[name](spark, SF_DIR)
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    df = _df(spark, "q01_scan_filter")
+    pushed = " ".join(pushed_filters(df))
+    assert "GreaterThan(l_quantity" in pushed
+    (schema,) = scan_schemas(df)
+    # 3 of 16 lineitem columns read — pruning reached the scan
+    assert schema == "struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"
+    # the only shuffle is the declared ORDER BY's range partitioning
+    assert exchange_count(df) == 1
+    assert codegen_stage_count(df) >= 1
+
+
+def test_q03_join_broadcasts_smaller_side(spark):
+    df = _df(spark, "q03_inner_join")
+    kinds = join_kinds(df)
+    assert kinds and set(kinds) == {"BroadcastHashJoin"}
+    # the only shuffle is the declared ORDER BY's range partitioning
+    assert exchange_count(df) <= 1
+
+
+def test_q04_dim_join_broadcasts(spark):
+    df = _df(spark, "q04_broadcast_join")
+    assert "SortMergeJoin" not in join_kinds(df)
+    assert "BroadcastHashJoin" in join_kinds(df)
+
+
+def test_q08_agg_has_mapside_partial(spark):
+    df = _df(spark, "q08_agg_tpch_q1")
+    plan = formatted_plan(df)
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    # exactly 2 shuffles: agg hashpartitioning + ORDER BY rangepartitioning
+    assert exchange_count(df) == 2
+
+
+def test_q15_topk_never_globally_sorts(spark):
+    df = _df(spark, "q15_topk")
+    assert has_operator(df, "TakeOrderedAndProject")
+    assert exchange_count(df) == 0
+
+
+def test_q24_dedup_is_one_shuffle_agg(spark):
+    df = _df(spark, "q24_dedup_exact")
+    plan = formatted_plan(df)
+    assert "partial_min" in plan or "partial_count" in plan
+    assert exchange_count(df) <= 2  # agg + declared ORDER BY
+
+
+def test_q25_term_counts_uses_topk(spark):
+    df = _df(spark, "q25_term_counts")
+    assert has_operator(df, "TakeOrderedAndProject")
+    assert exchange_count(df) <= 1  # word-count shuffle only
+
+
+def test_q26_similarity_broadcasts_queries(spark):
+    df = _df(spark, "q26_cosine_topk")
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert any(k.startswith("Broadcast") for k in kinds)
