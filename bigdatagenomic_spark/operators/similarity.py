@@ -129,3 +129,111 @@ def lsh_bucketed_topk(
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir)
     return lsh_bucketed_topk(vecs.where(F.col("vec_id") < N_QUERIES), vecs)
+
+
+# ---------------------------------------------------------------------------
+# IVF variant (approximate, rows-only by contract): the other classic ANN
+# scale path — coarse-quantize into centroid buckets, probe a few buckets
+# per query, numpy-score candidates per query group (applyInPandas)
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    k: int = TOP_K,
+) -> DataFrame:
+    """IVF-bucketed ANN: nearest-centroid assignment, n_probe bucket scan.
+
+    Centroids are the n_centroids lowest-id vectors (deterministic;
+    production would run k-means — the plan is identical, only the
+    centroid table changes). Assignment and probing are JVM-side
+    broadcast joins; only the final per-query candidate scoring drops
+    into Python, as a grouped-map ``applyInPandas`` whose numpy matmul
+    scores a whole candidate set per Arrow batch — the vectorized-kernel
+    pattern for when per-row higher-order functions become the
+    bottleneck.
+
+    At scale: the assignment shuffles once on centroid_id (that IS the
+    IVF index build); each query then touches n_probe/n_centroids of the
+    data instead of all of it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = F.broadcast(
+        candidates.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cvec"))
+    )
+
+    # index build: every vector -> its nearest centroid (ties: lowest id)
+    assigned = (
+        candidates.crossJoin(cent)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(
+                    cosine(F.col("v"), F.col("cvec")).alias("sim"),
+                    (-F.col("centroid_id")).alias("tb"),
+                ),
+            ).alias("centroid_id"),
+            F.first("v").alias("v"),
+        )
+    )
+
+    # query probing: the n_probe nearest centroids per query
+    wq = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    probes = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(cent)
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            cosine(F.col("qv"), F.col("cvec")).alias("csim"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+
+    cand = (
+        probes.join(assigned, "centroid_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "qv", "vec_id", "v")
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        qv = np.asarray(pdf["qv"].iloc[0], dtype=np.float64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        sims = np.round(
+            (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv)), 4
+        )
+        vec_ids = pdf["vec_id"].to_numpy()
+        top = np.lexsort((vec_ids, -sims))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "vec_id": vec_ids[top],
+                "sim": sims[top],
+                "rn": np.arange(1, len(top) + 1, dtype=np.int32),
+            }
+        )
+
+    return (
+        cand.groupBy("query_id")
+        .applyInPandas(score, "query_id BIGINT, vec_id BIGINT, sim DOUBLE, rn INT")
+        .orderBy("query_id", "rn")
+    )
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    return ivf_topk(vecs.where(F.col("vec_id") < N_QUERIES), vecs)

@@ -665,3 +665,7 @@ register(
               floor(list_aggregate(codes, 'avg') * 10000 + 0.5) / 10000 AS mean_byte
        FROM c ORDER BY doc_id""",
 )
+
+# IVF ANN: approximate by contract (probed buckets bound the candidate
+# set); rows-only check here, recall-vs-exact measured in tests
+register("q_sim_ivf_topk", S.q_sim_ivf_topk, None)

@@ -1,0 +1,50 @@
+"""Generic file sources/sinks beyond parquet (CSV, JSON, text).
+
+The reference reads exactly one whitespace-delimited text format
+(assembly_final.cpp:73-145; see ``graphlab_text``) and writes one text
+block format (``writers``). The engine's general surface adds the
+standard interchange formats. All are Spark built-ins — the value here
+is pinning the engine's conventions:
+
+* schemas are always explicit (``inferSchema`` does a second full read
+  of the data — never acceptable at 100 TB);
+* CSV/JSON are interchange formats, parquet is the engine-native store
+  (columnar, splittable, predicate pushdown; CSV/JSON scans can prune
+  columns but never push predicates);
+* writes go through ``df.write`` (distributed, one file per partition),
+  never a driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

@@ -108,3 +108,24 @@ def test_lsh_topk_recall_vs_exact(spark):
     assert recall >= 0.0
     for q, v in approx:
         assert q != v
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.query_id, r.vec_id) for r in S.q26_cosine_topk(spark, sf).collect()
+    }
+    rows = S.q_sim_ivf_topk(spark, sf).collect()
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    # every query must produce a full top-k from its probed buckets
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r.rn)
+    assert len(per_query) == S.N_QUERIES
+    for rns in per_query.values():
+        assert sorted(rns) == list(range(1, S.TOP_K + 1))
+    # probing 4/16 buckets should still recover a meaningful share
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.25
+    for q, v in approx:
+        assert q != v
