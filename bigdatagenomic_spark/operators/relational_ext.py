@@ -1,0 +1,162 @@
+"""Relational surface extensions beyond SURVEY.md §2.B Q01-Q23.
+
+Operators a reference user migrating real pipelines would reach for
+next, each with a DuckDB oracle:
+
+* **as-of join** — Spark has no native ASOF JOIN; the classic
+  backward-looking "latest prior event" is built here as a union +
+  running last-non-null window: one shuffle on the join key, linear
+  work, no range self-join blowup. The DuckDB oracle uses its native
+  ``ASOF LEFT JOIN``, so the custom operator is verified against a real
+  engine's implementation of the semantics.
+* **pivot** — ``groupBy().pivot(values=[...])``; values are declared
+  explicitly, which at scale skips the extra distinct-scan Spark
+  otherwise runs to discover the pivot columns (and makes the output
+  schema deterministic).
+* **exact percentiles** — ``percentile()`` (interpolated, equals
+  DuckDB ``quantile_cont``).
+* **deterministic hash sampling** — ``md5 % 100 < pct``: reproducible
+  train/eval splits that survive reruns, repartitions and engine
+  changes, unlike ``TABLESAMPLE``/rand(); the standard trick for
+  training-data pipelines.
+* **lag/lead analytics** — the offset-window half of SURVEY Q14 (the
+  frame-spec half is q14_running_sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bigdatagenomic_spark.functions import md5_long
+from bigdatagenomic_spark.operators.relational import round2_portable
+from bigdatagenomic_spark.sources.tables import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+SAMPLE_PCT = 10
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """For each left row, the right row with the greatest ts <= left.ts
+    within the same `on` group (backward as-of, inclusive).
+
+    Plan shape: tag + union + one window over (on, ts) with a running
+    last-non-null — a single hash shuffle on `on`, each partition
+    scanned once in ts order. Right rows sort before left rows at equal
+    ts so the match is inclusive. This is the merge-join formulation of
+    as-of; the naive range self-join is O(n^2) per key and never
+    acceptable at scale.
+    """
+    from pyspark.sql import types as T
+
+    l_type = T.StructType(left.schema.fields)
+    carried = F.struct(F.col(ts).alias("_r_ts"), *[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(on).alias("_on"),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        carried.alias("_r"),
+        F.lit(None).cast(l_type).alias("_l"),
+    )
+    r_type = r.schema["_r"].dataType
+    l = left.select(
+        F.col(on).alias("_on"),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_type).alias("_r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    w = (
+        W.partitionBy("_on")
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = l.unionByName(r).withColumn(
+        "_match",
+        F.last(F.when(F.col("_side") == 0, F.col("_r")), ignorenulls=True).over(w),
+    )
+    return matched.where(F.col("_side") == 1).select("_l.*", "_match")
+
+
+def q_x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the same user's latest prior (or same-instant)
+    view — NULLs kept when no view precedes the click."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_backward(
+        clicks,
+        views.withColumnRenamed("event_id", "view_event_id"),
+        on="user_id",
+        right_cols=("view_event_id",),
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("click_ts"),
+        F.col("_match.view_event_id").alias("view_id"),
+        F.unix_timestamp("_match._r_ts").alias("view_ts"),
+    ).orderBy("click_id")
+
+
+def q_x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+def q_x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                round2_portable(F.percentile("l_extendedprice", F.lit(p))).alias(
+                    f"p{int(p * 100)}"
+                )
+                for p in (0.25, 0.5, 0.9)
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_x_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% split of documents by content hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(md5_long(F.col("text")) % 100 < SAMPLE_PCT)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_x_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    order_cols = ["l_linenumber", "l_partkey", "l_suppkey"]
+    w = W.partitionBy("l_orderkey").orderBy(*order_cols)
+    return (
+        li.select(
+            "l_orderkey",
+            *order_cols,
+            F.lag("l_quantity", 1).over(w).alias("prev_qty"),
+            F.lead("l_quantity", 1).over(w).alias("next_qty"),
+        )
+        .orderBy("l_orderkey", *order_cols)
+    )

@@ -669,3 +669,67 @@ register(
 # IVF ANN: approximate by contract (probed buckets bound the candidate
 # set); rows-only check here, recall-vs-exact measured in tests
 register("q_sim_ivf_topk", S.q_sim_ivf_topk, None)
+
+
+# ---------------------------------------------------------------------------
+# relational extensions (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+from bigdatagenomic_spark.operators import relational_ext as RX
+
+# the custom Spark as-of operator is verified against DuckDB's NATIVE
+# ASOF LEFT JOIN — two independent implementations of the semantics
+register(
+    "q_x_asof_join",
+    RX.q_x_asof_join,
+    """SELECT c.event_id AS click_id, c.user_id,
+              CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts,
+              v.event_id AS view_id,
+              CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts
+       FROM (SELECT * FROM events WHERE event_type = 'click') c
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         ON c.user_id = v.user_id AND v.ts <= c.ts
+       ORDER BY click_id""",
+)
+
+_PIVOT_COLS = ",\n".join(
+    f'count(CASE WHEN event_type = \'{t}\' THEN 1 END) AS "{t}"'
+    for t in RX.EVENT_TYPES
+)
+register(
+    "q_x_pivot",
+    RX.q_x_pivot,
+    f"""SELECT user_id, {_PIVOT_COLS}
+        FROM events GROUP BY user_id ORDER BY user_id""",
+)
+
+register(
+    "q_x_percentiles",
+    RX.q_x_percentiles,
+    """SELECT l_returnflag,
+              floor(quantile_cont(l_extendedprice, 0.25) * 100 + 0.5) / 100 AS p25,
+              floor(quantile_cont(l_extendedprice, 0.50) * 100 + 0.5) / 100 AS p50,
+              floor(quantile_cont(l_extendedprice, 0.90) * 100 + 0.5) / 100 AS p90
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+
+register(
+    "q_x_sample_hash",
+    RX.q_x_sample_hash,
+    f"""SELECT doc_id FROM documents
+        WHERE CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100
+              < {RX.SAMPLE_PCT}
+        ORDER BY doc_id""",
+)
+
+register(
+    "q_x_lag_lead",
+    RX.q_x_lag_lead,
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+              lag(l_quantity, 1) OVER w AS prev_qty,
+              lead(l_quantity, 1) OVER w AS next_qty
+       FROM lineitem
+       WINDOW w AS (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey)
+       ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+)

@@ -87,3 +87,12 @@ def test_q26_similarity_broadcasts_queries(spark):
     kinds = join_kinds(df)
     assert "CartesianProduct" not in kinds
     assert any(k.startswith("Broadcast") for k in kinds)
+
+
+def test_asof_join_is_linear_not_range_join(spark):
+    """The custom as-of operator must be the union+window merge plan —
+    no join operator at all (a range self-join would be O(n^2)/key)."""
+    df = _df(spark, "q_x_asof_join")
+    assert join_kinds(df) == []
+    # window shuffle on user_id + declared ORDER BY only
+    assert exchange_count(df) <= 2
