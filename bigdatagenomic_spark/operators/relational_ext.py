@@ -160,3 +160,28 @@ def q_x_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", *order_cols)
     )
+
+
+def q_x_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour/day/month subtotals
+    and the grand total in ONE pass (rollup grouping sets), instead of
+    three separate scans+shuffles over the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.unix_timestamp(F.date_trunc("month", "ts")).alias("month_start"),
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_start"),
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+        "value",
+    )
+    return (
+        d.rollup("month_start", "day_start", "hour_start")
+        .agg(
+            F.count("*").alias("n_events"),
+            round2_portable(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy(
+            F.asc_nulls_first("month_start"),
+            F.asc_nulls_first("day_start"),
+            F.asc_nulls_first("hour_start"),
+        )
+    )

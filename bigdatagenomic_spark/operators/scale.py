@@ -1,0 +1,102 @@
+"""Skew- and shuffle-control utilities (the 100 TB toolbox).
+
+AQE's skew-join splitting handles skewed JOINS automatically, but a
+skewed GROUP BY key (one event_type carrying half the stream, one hot
+document shingle) still funnels a whole key into one reducer. The
+standard fix is salting: split each key into n_salt sub-keys, aggregate
+partially, then combine the partials — two small shuffles instead of one
+skewed one. ``salted_agg`` implements the pattern generically for
+re-aggregatable functions (count/sum/min/max); the registry query
+``q_x_salted_agg`` proves the salted plan is value-identical to the
+plain GROUP BY by hash-matching the unsalted DuckDB oracle.
+
+``write_bucketed`` is the co-located-join tool: pre-hash-partition both
+fact tables on the join key at write time, and every subsequent join on
+that key runs with ZERO exchanges (asserted in tests/test_scale.py).
+At 100 TB this converts the nightly fact-fact join from the dominant
+shuffle into a local merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# count/sum/min/max re-aggregate cleanly; avg must be derived as sum/count
+_COMBINE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_on: str,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column -> (fn, input column) with fn in
+    count/sum/min/max. ``salt_on`` is any high-cardinality column used to
+    derive a deterministic salt (rand() would break retry idempotency —
+    a failed task re-running with different salts double-counts).
+    """
+    salt = F.pmod(F.abs(F.hash(F.col(salt_on))), F.lit(n_salt)).alias("_salt")
+    partial_exprs = []
+    combine_exprs = []
+    for out, (fn, col) in aggs.items():
+        if fn not in _COMBINE:
+            raise ValueError(f"{fn} is not re-aggregatable; use sum/count-derived forms")
+        partial = F.count(col) if fn == "count" else getattr(F, fn)(col)
+        partial_exprs.append(partial.alias(f"_p_{out}"))
+        combine_exprs.append(_COMBINE[fn](f"_p_{out}").alias(out))
+    return (
+        df.groupBy(*keys, salt)
+        .agg(*partial_exprs)
+        .groupBy(*keys)
+        .agg(*combine_exprs)
+    )
+
+
+def q_x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted count+sum over the 5-value (maximally skewed) event_type key;
+    hash-matches the plain GROUP BY oracle."""
+    from bigdatagenomic_spark.operators.relational import round2_portable
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={"n_events": ("count", "event_id"), "sum_value": ("sum", "value")},
+        salt_on="event_id",
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        round2_portable(F.col("sum_value")).alias("sum_value"),
+    ).orderBy("event_type")
+
+
+def write_bucketed(
+    df: DataFrame,
+    path: str,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Persist df hash-bucketed (and sorted) by the join key.
+
+    Joins between tables bucketed identically on the join key need no
+    exchange (and with sortBy, no sort): the classic co-location
+    investment — pay one shuffle at write time, join shuffle-free
+    forever after.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return df.sparkSession.table(table)

@@ -733,3 +733,35 @@ register(
                     ORDER BY l_linenumber, l_partkey, l_suppkey)
        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
 )
+
+register(
+    "q_x_time_rollup",
+    RX.q_x_time_rollup,
+    """WITH t AS (
+         SELECT CAST(floor(epoch(date_trunc('month', ts))) AS BIGINT) AS month_start,
+                CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_start,
+                CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
+                value
+         FROM events)
+       SELECT month_start, day_start, hour_start, count(*) AS n_events,
+              floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+       FROM t GROUP BY ROLLUP(month_start, day_start, hour_start)
+       ORDER BY month_start NULLS FIRST, day_start NULLS FIRST,
+                hour_start NULLS FIRST""",
+)
+
+
+# ---------------------------------------------------------------------------
+# scale utilities (operators/scale.py): the salted plan must hash-match
+# the plain GROUP BY oracle — skew mitigation with zero semantic drift
+# ---------------------------------------------------------------------------
+
+from bigdatagenomic_spark.operators import scale as SC
+
+register(
+    "q_x_salted_agg",
+    SC.q_x_salted_agg,
+    """SELECT event_type, count(event_id) AS n_events,
+              floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)

@@ -1,0 +1,70 @@
+"""Scale-utility tests: bucketed co-located joins, salted aggregation,
+approx-distinct tolerance (SURVEY.md Q10's declared check).
+
+The salted-agg value parity runs in test_relational_oracle.py via
+q_x_salted_agg's plain GROUP BY oracle; here we pin its plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdatagenomic_spark.operators.scale import salted_agg, write_bucketed
+from bigdatagenomic_spark.plans import exchange_count, formatted_plan, join_kinds
+from bigdatagenomic_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key -> the join plans with zero
+    shuffle exchanges (the co-location payoff)."""
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    bo = write_bucketed(orders, str(tmp_path / "bo"), "t_bucketed_orders", "o_orderkey")
+    bl = write_bucketed(li, str(tmp_path / "bl"), "t_bucketed_lineitem", "l_orderkey")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        assert exchange_count(joined) == 0
+        assert "SortMergeJoin" in join_kinds(joined)
+        # and it still computes the right thing
+        plain = orders.join(li, orders.o_orderkey == li.l_orderkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_lineitem")
+
+
+def test_salted_agg_is_two_phase(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={"n": ("count", "event_id"), "s": ("sum", "value")},
+        salt_on="event_id",
+        n_salt=8,
+    )
+    plan = formatted_plan(out)
+    # two aggregation rounds (salted partial + combine), each with its own
+    # partial/final pair
+    assert plan.count("HashAggregate") >= 4
+    # rejects non-re-aggregatable functions loudly
+    with pytest.raises(ValueError, match="re-aggregatable"):
+        salted_agg(ev, ["event_type"], {"a": ("avg", "value")}, salt_on="event_id")
+
+
+def test_q10_approx_count_distinct_within_tolerance(spark):
+    """Q10's declared check: approximate vs exact within rsd headroom."""
+    from bigdatagenomic_spark import queries as Q
+
+    approx = Q.queries()["q10_approx_count_distinct"](spark, SF_DIR).collect()[0][0]
+    exact = (
+        load_table(spark, SF_DIR, "orders")
+        .agg(F.countDistinct("o_custkey"))
+        .collect()[0][0]
+    )
+    assert abs(approx - exact) / exact <= 0.10  # default rsd 0.05, 2x headroom
