@@ -280,7 +280,10 @@ def q27_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dst"),
         )
     )
-    with_next = asm.with_next_id(reads, edges)
+    # materialize the argmax result once: extract_path reads it twice
+    # (count + collect) and the merge fold once more — without this the
+    # join+window subtree recomputes three times
+    with_next = asm.with_next_id(reads, edges).localCheckpoint(eager=True)
     path = asm.extract_path(with_next, source=0)
     merged = asm.merge_path(path, reads)
     return merged.select(
