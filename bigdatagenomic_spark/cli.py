@@ -38,6 +38,16 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--format", choices=["text", "parquet"], default="text",
                    help="sink format (text = reference per-vertex blocks)")
     a.add_argument("--cpus", type=int, default=None)
+
+    q = sub.add_parser("query", help="run a registry query by name")
+    q.add_argument("name", help="query name (see `list`)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="test-table directory")
+    q.add_argument("--limit", type=int, default=20, help="rows to show")
+    q.add_argument("--explain", action="store_true", help="print the plan too")
+    q.add_argument("--cpus", type=int, default=None)
+
+    sub.add_parser("list", help="list every registry query")
     return p
 
 
@@ -85,10 +95,41 @@ def open_sequence_path(outdir: str):
     return open(os.path.join(outdir, "assembled_sequence.txt"), "w")
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    from bigdatagenomic_spark import queries as registry
+
+    qs = registry.queries()
+    if args.name not in qs:
+        print(f"error: unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"bdg-{args.name}", cpus=args.cpus)
+    t0 = time.time()
+    df = qs[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain(mode="formatted")
+    df.show(args.limit, truncate=False)
+    print(f"{args.name} on {args.sf_dir}: {time.time()-t0:.2f}s")
+    return 0
+
+
+def cmd_list() -> int:
+    from bigdatagenomic_spark import queries as registry
+
+    oracles = registry.oracle_sql()
+    for name in registry.queries():
+        kind = "oracle" if name in oracles else "rows-only"
+        print(f"{name:28s} {kind}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "assemble":
         return cmd_assemble(args)
+    if args.command == "query":
+        return cmd_query(args)
+    if args.command == "list":
+        return cmd_list()
     return 1
 
 

@@ -37,3 +37,26 @@ def test_json_roundtrip(spark, tmp_path):
     back = read_json(spark, path, orders.schema)
     assert back.schema == orders.schema
     assert _rows(back) == _rows(orders)
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned parquet + a date filter -> the scan plans with
+    PartitionFilters, i.e. untouched days are never read. At 100 TB the
+    partition layout IS the primary index."""
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.plans.inspect import formatted_plan
+    from bigdatagenomic_spark.sources.writers import write_parquet
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_parquet(ev, path, partition_by=["event_date"])
+
+    back = spark.read.parquet(path).where(F.col("event_date") == "2024-01-05")
+    plan = formatted_plan(back)
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1].split("]")[0]
+    # and the filter actually restricts what is read
+    assert back.count() == ev.where(F.col("event_date") == "2024-01-05").count()
