@@ -1,0 +1,137 @@
+"""Generic graph analytics (the reference's GAS model, generalized).
+
+The reference hard-codes three GraphLab vertex programs
+(assembly_final.cpp:155-624); this module exposes the underlying
+primitive — gather/apply as a join + groupBy ("aggregateMessages",
+SURVEY.md §3.2) — plus the degree helpers and a connected-components
+operator, so the same machinery the assembly pipeline uses serves
+general graph work (entity resolution over co-occurrence graphs being
+the training-data-pipeline use case: q_graph_cc groups orders into
+co-purchase components).
+
+Scale notes: every superstep is one shuffle on vertex id. The driver
+loop localCheckpoints each round — iterative lineage otherwise grows
+unboundedly and re-executes from the scan on every action. Convergence
+is checked with a changed-row count per round (one extra cheap job);
+hash-min propagation needs O(component diameter) rounds, which is small
+for the short-diameter graphs entity resolution produces — for
+adversarial long-path graphs, extract_path-style pointer doubling
+(assembly.py) is the O(log n) alternative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(id, out_degree) — reference gather-over-OUT_EDGES cardinality."""
+    return edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_degree"))
+
+
+def aggregate_messages(
+    vertices: DataFrame,
+    edges: DataFrame,
+    msg: Column,
+    combine: str,
+    direction: str = "out",
+) -> DataFrame:
+    """One GAS gather phase: each vertex receives ``msg`` (an expression
+    over the neighbor's columns) along its edges, combined with ``combine``
+    (min/max/sum/collect_list/...).
+
+    ``direction='out'``: a vertex gathers from its out-neighbors (dst
+    data flows back to src), matching the reference's
+    ``gather_edges = OUT_EDGES`` (assembly_final.cpp:264-267).
+    Returns (id, msg_agg). One join + one shuffle — the whole GraphLab
+    gather/accumulator machinery (assembly_final.cpp:186-246) in two ops.
+    """
+    if direction == "out":
+        joined = edges.join(vertices, edges["dst"] == vertices["id"]).select(
+            edges["src"].alias("id"), msg.alias("_msg")
+        )
+    else:
+        joined = edges.join(vertices, edges["src"] == vertices["id"]).select(
+            edges["dst"].alias("id"), msg.alias("_msg")
+        )
+    return joined.groupBy("id").agg(getattr(F, combine)("_msg").alias("msg_agg"))
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """(id, component) — component = min vertex id reachable (undirected).
+
+    Hash-min label propagation: every vertex repeatedly adopts the
+    smallest label among itself and its neighbors, until a round changes
+    nothing. Edges are symmetrized once up front; each round is one
+    aggregate_messages shuffle + a changed-count check, with
+    localCheckpoint cutting lineage.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neighbor_min = aggregate_messages(
+            labels.select("id", "component"),
+            sym,
+            msg=F.col("component"),
+            combine="min",
+            direction="out",
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("msg_agg", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def q_graph_cc(spark, sf_dir: str) -> DataFrame:
+    """Entity resolution demo: orders connected by sharing a part
+    (co-purchase graph over a bounded lineitem slice), labeled with
+    their component. Iterative → rows-only by contract; exact-match
+    tested against union-find in tests/test_graph.py."""
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    # bipartite edges: order -> part (parts offset into their own id space)
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + F.lit(1_000_000)).alias("dst"),
+    ).distinct()
+    cc = connected_components(edges)
+    return (
+        cc.where(F.col("id") < 1_000_000)  # report order vertices only
+        .orderBy("id")
+    )

@@ -768,3 +768,14 @@ register(
               floor(sum(value) * 100 + 0.5) / 100 AS sum_value
        FROM events GROUP BY event_type ORDER BY event_type""",
 )
+
+
+# ---------------------------------------------------------------------------
+# generic graph analytics (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+from bigdatagenomic_spark.operators import graph as G
+
+# iterative fixpoint algorithm: non-SQL-expressible by contract (rows-only
+# driver check); exact-matched against union-find in tests/test_graph.py
+register("q_graph_cc", G.q_graph_cc, None)

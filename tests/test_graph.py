@@ -1,0 +1,82 @@
+"""Generic graph operator tests: aggregate_messages, degrees, connected
+components (vs a Python union-find ground truth)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatagenomic_spark.operators.graph import (
+    aggregate_messages,
+    connected_components,
+    in_degrees,
+    out_degrees,
+    q_graph_cc,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src LONG, dst LONG")
+
+
+def test_degrees(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    assert {(r.id, r.out_degree) for r in out_degrees(e).collect()} == {(1, 2), (2, 1)}
+    assert {(r.id, r.in_degree) for r in in_degrees(e).collect()} == {(2, 1), (3, 2)}
+
+
+def test_aggregate_messages_gather_out(spark):
+    """Mirrors the reference's find-max gather: each vertex pulls its
+    out-neighbors' scores and keeps the max."""
+    v = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5)], "id LONG, score DOUBLE"
+    )
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    got = {
+        (r.id, r.msg_agg)
+        for r in aggregate_messages(v, e, F.col("score"), "max").collect()
+    }
+    assert got == {(1, 0.9), (2, 0.5)}
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id in each set
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_two_islands(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (12, 11), (20, 20)])
+    got = {(r.id, r.component) for r in connected_components(e).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (20, 20)}
+
+
+def test_cc_matches_union_find_on_copurchase_graph(spark):
+    df = q_graph_cc(spark, SF_DIR)
+    got = {(r.id, r.component) for r in df.collect()}
+
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .where(F.col("l_orderkey") < 200)
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    pairs = [(r.l_orderkey, r.l_partkey + 1_000_000) for r in li]
+    uf = _union_find(pairs)
+    want = {(n, c) for n, c in uf.items() if n < 1_000_000}
+    assert got == want
