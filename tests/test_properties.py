@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for order-sensitive operators.
+
+Spark roundtrips are expensive, so example counts are small but the
+generated structures target exactly the hard parts: equal timestamps,
+missing matches, and input-row-order permutations.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from bigdatagenomic_spark.operators.relational_ext import asof_join_backward
+
+_BASE = datetime(2024, 6, 1)
+
+# (user, minute_offset) pairs; small domains force collisions: several
+# users share minutes, and ties between left and right ts happen often
+_events = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 20)), min_size=0, max_size=12
+)
+
+
+def _py_asof(clicks, views):
+    """Reference semantics: greatest view ts <= click ts per user,
+    ties on view ts broken by... (view ts unique per user by construction)."""
+    out = {}
+    for cid, (cu, ct) in enumerate(clicks):
+        best = None
+        for vid, (vu, vt) in enumerate(views):
+            if vu == cu and vt <= ct and (best is None or vt > best[1]):
+                best = (vid, vt)
+        out[cid] = best
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(clicks=_events, views=_events)
+def test_asof_join_matches_python_reference(spark, clicks, views):
+    # dedupe (user, ts) within each side: duplicate right keys make "which
+    # row matched" ambiguous (the VALUE is still deterministic, but the
+    # python oracle would need the same tie rule as the window order)
+    clicks = sorted(set(clicks))
+    views = sorted(set(views))
+    c_df = spark.createDataFrame(
+        [(i, u, _BASE + timedelta(minutes=t)) for i, (u, t) in enumerate(clicks)]
+        or [(None, None, None)],
+        "event_id LONG, user_id LONG, ts TIMESTAMP",
+    ).where(F.col("event_id").isNotNull())
+    v_df = spark.createDataFrame(
+        [(i, u, _BASE + timedelta(minutes=t)) for i, (u, t) in enumerate(views)]
+        or [(None, None, None)],
+        "view_event_id LONG, user_id LONG, ts TIMESTAMP",
+    ).where(F.col("view_event_id").isNotNull())
+
+    got = {
+        r.event_id: (r["_match"]["view_event_id"] if r["_match"] else None)
+        for r in asof_join_backward(
+            c_df, v_df, on="user_id", right_cols=("view_event_id",)
+        ).collect()
+    }
+    want = {
+        cid: (best[0] if best else None)
+        for cid, best in _py_asof(clicks, views).items()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(perm_seed=st.integers(0, 10_000))
+def test_merge_fold_invariant_to_row_order(spark, perm_seed):
+    """SURVEY.md §5.2 item 4: the assembly fold's result must not depend
+    on the physical order reads arrive in."""
+    import random
+
+    from bigdatagenomic_spark.operators import assembly as asm
+    from bigdatagenomic_spark.sources.graphlab_text import (
+        read_graphlab_text,
+        reads_to_edges,
+    )
+
+    reads = read_graphlab_text(spark, "tests/data/smoke3.txt")
+    rows = reads.collect()
+    random.Random(perm_seed).shuffle(rows)
+    shuffled = spark.createDataFrame(rows, reads.schema).repartition(4)
+    edges = reads_to_edges(shuffled)
+    _, assembled = asm.assemble(shuffled, edges, source=33, destination=38)
+    row = assembled.collect()[0]
+    assert (row.offset, row.length) == (1304, 2719)
+    assert row.content.startswith("NAAGCGTATTGAAGGCTCGGTCTGGCCAAAGTC")
