@@ -192,3 +192,33 @@ def test_s07_custom_stateful_running_totals(spark, replay_dir):
     for k in w:
         assert g[k][0] == w[k][0]
         assert abs(g[k][1] - w[k][1]) < 1e-6
+
+
+def test_s01_parquet_sink_roundtrip(spark, replay_dir, tmp_path):
+    """S01's durable half: stream -> parquet sink with checkpoint; the
+    files read back must equal the batch aggregate."""
+    out = str(tmp_path / "agg_parquet")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        tumbling_agg(_stream_events(spark, replay_dir))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    # append mode only emits watermark-finalized windows; every emitted
+    # row must match the batch result exactly
+    want = _as_map(
+        tumbling_agg(_batch_events(spark)),
+        ["w_start", "event_type"],
+        ["n_events", "sum_value"],
+    )
+    assert got.count() > 0
+    for k, v in _as_map(got, ["w_start", "event_type"], ["n_events", "sum_value"]).items():
+        assert k in want
+        assert v[0] == want[k][0]
+        assert abs(v[1] - want[k][1]) <= 0.011
