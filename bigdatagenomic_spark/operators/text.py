@@ -138,3 +138,24 @@ def q25_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("w"))
         .limit(50)
     )
+
+
+# GPT-2-style pretokenizer shape: contraction | space-word | space-number
+# | space-punct-run | whitespace-run. Counts pretokens (the unit BPE then
+# splits further) without needing a vocab — the standard cheap proxy for
+# "how many tokens will this document cost".
+BPE_PATTERN = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+|\s+"
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretoken counts per document (JVM regexp, no UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    lowered = F.lower("text")
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_count(lowered, F.lit(BPE_PATTERN)).alias("n_pretokens"),
+            F.regexp_count(lowered, F.lit(r"'[a-z]+| ?[a-z]+")).alias("n_word_pieces"),
+        )
+        .orderBy("doc_id")
+    )

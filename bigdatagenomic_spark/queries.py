@@ -779,3 +779,19 @@ from bigdatagenomic_spark.operators import graph as G
 # iterative fixpoint algorithm: non-SQL-expressible by contract (rows-only
 # driver check); exact-matched against union-find in tests/test_graph.py
 register("q_graph_cc", G.q_graph_cc, None)
+
+
+# BPE-ish pretokenizer counts — same regex dialect subset (no lookaround,
+# no backrefs) behaves identically in Java regex and RE2; validated by
+# the oracle match itself
+register(
+    "q_text_bpe_tokens",
+    T.q_text_bpe_tokens,
+    r"""SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text),
+                    '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+|\s+')) AS INT)
+                 AS n_pretokens,
+               CAST(len(regexp_extract_all(lower(text),
+                    '''[a-z]+| ?[a-z]+')) AS INT) AS n_word_pieces
+        FROM documents ORDER BY doc_id""",
+)
