@@ -195,10 +195,16 @@ def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") < EMB_SAMPLE_VECS)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    # norms hoisted out of the O(n^2) pair join: one fold per vector
+    # instead of two extra folds per pair (same float result — the norm
+    # is the identical expression either way)
+    from bigdatagenomic_spark.functions import dot
+
+    en = e.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = en.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = en.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     pairs = a.join(b, F.col("a_id") < F.col("b_id"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
     return (
         pairs.select("a_id", "b_id", sim.alias("sim"))
         .where(F.col("sim") >= COSINE_DUP_THRESHOLD)
