@@ -121,19 +121,32 @@ def lsh_bucketed_topk(
             sig = bit if sig is None else sig + bit
         return sig.cast("long")
 
+    from bigdatagenomic_spark.functions import dot
+
+    def norm(v):
+        return F.sqrt(dot(v, v))
+
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
         signature(F.col("v")).alias("sig"),
     )
-    c = candidates.select("vec_id", F.col("v").alias("cv"), signature(F.col("v")).alias("sig"))
+    c = candidates.select(
+        "vec_id",
+        F.col("v").alias("cv"),
+        norm(F.col("v")).alias("cn"),
+        signature(F.col("v")).alias("sig"),
+    )
     sims = (
         q.join(c, "sig")
         .where(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
