@@ -310,3 +310,39 @@ def test_pairwise_merge_matches_sequential(spark):
     seq = asm.merge_path(path, reads).collect()[0]
     pw = asm.merge_path_pairwise(path, reads).collect()[0]
     assert (pw.offset, pw.length, pw.content) == (seq.offset, seq.length, seq.content)
+
+
+def test_long_chain_5000_reads(spark):
+    """Scale-regime stress: a 5,000-read chain (3 orders past the smoke
+    fixture) through the full pipeline; result must equal the python
+    oracle fold and end-to-end runtime must stay sane."""
+    rng = random.Random(20240813)
+    n = 5000
+    rows = _forward_chain(rng, n)
+    reads = make_reads(spark, rows)
+    edges = reads_to_edges(reads)
+    with_next = asm.with_next_id(reads, edges)
+    path = asm.extract_path(with_next, 1)
+    assert path.count() == n
+    assembled = asm.merge_path(path, reads).collect()[0]
+    by_id = {r[0]: Interval(r[3], r[1], r[2]) for r in rows}
+    expected = fold_chain([by_id[i] for i in range(1, n + 1)])
+    assert (assembled.offset, assembled.length) == (
+        expected.offset,
+        expected.length,
+    )
+    assert assembled.content == expected.content
+
+
+def test_long_chain_pointer_doubling_path(spark):
+    """Force the distributed pointer-doubling walk (threshold=0) on a
+    1,000-read chain: O(log n) rounds must recover the exact path order."""
+    rng = random.Random(99)
+    n = 1000
+    rows = _forward_chain(rng, n)
+    reads = make_reads(spark, rows)
+    edges = reads_to_edges(reads)
+    with_next = asm.with_next_id(reads, edges)
+    path = asm.extract_path(with_next, 1, driver_walk_threshold=0)
+    got = [(r.pos, r.read_id) for r in path.orderBy("pos").collect()]
+    assert got == [(i - 1, i) for i in range(1, n + 1)]
