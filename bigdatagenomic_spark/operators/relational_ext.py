@@ -185,3 +185,39 @@ def q_x_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("hour_start"),
         )
     )
+
+
+def q_x_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining set ops from SURVEY Q16 (INTERSECT covered there):
+    nations with customers but no suppliers, plus the UNION ALL total."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    only_customers = c.distinct().exceptAll(s.distinct()).select(
+        "nationkey", F.lit("customer_only").alias("src")
+    )
+    both_counts = (
+        c.unionAll(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .select("nationkey", F.concat(F.lit("n="), F.col("n")).alias("src"))
+    )
+    return only_customers.unionByName(both_counts).orderBy("nationkey", "src")
+
+
+def q_x_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regexp/trim/split half of SURVEY Q17's declared function list."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("consonants"),
+            F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+            F.trim(F.lower("p_brand")).alias("brand_lc"),
+            F.size(F.split("p_name", " ")).alias("n_name_words"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -795,3 +795,31 @@ register(
                     '''[a-z]+| ?[a-z]+')) AS INT) AS n_word_pieces
         FROM documents ORDER BY doc_id""",
 )
+
+
+register(
+    "q_x_union_except",
+    RX.q_x_union_except,
+    """SELECT nationkey, 'customer_only' AS src FROM (
+         SELECT DISTINCT c_nationkey AS nationkey FROM customer
+         EXCEPT
+         SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+       UNION ALL
+       SELECT nationkey, 'n=' || CAST(n AS VARCHAR) AS src FROM (
+         SELECT nationkey, count(*) AS n FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+         GROUP BY nationkey)
+       ORDER BY nationkey, src""",
+)
+
+register(
+    "q_x_string_regex",
+    RX.q_x_string_regex,
+    """SELECT p_partkey,
+              regexp_replace(p_name, '[aeiou]', '_', 'g') AS consonants,
+              coalesce(regexp_extract(p_type, '^([A-Z]+)', 1), '') AS type_head,
+              trim(lower(p_brand)) AS brand_lc,
+              CAST(len(string_split(p_name, ' ')) AS INT) AS n_name_words
+       FROM part ORDER BY p_partkey""",
+)
