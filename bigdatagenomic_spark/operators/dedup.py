@@ -210,3 +210,48 @@ def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sim") >= COSINE_DUP_THRESHOLD)
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# survivorship: from near-dup PAIRS to the cleaned corpus
+# ---------------------------------------------------------------------------
+
+def near_dup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Resolve near-dup pairs into groups and keep one doc per group.
+
+    Pairs only say "a ~ b"; near-duplication is transitive in practice
+    (a~b, b~c -> one cluster), so the dedup unit is the CONNECTED
+    COMPONENT of the similarity graph, not the pair. Components come
+    from the generic graph operator (hash-min propagation); the survivor
+    is the lowest doc_id per component; docs that appear in no pair
+    survive by default. This is the operator a training pipeline
+    actually runs: corpus in, deduplicated corpus out.
+    """
+    from bigdatagenomic_spark.operators.graph import connected_components
+
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    comp = connected_components(edges)  # (id, component) for paired docs only
+    survivors_in_groups = comp.groupBy("component").agg(
+        F.min("id").alias("keep_id")
+    )
+    drop = (
+        comp.join(
+            survivors_in_groups,
+            comp["id"] == survivors_in_groups["keep_id"],
+            "left_anti",
+        )
+        .select(F.col("id").alias("doc_id"))
+    )
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH candidates -> exact-Jaccard
+    verification -> transitive clustering -> surviving corpus. Iterative
+    (CC) -> rows-only by contract; survivors exact-matched against
+    union-find in tests/test_llm_ops.py."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).where(
+        F.col("jacc") >= JACCARD_THRESHOLD
+    )
+    return near_dup_survivors(d.select("doc_id"), pairs).orderBy("doc_id")

@@ -823,3 +823,8 @@ register(
               CAST(len(string_split(p_name, ' ')) AS INT) AS n_name_words
        FROM part ORDER BY p_partkey""",
 )
+
+
+# survivorship over transitive near-dup clusters (iterative CC -> rows-only;
+# exact-matched against union-find in tests)
+register("q_dedup_survivors", D.q_dedup_survivors, None)

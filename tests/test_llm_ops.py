@@ -129,3 +129,22 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert recall >= 0.25
     for q, v in approx:
         assert q != v
+
+
+def test_near_dup_survivors_match_union_find(spark):
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id for r in D.q_dedup_survivors(spark, sf).collect()}
+    pairs = [
+        (r.a_id, r.b_id)
+        for r in D.q_dedup_minhash_pairs(spark, sf).collect()
+        if r.jacc >= D.JACCARD_THRESHOLD
+    ]
+    from tests.test_graph import _union_find
+
+    uf = _union_find(pairs)
+    drop = {n for n, c in uf.items() if n != c}
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    all_ids = {r.doc_id for r in load_table(spark, sf, "documents").select("doc_id").collect()}
+    assert got == all_ids - drop
+    assert len(got) < len(all_ids)  # the generator plants real near-dups
