@@ -828,3 +828,33 @@ register(
 # survivorship over transitive near-dup clusters (iterative CC -> rows-only;
 # exact-matched against union-find in tests)
 register("q_dedup_survivors", D.q_dedup_survivors, None)
+
+
+def _q_s08_interval_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.sources.tables import load_table
+    from bigdatagenomic_spark.streaming.ops import stream_stream_click_view_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return stream_stream_click_view_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "view"),
+    ).orderBy("click_id", "view_id")
+
+
+# batch mode of the S08 stream-stream interval join (same unified plan;
+# streaming equivalence proven in tests/test_streaming.py)
+register(
+    "q_s08_interval_join",
+    _q_s08_interval_join,
+    """SELECT c.event_id AS click_id, c.user_id,
+              CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts,
+              v.event_id AS view_id,
+              CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts
+       FROM events c JOIN events v
+         ON c.user_id = v.user_id
+        AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+       WHERE c.event_type = 'click' AND v.event_type = 'view'
+       ORDER BY click_id, view_id""",
+)

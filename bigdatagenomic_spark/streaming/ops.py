@@ -140,3 +140,46 @@ def q_s02_window_agg(spark, sf_dir: str) -> DataFrame:
 def q_s03_session_agg(spark, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return session_agg(ev, "30 minutes").orderBy("user_id", "s_start")
+
+
+def stream_stream_click_view_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    max_lag: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each click matched to the same user's
+    views within the preceding ``max_lag``.
+
+    Both sides carry watermarks and the join condition time-bounds the
+    match, so Spark can size and EVICT the buffered state on both sides
+    — an unbounded-condition stream-stream join would buffer both
+    streams forever. Works identically on batch inputs (the unified-op
+    contract), where the time bound is just a predicate.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        v = v.withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_timestamp("click_ts").alias("click_ts"),
+        "view_id",
+        F.unix_timestamp("view_ts").alias("view_ts"),
+    )

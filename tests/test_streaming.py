@@ -222,3 +222,24 @@ def test_s01_parquet_sink_roundtrip(spark, replay_dir, tmp_path):
         assert k in want
         assert v[0] == want[k][0]
         assert abs(v[1] - want[k][1]) <= 0.011
+
+
+def test_s08_stream_stream_join(spark, replay_dir):
+    """Stream-stream interval join equals the batch join over the same
+    events (both sides replayed from the same chunked stream)."""
+    from bigdatagenomic_spark.streaming.ops import stream_stream_click_view_join
+
+    def split(ev):
+        return (
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "view"),
+        )
+
+    sc, sv = split(_stream_events(spark, replay_dir))
+    got = run_to_memory(stream_stream_click_view_join(sc, sv), "append")
+    bc, bv = split(_batch_events(spark))
+    want = stream_stream_click_view_join(bc, bv)
+    g = {(r.click_id, r.view_id) for r in got.collect()}
+    w = {(r.click_id, r.view_id) for r in want.collect()}
+    assert g == w
+    assert len(w) > 0
