@@ -21,23 +21,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def with_corrupt_capture(schema: StructType) -> StructType:
+    """Schema + the corrupt-record column (PERMISSIVE mode lands
+    unparseable rows there instead of silently defaulting them — the
+    reference's loader silently zero-fills malformed lines,
+    assembly_final.cpp:88-99; the engine surfaces them)."""
+    from pyspark.sql.types import StringType, StructField
+
+    return StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
     schema: StructType | str,
     header: bool = True,
     sep: str = ",",
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
     return (
         spark.read.schema(schema)
         .option("header", str(header).lower())
         .option("sep", sep)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)
     )
 
 
-def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
-    return spark.read.schema(schema).json(path)
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
 
 
 def write_csv(

@@ -96,3 +96,29 @@ def test_asof_join_is_linear_not_range_join(spark):
     assert join_kinds(df) == []
     # window shuffle on user_id + declared ORDER BY only
     assert exchange_count(df) <= 2
+
+
+def test_identical_subtrees_reuse_exchange(spark):
+    """A self-join over the same aggregate must plan ONE shuffle with a
+    ReusedExchange, not two identical shuffles — Catalyst's subtree
+    reuse is what keeps diamond-shaped pipelines from paying twice."""
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"))
+    joined = agg.join(
+        agg.select(F.col("l_orderkey"), F.col("s").alias("s2")), "l_orderkey"
+    )
+    # with a broadcast build side the two subtrees differ (one exchange
+    # becomes a BroadcastExchange), so reuse can't fire — disable
+    # broadcast to expose the identical shuffle pair. Under AQE the reuse
+    # materializes in the FINAL plan, so execute before inspecting.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

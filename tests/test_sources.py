@@ -60,3 +60,35 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "event_date" in plan.split("PartitionFilters")[1].split("]")[0]
     # and the filter actually restricts what is read
     assert back.count() == ev.where(F.col("event_date") == "2024-01-05").count()
+
+
+def test_json_corrupt_record_capture(spark, tmp_path):
+    """PERMISSIVE mode surfaces unparseable rows in _corrupt_record;
+    FAILFAST raises — never the reference's silent zero-fill."""
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from bigdatagenomic_spark.sources.files import (
+        CORRUPT_COL,
+        with_corrupt_capture,
+    )
+
+    path = str(tmp_path / "mixed.json")
+    with open(path, "w") as fh:
+        fh.write('{"a": 1, "b": "ok"}\n')
+        fh.write("{BROKEN not json\n")
+        fh.write('{"a": 3, "b": "fine"}\n')
+
+    base = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    df = read_json(spark, path, with_corrupt_capture(base)).cache()
+    good = df.where(df[CORRUPT_COL].isNull())
+    bad = df.where(df[CORRUPT_COL].isNotNull())
+    assert {r.a for r in good.collect()} == {1, 3}
+    assert bad.count() == 1
+    assert "BROKEN" in bad.collect()[0][CORRUPT_COL]
+
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_json(spark, path, base, mode="FAILFAST").collect()
