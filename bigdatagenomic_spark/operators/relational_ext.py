@@ -221,3 +221,23 @@ def q_x_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+STRATA_PCT = {"en": 20, "de": 50, "fr": 50, "es": 50, "zh": 50}
+
+
+def q_x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language hash-split rates
+    (downsample the dominant language, keep more of the rest) — the
+    class-rebalancing pattern for training corpora, reproducible across
+    runs/engines because the rate gate is a content hash, not rand()."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in STRATA_PCT.items()],
+        F.lit(0),
+    )
+    return (
+        d.where(md5_long(F.col("text")) % 100 < rate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

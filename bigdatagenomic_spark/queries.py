@@ -858,3 +858,16 @@ register(
        WHERE c.event_type = 'click' AND v.event_type = 'view'
        ORDER BY click_id, view_id""",
 )
+
+
+_STRATA_CASE = " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in RX.STRATA_PCT.items()
+)
+register(
+    "q_x_stratified_sample",
+    RX.q_x_stratified_sample,
+    f"""SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100
+              < (CASE {_STRATA_CASE} ELSE 0 END)
+        ORDER BY doc_id""",
+)
