@@ -241,3 +241,45 @@ def q_x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+def q_x_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining ranking/value window functions: ntile buckets plus
+    first/last value over a running frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    order_cols = ["l_linenumber", "l_partkey", "l_suppkey"]
+    w = W.partitionBy("l_orderkey").orderBy(*order_cols)
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        li.select(
+            "l_orderkey",
+            *order_cols,
+            F.ntile(4).over(w).alias("quartile"),
+            F.first("l_quantity").over(wf).alias("first_qty"),
+            F.last("l_quantity").over(wf).alias("last_qty"),
+        )
+        .orderBy("l_orderkey", *order_cols)
+    )
+
+
+def q_x_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/min/max over the embedding corpus (posexplode
+    -> groupBy dim): the stats pass of embedding normalization
+    (mean-centering / feature scaling) at corpus scale — one explode
+    shuffle on the 64-value dim key, map-side partials carry the load."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        e.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            (F.floor(F.avg("val") * 10000 + F.lit(0.5)).cast("double") / 10000).alias(
+                "mean_val"
+            ),
+            F.round(F.min("val"), 4).alias("min_val"),
+            F.round(F.max("val"), 4).alias("max_val"),
+        )
+        .select((F.col("pos") + 1).alias("dim"), "mean_val", "min_val", "max_val")
+        .orderBy("dim")
+    )

@@ -871,3 +871,32 @@ register(
               < (CASE {_STRATA_CASE} ELSE 0 END)
         ORDER BY doc_id""",
 )
+
+
+register(
+    "q_x_ntile_firstlast",
+    RX.q_x_ntile_firstlast,
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+              ntile(4) OVER w AS quartile,
+              first_value(l_quantity) OVER wf AS first_qty,
+              last_value(l_quantity) OVER wf AS last_qty
+       FROM lineitem
+       WINDOW w AS (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey),
+              wf AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+)
+
+register(
+    "q_x_embedding_dim_stats",
+    RX.q_x_embedding_dim_stats,
+    """SELECT CAST(i AS INT) AS dim,
+              floor(avg(v[i]) * 10000 + 0.5) / 10000 AS mean_val,
+              round(min(v[i]), 4) AS min_val,
+              round(max(v[i]), 4) AS max_val
+       FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            range(1, 65) t(i)
+       GROUP BY i ORDER BY dim""",
+)

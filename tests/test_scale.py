@@ -68,3 +68,14 @@ def test_q10_approx_count_distinct_within_tolerance(spark):
         .collect()[0][0]
     )
     assert abs(approx - exact) / exact <= 0.10  # default rsd 0.05, 2x headroom
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """approx_percentile (t-digest family) vs the exact interpolated
+    percentile — the same tolerance contract as Q10's approx distinct."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx"),
+        F.percentile("l_extendedprice", 0.5).alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact <= 0.05
