@@ -1,4 +1,6 @@
-"""Shared column-expression helpers (pure Catalyst expressions, no UDFs).
+"""Shared column-expression helpers (pure Catalyst expressions, no
+UDFs; the engine-portable hash/token/vector vocabulary used across
+SURVEY.md §2.B Q24-Q26 and the LLM-pipeline operators).
 
 Everything here is engine-portable by construction: each helper has an
 exact DuckDB-SQL equivalent used by the oracle strings in

@@ -1,4 +1,6 @@
-"""Deduplication operators over ``documents`` / ``embeddings`` (north star).
+"""Deduplication operators over ``documents`` / ``embeddings`` (north
+star; SURVEY.md §2.B Q24 + the LLM-pipeline dedup families — no reference
+counterpart, SURVEY.md §0).
 
 Five dedup families, all as declarative DataFrame plans:
 

@@ -1,4 +1,5 @@
-"""Multimodal column surface: opaque binary payloads + typed metadata.
+"""Multimodal column surface: opaque binary payloads + typed metadata
+(north-star extension; no reference counterpart, SURVEY.md §0).
 
 The engine treats image/audio/video as an opaque ``BINARY`` column plus a
 typed metadata struct, processed with Arrow-batched Python

@@ -1,4 +1,6 @@
-"""Skew- and shuffle-control utilities (the 100 TB toolbox).
+"""Skew- and shuffle-control utilities (the 100 TB toolbox; SURVEY.md
+§7.2 item 4 — the reference has no partitioning strategy beyond
+GraphLab vertex-cut, SURVEY.md §4.2).
 
 AQE's skew-join splitting handles skewed JOINS automatically, but a
 skewed GROUP BY key (one event_type carrying half the stream, one hot

@@ -1,4 +1,5 @@
-"""Similarity search over the ``embeddings`` table (north star).
+"""Similarity search over the ``embeddings`` table (north star;
+SURVEY.md §2.B Q26 — no reference counterpart, SURVEY.md §0).
 
 * ``q26_cosine_topk`` — exact brute-force top-k cosine for a bounded
   query set, as pure Catalyst expressions (zip_with dot product, window

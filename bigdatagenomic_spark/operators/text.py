@@ -1,4 +1,6 @@
-"""Text-analysis operators over the ``documents`` table (north star).
+"""Text-analysis operators over the ``documents`` table (north star;
+SURVEY.md §2.B Q25 + the LLM-pipeline text ops — no reference counterpart,
+the reference has no text analytics, SURVEY.md §0).
 
 All pure Catalyst expressions (no UDFs): language-ID (stopword-set
 scoring), quality scoring (length/stopword/alpha ratios), token counting
