@@ -283,3 +283,51 @@ def q_x_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("pos") + 1).alias("dim"), "mean_val", "min_val", "max_val")
         .orderBy("dim")
     )
+
+
+def q_x_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank + cume_dist."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.floor(F.percent_rank().over(w) * 10000 + F.lit(0.5)).cast("double") / 10000).alias("pr"),
+            (F.floor(F.cume_dist().over(w) * 10000 + F.lit(0.5)).cast("double") / 10000).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q_x_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/distinct aggregate forms: count_if, bool_or/bool_and,
+    sum(DISTINCT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_heavy"),
+            F.bool_or(F.col("l_discount") > 0.05).alias("any_discounted"),
+            F.bool_and(F.col("l_tax") >= 0).alias("all_taxed"),
+            F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_dist_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_x_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join, no per-row re-execution (SURVEY.md §4.1)."""
+    spark_dir = sf_dir  # registered views are per-call; use SQL directly
+    from bigdatagenomic_spark.sources.tables import load_table as _lt
+
+    _lt(spark, spark_dir, "orders").createOrReplaceTempView("_qx_orders")
+    _lt(spark, spark_dir, "lineitem").createOrReplaceTempView("_qx_lineitem")
+    return spark.sql(
+        """SELECT o_orderkey FROM _qx_orders o
+           WHERE o_totalprice > 2 * (
+             SELECT coalesce(sum(l_extendedprice), 0) FROM _qx_lineitem l
+             WHERE l.l_orderkey = o.o_orderkey)
+           ORDER BY o_orderkey"""
+    )

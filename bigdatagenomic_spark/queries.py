@@ -900,3 +900,36 @@ register(
             range(1, 65) t(i)
        GROUP BY i ORDER BY dim""",
 )
+
+
+register(
+    "q_x_percent_rank",
+    RX.q_x_percent_rank,
+    """SELECT o_orderkey, o_orderstatus,
+              floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pr,
+              floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cd
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+       ORDER BY o_orderkey""",
+)
+
+register(
+    "q_x_conditional_aggs",
+    RX.q_x_conditional_aggs,
+    """SELECT l_returnflag,
+              count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+              bool_or(l_discount > 0.05) AS any_discounted,
+              bool_and(l_tax >= 0) AS all_taxed,
+              round(sum(DISTINCT l_quantity), 2) AS sum_dist_qty
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+
+register(
+    "q_x_correlated_subquery",
+    RX.q_x_correlated_subquery,
+    """SELECT o_orderkey FROM orders o
+       WHERE o_totalprice > 2 * (
+         SELECT coalesce(sum(l_extendedprice), 0) FROM lineitem l
+         WHERE l.l_orderkey = o.o_orderkey)
+       ORDER BY o_orderkey""",
+)
