@@ -79,6 +79,58 @@ def q_x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_on: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the fact side, replicate the dim side.
+
+    AQE skew-split handles sort-merge skew post-hoc, but when one join
+    key carries a double-digit percent of a 100 TB fact table a single
+    Spark partition still has to sort that key's rows. Salting splits
+    the hot key across n_salt reducers up front: the fact side gets a
+    deterministic salt from a high-cardinality column (never rand() —
+    task retries would re-salt differently), the dim side is exploded
+    n_salt times so every (key, salt) bucket finds its match. Dim-side
+    blow-up is n_salt×rows — fine for dimension tables, which is the
+    only side this should replicate.
+
+    Returns fact ⋈ dim with the salt column dropped; value-identical to
+    ``fact.join(dim, key)`` (hash-checked by q_x_salted_join).
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.abs(F.hash(F.col(salt_on))), F.lit(n_salt))
+    )
+    exploded_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return salted_fact.join(exploded_dim, on=[key, "_salt"]).drop("_salt")
+
+
+def q_x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted orders⋈customer (custkey) aggregated by mktsegment;
+    hash-matches the plain-join oracle."""
+    from bigdatagenomic_spark.operators.relational import round2_portable
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c, key="c_custkey", salt_on="o_orderkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round2_portable(F.sum("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     path: str,

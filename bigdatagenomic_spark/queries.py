@@ -933,3 +933,23 @@ register(
          WHERE l.l_orderkey = o.o_orderkey)
        ORDER BY o_orderkey""",
 )
+
+
+# ---------------------------------------------------------------------------
+# multi-join analytical shapes + cube/range-frame (operators/analytics.py)
+# ---------------------------------------------------------------------------
+from bigdatagenomic_spark.operators import analytics as AN
+
+register("q_tpch_q3_shape", AN.q_tpch_q3_shape, AN.Q_TPCH_Q3_SQL)
+register("q_tpch_q5_shape", AN.q_tpch_q5_shape, AN.Q_TPCH_Q5_SQL)
+register("q_x_cube", AN.q_x_cube, AN.Q_X_CUBE_SQL)
+register("q_x_range_frame", AN.q_x_range_frame, AN.Q_X_RANGE_FRAME_SQL)
+
+register(
+    "q_x_salted_join",
+    SC.q_x_salted_join,
+    """SELECT c.c_mktsegment, count(*) AS n_orders,
+              round(sum(o.o_totalprice), 2) AS sum_price
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+)

@@ -122,3 +122,22 @@ def test_identical_subtrees_reuse_exchange(spark):
         assert "ReusedExchange" in final
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_tpch_q3_filters_reach_all_three_scans(spark):
+    df = _df(spark, "q_tpch_q3_shape")
+    pushed = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pushed and "o_orderdate" in pushed and "l_shipdate" in pushed
+    # top-10 must be TakeOrderedAndProject, not a global Sort
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    df = _df(spark, "q_tpch_q5_shape")
+    kinds = join_kinds(df)
+    # every join in the 6-way plan resolves to broadcast at this SF
+    # (at 100 TB AQE keeps dims broadcast and shuffles the fact joins)
+    assert kinds and "BroadcastHashJoin" in set(kinds)
+    plan = formatted_plan(df)
+    assert "r_name" in " ".join(pushed_filters(df))
+    assert "SortMergeJoin" not in plan  # nothing falls back to SMJ at sf0.1
