@@ -1,0 +1,127 @@
+"""End-to-end training-corpus curation pipeline (north star; the
+reference has no text layer at all, SURVEY.md §0).
+
+Composes the individually-oracle-checked text operators into the shape
+a real LLM-data pipeline runs nightly: quality-score → threshold filter
+→ exact dedup (keep lowest doc_id per normalized text) → deterministic
+hash sample → final corpus with per-source stats. One declarative plan:
+Catalyst fuses the scoring expressions into the scan projection, the
+dedup is a single map-side-combined shuffle on the text fingerprint,
+and the sample predicate is free (evaluated pre-shuffle, so sampled-out
+rows never enter the dedup exchange... actually the dedup must run
+before sampling to be semantically a dedup-then-sample; the plan keeps
+that order and both filters still evaluate JVM-side).
+
+Near-dup removal is the sibling path (operators/dedup.py
+q_dedup_survivors: MinHash-LSH → connected components); this pipeline
+is the exact-dup + filter + sample spine that runs first at 100 TB
+because it is the cheapest way to shed volume before the expensive
+near-dup pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bigdatagenomic_spark.functions import md5_long, normalize_text, tokens
+from bigdatagenomic_spark.operators.text import STOPSETS
+from bigdatagenomic_spark.sources.tables import load_table
+
+QUALITY_THRESHOLD = 0.5  # keeps ~60% of driver docs (median quality 0.59)
+SAMPLE_MOD = 10
+SAMPLE_KEEP = 7  # deterministic 70% sample
+
+
+def curate(docs: DataFrame) -> DataFrame:
+    """quality filter → exact dedup → hash sample, fully declarative."""
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok)
+    stop = F.size(F.filter(tok, lambda t: t.isin(STOPSETS["en"])))
+    alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    quality = (
+        F.lit(0.5) * F.least(n_tok, F.lit(100)).cast("double") / 100.0
+        + F.lit(0.3) * alpha.cast("double") / F.greatest(F.length("text"), F.lit(1))
+        + F.lit(0.2)
+        * F.least(
+            stop.cast("double") / F.greatest(n_tok, F.lit(1)) * 5.0, F.lit(1.0)
+        )
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.floor(quality * 10000 + F.lit(0.5)).cast("double").alias("q10k"),
+        md5_long(normalize_text(F.col("text"))).alias("norm_fp"),
+    ).where(F.col("q10k") / 10000 >= QUALITY_THRESHOLD)
+    # exact dedup: keep the lowest doc_id per normalized-text fingerprint
+    keep_first = W.partitionBy("norm_fp").orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(keep_first))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # deterministic hash sample — doc_id-keyed so reruns/retries agree
+    sampled = deduped.where(
+        F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(SAMPLE_MOD))
+        < SAMPLE_KEEP
+    )
+    return sampled
+
+
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated-corpus stats per source: survivors + mean quality."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate(docs)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.floor(F.avg(F.col("q10k") / 10000) * 10000 + F.lit(0.5)).cast(
+                "double"
+            ) / 10000).alias("mean_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_PIPELINE_CURATION_SQL = """
+WITH s AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tok,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+         greatest(length(text), 1) AS nch,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         len(tok) AS n_tokens,
+         len(list_filter(tok, x -> list_contains(
+             ['the','a','of','and','to','is','in','it'], x))) AS stop_cnt,
+         greatest(len(tok), 1) AS safe_n, alpha, nch, norm
+  FROM s
+), q AS (
+  SELECT doc_id, source, norm,
+         floor((0.5 * least(n_tokens, 100) / 100.0
+                + 0.3 * (alpha / CAST(nch AS DOUBLE))
+                + 0.2 * least((stop_cnt / CAST(safe_n AS DOUBLE)) * 5.0, 1.0))
+               * 10000 + 0.5) AS q10k
+  FROM r
+), filtered AS (
+  SELECT doc_id, source, q10k,
+         CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT) AS norm_fp
+  FROM q WHERE q10k / 10000 >= 0.5
+), deduped AS (
+  SELECT doc_id, source, q10k FROM (
+    SELECT *, row_number() OVER (PARTITION BY norm_fp ORDER BY doc_id) AS rn
+    FROM filtered) WHERE rn = 1
+), sampled AS (
+  SELECT * FROM deduped
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % 10 < 7
+)
+SELECT source, count(*) AS n_docs,
+       floor(avg(q10k / 10000) * 10000 + 0.5) / 10000 AS mean_quality
+FROM sampled GROUP BY source ORDER BY source
+"""

@@ -161,3 +161,46 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _round4(col):
+    # engine-portable HALF_UP (see relational.round2_portable)
+    return F.floor(col * 10000 + F.lit(0.5)).cast("double") / 10000
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document.
+
+    Classic corpus weighting: tf(d,w) * ln(N/df(w)). All relational —
+    one tokenize+explode, two hash aggregations, a 1-row broadcast for
+    N, a per-doc top-k window. At 100 TB the (doc,w) and (w) aggs are
+    map-side-combined shuffles on well-distributed keys; the top-k
+    window shuffles on doc_id only.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).where(F.col("w") != "")
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            _round4(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+            ),
+        )
+    )
+    w5 = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w5))
+        .where(F.col("rnk") <= 5)
+        .select("doc_id", "w", "tf", "df", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )

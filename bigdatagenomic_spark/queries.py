@@ -953,3 +953,38 @@ register(
        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
 )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF + corpus curation pipeline (operators/text.py, operators/curation.py)
+# ---------------------------------------------------------------------------
+from bigdatagenomic_spark.operators import curation as CU
+
+register(
+    "q_text_tfidf",
+    T.q_text_tfidf,
+    """WITH tok AS (
+         SELECT doc_id, w FROM (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+           FROM documents)
+         WHERE w <> ''
+       ), tf AS (
+         SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+       ), dfreq AS (
+         SELECT w, count(*) AS df FROM tf GROUP BY w
+       ), n AS (SELECT count(*) AS n FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+                floor(tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                      * 10000 + 0.5) / 10000 AS tfidf
+         FROM tf JOIN dfreq USING (w) CROSS JOIN n
+       )
+       SELECT doc_id, w, tf, df, tfidf, rnk FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rnk
+         FROM scored)
+       WHERE rnk <= 5 ORDER BY doc_id, rnk""",
+)
+
+register("q_pipeline_curation", CU.q_pipeline_curation, CU.Q_PIPELINE_CURATION_SQL)
