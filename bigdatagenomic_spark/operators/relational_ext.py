@@ -331,3 +331,65 @@ def q_x_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHERE l.l_orderkey = o.o_orderkey)
            ORDER BY o_orderkey"""
     )
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_value: str = "r_value",
+) -> DataFrame:
+    """Backward as-of join via cogrouped ``applyInPandas`` — the Arrow
+    grouped-map path for kernels the window formulation can't express.
+
+    Semantics match ``asof_join_backward`` (greatest right.ts <= left.ts
+    per group, inclusive); exercised against it in tests. Both sides
+    shuffle once on ``on``; each cogroup pair lands in ONE Python worker
+    as two pandas frames and pandas.merge_asof does the per-group merge
+    (sorted-merge, O(n+m)). Use the native window form when it fits —
+    this exists to pin down the cogroup plumbing (shuffle, Arrow batch
+    shape, schema contract) for genuinely-custom pairwise kernels.
+    Skew note: one group = one worker invocation, so a hot key is a
+    straggler here; the window form shares that property (single
+    partition scan per key) — salt the key upstream either way.
+    """
+    import pandas as pd
+
+    # When both sides derive from the same DataFrame (self-cogroup, the
+    # common case for event streams split by type), left and right share
+    # attribute IDs and Spark's cogroup planning silently DROPS the
+    # right side's colliding columns from the pandas frame. Re-aliasing
+    # every right column with a distinct name forces fresh attributes on
+    # that side, which also makes the two frames' column names disjoint.
+    r_ts, r_val = f"_r_{ts}", right_value
+    right = right.select(
+        F.col(on).alias("_r_on"),
+        F.col(ts).alias(r_ts),
+        F.col(right_value).alias(r_val),
+    )
+
+    out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+    out_schema = ", ".join(out_fields + [f"{right_value} bigint"])
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if ldf.empty:
+            return pd.DataFrame(columns=[*ldf.columns, right_value])
+        ldf = ldf.sort_values(ts, kind="mergesort")
+        if rdf.empty:
+            ldf[right_value] = pd.Series([pd.NA] * len(ldf), dtype="Int64")
+            return ldf
+        rdf = (
+            rdf[[r_ts, r_val]]
+            .rename(columns={r_ts: ts})
+            .sort_values(ts, kind="mergesort")
+        )
+        merged = pd.merge_asof(ldf, rdf, on=ts, direction="backward")
+        merged[right_value] = merged[right_value].astype("Int64")
+        return merged
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy("_r_on"))
+        .applyInPandas(merge, schema=out_schema)
+    )

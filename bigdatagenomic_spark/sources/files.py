@@ -74,3 +74,21 @@ def write_csv(
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """ORC interchange source (columnar, predicate-pushdown-capable like
+    parquet; schema optional — ORC files are self-describing)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

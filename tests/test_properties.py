@@ -100,3 +100,62 @@ def test_merge_fold_invariant_to_row_order(spark, perm_seed):
     row = assembled.collect()[0]
     assert (row.offset, row.length) == (1304, 2719)
     assert row.content.startswith("NAAGCGTATTGAAGGCTCGGTCTGGCCAAAGTC")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(clicks=_events, views=_events)
+def test_cogrouped_asof_matches_python_reference(spark, clicks, views):
+    """The Arrow cogroup formulation (pandas.merge_asof per cogroup) must
+    agree with the python oracle — same groups, ties, no-match NULLs —
+    i.e. with the exact semantics the window formulation is tested to."""
+    from bigdatagenomic_spark.operators.relational_ext import asof_join_cogrouped
+
+    clicks = sorted(set(clicks))
+    views = sorted(set(views))
+    if not clicks:
+        return
+    c_df = spark.createDataFrame(
+        [(i, u, _BASE + timedelta(minutes=t)) for i, (u, t) in enumerate(clicks)],
+        "event_id LONG, user_id LONG, ts TIMESTAMP",
+    )
+    v_df = spark.createDataFrame(
+        [(i, u, _BASE + timedelta(minutes=t)) for i, (u, t) in enumerate(views)]
+        or [(None, None, None)],
+        "r_value LONG, user_id LONG, ts TIMESTAMP",
+    ).where(F.col("r_value").isNotNull())
+    got = {
+        r.event_id: r.r_value
+        for r in asof_join_cogrouped(c_df, v_df, on="user_id").collect()
+    }
+    want = {
+        cid: (best[0] if best else None)
+        for cid, best in _py_asof(clicks, views).items()
+    }
+    assert got == want
+
+
+def test_cogrouped_asof_survives_shared_lineage(spark):
+    """Self-cogroup regression: when left and right derive from the SAME
+    DataFrame, their columns share attribute IDs and Spark drops the
+    colliding right-side columns from the pandas frame unless the
+    operator re-aliases them (asof_join_cogrouped does). This is the
+    production shape — one event table split by type."""
+    from bigdatagenomic_spark.operators.relational_ext import asof_join_cogrouped
+
+    base = spark.createDataFrame(
+        [(1, 10, 5, "click"), (2, 10, 9, "click"), (7, 10, 4, "view"), (8, 10, 7, "view")],
+        "event_id long, user_id long, t long, typ string",
+    ).withColumn("ts", F.to_timestamp(F.col("t") + 1_600_000_000))
+    clicks = base.where("typ='click'").select("event_id", "user_id", "ts")
+    views = base.where("typ='view'").select(
+        F.col("event_id").alias("r_value"), "user_id", "ts"
+    )
+    got = {
+        r.event_id: r.r_value
+        for r in asof_join_cogrouped(clicks, views, on="user_id").collect()
+    }
+    assert got == {1: 7, 2: 8}

@@ -92,3 +92,25 @@ def test_json_corrupt_record_capture(spark, tmp_path):
 
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         read_json(spark, path, base, mode="FAILFAST").collect()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from bigdatagenomic_spark.sources.files import read_orc, write_orc
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert [f.name for f in back.schema.fields] == [f.name for f in orders.schema.fields]
+    assert _rows(back) == _rows(orders)
+
+
+def test_orc_filter_pushdown(spark, tmp_path):
+    from bigdatagenomic_spark.sources.files import read_orc, write_orc
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_orc_pd")
+    write_orc(orders, path)
+    df = read_orc(spark, path).where("o_orderkey < 100").select("o_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:120]
