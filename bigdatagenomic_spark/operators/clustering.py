@@ -1,0 +1,109 @@
+"""Embedding clustering: Lloyd's k-means (north star; partner to the
+IVF ANN index in operators/similarity.py, which consumes exactly this
+kind of centroid assignment).
+
+Spark-first shape, all JVM expressions:
+  * assignment: centroids live in a K-row DataFrame that is BROADCAST
+    and cross-joined — each executor scores its vectors against all K
+    centroids locally (squared-L2 via zip_with/aggregate), argmin via
+    min_by. No shuffle of the big side.
+  * update: posexplode the 64-dim vectors to (cluster, dim, val), one
+    map-side-combined groupBy(cluster, dim) avg, re-assemble arrays
+    with array_sort(collect_list(struct(dim, mean))). The shuffled data
+    is K×64 partial means per map task — tiny regardless of input size.
+  * deterministic: init = the K lowest vec_ids' embeddings; fixed
+    iteration count; ties in argmin break to the lowest cluster id.
+    Retry-safe (no rand()), which also makes it testable bit-for-bit
+    against a numpy reference (tests/test_clustering.py).
+
+At 100 TB the per-iteration cost is one scan + one tiny shuffle; the
+driver loop localCheckpoints nothing because each iteration's output is
+just the K×64 centroid table (collected to the driver implicitly via
+broadcast — the classic small-model/big-data iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bigdatagenomic_spark.sources.tables import load_table
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cluster, dist) — nearest centroid per vector.
+
+    vectors: (vec_id, embedding array<float>); centroids: (cluster,
+    centroid array<double>). Broadcast cross join + min_by argmin;
+    deterministic tie-break to the lowest cluster id.
+    """
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    scored = vectors.select("vec_id", emb_d.alias("e")).crossJoin(
+        F.broadcast(centroids)
+    )
+    d = _sq_l2(F.col("e"), F.col("centroid"))
+    return (
+        scored.select("vec_id", "cluster", d.alias("dist"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "cluster", F.struct(F.col("dist"), F.col("cluster"))
+            ).alias("cluster"),
+            F.min("dist").alias("dist"),
+        )
+    )
+
+
+def kmeans(vectors: DataFrame, k: int = 8, n_iter: int = 5) -> tuple[DataFrame, DataFrame]:
+    """Returns (assignments(vec_id, cluster, dist), centroids(cluster,
+    centroid)). Deterministic init from the k lowest vec_ids."""
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cluster"),
+            emb_d.alias("centroid"),
+        )
+    )
+    assigned = None
+    for _ in range(n_iter):
+        assigned = assign_clusters(vectors, centroids)
+        dims = (
+            vectors.join(assigned.select("vec_id", "cluster"), "vec_id")
+            .select("cluster", F.posexplode(emb_d).alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("mean"))
+        )
+        centroids = dims.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                lambda s: s["mean"],
+            ).alias("centroid")
+        )
+    return assign_clusters(vectors, centroids), centroids
+
+
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster sizes + within-cluster dispersion after 3 rounds, k=4.
+    Iterative → rows-only by contract; exact parity with a numpy
+    reference is pinned in tests/test_clustering.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb.select("vec_id", "embedding"), k=4, n_iter=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.floor(F.avg("dist") * 10000 + F.lit(0.5)) / 10000).alias("mean_sq_dist"),
+        )
+        .orderBy("cluster")
+    )

@@ -135,3 +135,90 @@ def q_graph_cc(spark, sf_dir: str) -> DataFrame:
         cc.where(F.col("id") < 1_000_000)  # report order vertices only
         .orderBy("id")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(id, rank) — power-iteration PageRank with dangling-mass
+    redistribution; ranks sum to the vertex count.
+
+    The canonical GAS workload (gather rank/out_degree over in-edges,
+    apply the damping update), expressed as the same join + groupBy
+    superstep the reference's vertex programs map to (SURVEY.md §3.2).
+    Per iteration: one shuffle for the message aggregation, a broadcast
+    1-row join for the dangling mass, and a localCheckpoint to cut
+    lineage. Fixed iteration count (the common production choice) keeps
+    the loop free of per-round convergence jobs; n_iter=10 bounds the
+    driver loop regardless of graph size.
+    """
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_degree"))
+    # contribution edges with the sender's out-degree attached, reused
+    # every round (checkpointed once — the invariant big table)
+    contrib_edges = (
+        edges.join(deg, edges["src"] == deg["id"])
+        .select("src", "dst", "out_degree")
+        .localCheckpoint(eager=True)
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    for _ in range(n_iter):
+        msgs = (
+            contrib_edges.join(ranks, contrib_edges["src"] == ranks["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("_msg"),
+            )
+            .groupBy("id")
+            .agg(F.sum("_msg").alias("recv"))
+        )
+        # dangling vertices (no out-edges) leak their rank; redistribute
+        # it uniformly so total rank mass stays = n
+        dangling = (
+            ranks.join(deg.select("id"), "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        ranks = (
+            verts.join(msgs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce("recv", F.lit(0.0)) + F.col("dmass") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def q_graph_pagerank(spark, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→customer co-nation order graph slice
+    (bounded, deterministic). Iterative → rows-only by contract; exact
+    semantics pinned by the hand-computed fixture in tests/test_graph.py."""
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    # directed edges: each order links its customer to the customer of
+    # the next order by key — an arbitrary but deterministic graph shape
+    nxt = o.select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("src")
+    ).join(
+        o.select((F.col("o_orderkey") - 1).alias("k"), F.col("o_custkey").alias("dst")),
+        "k",
+    )
+    edges = nxt.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    pr = pagerank(edges, n_iter=8)
+    return pr.select(
+        "id", (F.floor(F.col("rank") * 10000 + F.lit(0.5)) / 10000).alias("rank")
+    ).orderBy("id")

@@ -988,3 +988,15 @@ register(
 )
 
 register("q_pipeline_curation", CU.q_pipeline_curation, CU.Q_PIPELINE_CURATION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# iterative algorithms: PageRank + k-means (operators/graph.py, clustering.py)
+# rows-only by contract — driver-loop iteration is not single-statement SQL;
+# exact semantics pinned by python/numpy references in tests/.
+# ---------------------------------------------------------------------------
+from bigdatagenomic_spark.operators import clustering as CL
+from bigdatagenomic_spark.operators.graph import q_graph_pagerank as _q_pr
+
+register("q_graph_pagerank", _q_pr, None)
+register("q_cluster_kmeans", CL.q_cluster_kmeans, None)

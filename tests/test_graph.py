@@ -80,3 +80,39 @@ def test_cc_matches_union_find_on_copurchase_graph(spark):
     uf = _union_find(pairs)
     want = {(n, c) for n, c in uf.items() if n < 1_000_000}
     assert got == want
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    """On a 3-cycle every vertex keeps rank 1.0 (mass n, uniform)."""
+    from bigdatagenomic_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(edges, n_iter=5).collect()}
+    assert got.keys() == {1, 2, 3}
+    for v in got.values():
+        assert abs(v - 1.0) < 1e-9
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """Chain with a dangling tail: Spark ranks must match a pure-python
+    power iteration of the identical update rule (incl. dangling mass)."""
+    from bigdatagenomic_spark.operators.graph import pagerank
+
+    e = [(1, 2), (1, 3), (2, 3)]  # vertex 3 dangles
+    edges = spark.createDataFrame(e, "src long, dst long")
+    verts = sorted({v for p in e for v in p})
+    n, d = len(verts), 0.85
+    out_deg = {1: 2, 2: 1}
+    r = {v: 1.0 for v in verts}
+    for _ in range(8):
+        recv = {v: 0.0 for v in verts}
+        for s, t in e:
+            recv[t] += r[s] / out_deg[s]
+        dmass = sum(r[v] for v in verts if v not in out_deg)
+        r = {v: (1 - d) + d * (recv[v] + dmass / n) for v in verts}
+    got = {row.id: row.rank for row in pagerank(edges, n_iter=8).collect()}
+    assert got.keys() == r.keys()
+    for v in r:
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    # mass conservation: dangling redistribution keeps sum(rank) == n
+    assert abs(sum(got.values()) - n) < 1e-9
