@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--cpus", type=int, default=None)
 
     sub.add_parser("list", help="list every registry query")
+
+    s = sub.add_parser("sql", help="run ad-hoc SQL over the test tables")
+    s.add_argument("statement", help="ANSI SQL; tables region..embeddings are views")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    s.add_argument("--limit", type=int, default=20, help="rows to show")
+    s.add_argument("--explain", action="store_true", help="print the plan too")
+    s.add_argument("--cpus", type=int, default=None)
     return p
 
 
@@ -122,6 +129,20 @@ def cmd_list() -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    from bigdatagenomic_spark.sources.tables import register_views
+
+    spark = get_spark(app_name="bdg-sql", cpus=args.cpus)
+    register_views(spark, args.sf_dir)
+    t0 = time.time()
+    df = spark.sql(args.statement)
+    if args.explain:
+        df.explain(mode="formatted")
+    df.show(args.limit, truncate=False)
+    print(f"sql on {args.sf_dir}: {time.time()-t0:.2f}s")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "assemble":
@@ -130,6 +151,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_query(args)
     if args.command == "list":
         return cmd_list()
+    if args.command == "sql":
+        return cmd_sql(args)
     return 1
 
 

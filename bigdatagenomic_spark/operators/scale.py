@@ -154,3 +154,52 @@ def write_bucketed(
         .saveAsTable(table)
     )
     return df.sparkSession.table(table)
+
+
+def key_skew_report(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
+    """Per-key frequency heavy hitters + each key's share of the table —
+    the first thing to run when a join/agg stage straggles at scale.
+    One map-side-combined groupBy + a broadcast 1-row total + top-k
+    (TakeOrderedAndProject, no global sort)."""
+    total = df.groupBy().agg(F.count("*").alias("_total"))
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "n_rows",
+            (F.floor(F.col("n_rows") / F.col("_total") * 1_000_000 + F.lit(0.5))
+             / 10000).alias("pct"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc(key))
+        .limit(top_n)
+    )
+
+
+def q_x_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return key_skew_report(li, "l_suppkey", top_n=20)
+
+
+def write_sorted_by_range(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+) -> None:
+    """Range-partition + sort-within-partitions parquet write: the
+    data-layout investment for scan locality. Parquet keeps per-row-group
+    min/max stats; writing each file as a sorted, disjoint key range
+    makes later range predicates skip whole files/row-groups instead of
+    scanning 100 TB to filter 1%. (Same motivation as Delta/Iceberg
+    Z-ordering; single-column ordering needs nothing beyond vanilla
+    Spark.)"""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -204,3 +204,27 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "w", "tf", "df", "tfidf", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 adjacent word pairs — the counting kernel of a BPE merge
+    round / collocation mining. zip_with pairs each token with its
+    successor JVM-side (no UDF), then one explode + count shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit(""))
+    pairs = F.zip_with(
+        tok,
+        F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(1))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # zip_with pads the shorter side with NULL -> concat_ws drops the
+    # null part; the trailing "lone word" entries are filtered out
+    bg = d.select(F.explode(pairs).alias("bigram")).where(
+        F.col("bigram").rlike("^[a-z]+ [a-z]+$")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("bigram"))
+        .limit(40)
+    )

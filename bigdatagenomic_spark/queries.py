@@ -1000,3 +1000,30 @@ from bigdatagenomic_spark.operators.graph import q_graph_pagerank as _q_pr
 
 register("q_graph_pagerank", _q_pr, None)
 register("q_cluster_kmeans", CL.q_cluster_kmeans, None)
+
+
+register(
+    "q_x_skew_report",
+    SC.q_x_skew_report,
+    """SELECT l_suppkey, count(*) AS n_rows,
+              floor(count(*) * 1000000.0 / t._total + 0.5) / 10000 AS pct
+       FROM lineitem, (SELECT count(*) AS _total FROM lineitem) t
+       GROUP BY l_suppkey, t._total
+       ORDER BY n_rows DESC, l_suppkey LIMIT 20""",
+)
+
+register(
+    "q_text_bigrams",
+    T.q_text_bigrams,
+    """WITH tok AS (
+         SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            x -> x <> '') AS t
+         FROM documents
+       ), bg AS (
+         SELECT unnest(list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])) AS bigram
+         FROM tok WHERE len(t) >= 2
+       )
+       SELECT bigram, count(*) AS c FROM bg
+       GROUP BY bigram ORDER BY c DESC, bigram LIMIT 40""",
+)

@@ -79,3 +79,29 @@ def test_approx_percentile_within_tolerance(spark):
         F.percentile("l_extendedprice", 0.5).alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact <= 0.05
+
+
+def test_write_sorted_by_range_produces_disjoint_files(spark, tmp_path):
+    """The sorted-range layout invariant: every output file covers a
+    disjoint key range (this is what lets parquet min/max stats skip
+    whole files for range predicates at scale)."""
+    import glob
+
+    from bigdatagenomic_spark.operators.scale import write_sorted_by_range
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    path = str(tmp_path / "li_sorted")
+    write_sorted_by_range(li, path, ["l_orderkey"], n_files=4)
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        part = spark.read.parquet(f)
+        row = part.selectExpr(
+            "min(l_orderkey) AS lo", "max(l_orderkey) AS hi", "count(*) AS n"
+        ).collect()[0]
+        if row.n:
+            ranges.append((row.lo, row.hi))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"overlapping file ranges: {ranges}"
