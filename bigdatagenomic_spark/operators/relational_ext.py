@@ -393,3 +393,45 @@ def asof_join_cogrouped(
         .cogroup(right.groupBy("_r_on"))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def q_x_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map from the event props, read it back
+    with map_keys/map_values/try_element_at (ANSI-safe access). The
+    oracle mirrors the map as parallel key/value lists — DuckDB has no
+    MAP in its parquet-view path, but the observable contents match."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.get_json_object("props", "$.k").cast("int")
+    m = F.map_from_arrays(
+        F.array(F.lit("k"), F.lit("kk")), F.array(v, v * 2)
+    )
+    return (
+        ev.select("event_id", m.alias("m"))
+        .select(
+            "event_id",
+            F.map_keys("m").alias("keys"),
+            F.map_values("m").alias("vals"),
+            F.try_element_at(F.col("m"), F.lit("kk")).alias("kk"),
+            F.size("m").alias("n_entries"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_x_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value window: each order sees its customer's 2nd-cheapest
+    order key (frame = whole partition, both directions)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

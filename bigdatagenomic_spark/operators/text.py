@@ -184,10 +184,16 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
     ).where(F.col("w") != "")
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    # df(w) as a window over the tf aggregate — rows per (doc,w) are
+    # unique, so count over (partition by w) IS the document frequency.
+    # One extra shuffle on w, but NO second scan+tokenize of the corpus
+    # (the groupBy-dfreq + join formulation re-reads documents — at
+    # 100 TB the re-scan dominates everything else in the query).
+    dfreq_w = F.count("*").over(W.partitionBy("w"))
+    # N: count(*) scans no columns (row-group counts only) — cheap
     n = d.agg(F.count("*").alias("n"))
     scored = (
-        tf.join(dfreq, "w")
+        tf.withColumn("df", dfreq_w)
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",

@@ -1027,3 +1027,30 @@ register(
        SELECT bigram, count(*) AS c FROM bg
        GROUP BY bigram ORDER BY c DESC, bigram LIMIT 40""",
 )
+
+
+register(
+    "q_x_map_funcs",
+    RX.q_x_map_funcs,
+    """SELECT event_id,
+              ['k','kk'] AS keys,
+              [v, v*2] AS vals,
+              v*2 AS kk,
+              2 AS n_entries
+       FROM (SELECT event_id,
+                    CAST(json_extract_string(props, '$.k') AS INT) AS v
+             FROM events)
+       ORDER BY event_id""",
+)
+
+register(
+    "q_x_nth_value",
+    RX.q_x_nth_value,
+    """SELECT o_custkey, o_orderkey,
+              nth_value(o_orderkey, 2) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+              ) AS second_cheapest
+       FROM orders ORDER BY o_custkey, o_orderkey""",
+)
