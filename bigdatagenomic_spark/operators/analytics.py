@@ -185,3 +185,28 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
              RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
 ORDER BY o_custkey, o_totalprice, o_orderkey
 """
+
+
+# Explicit GROUPING SETS (non-hierarchical — neither rollup nor cube):
+# per-status and per-priority marginals in one pass over orders.
+def q_x_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+Q_X_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""

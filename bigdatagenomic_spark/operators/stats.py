@@ -1,0 +1,349 @@
+"""Statistical aggregates, binning, reshaping, and data profiling.
+
+The reference has no statistics layer at all (its only aggregate is the
+per-vertex argmax, /root/reference/assembly_final.cpp:298-309); these are
+the column-statistics operators a warehouse/training-data pipeline needs
+on top of the SURVEY.md §2.B surface:
+
+* **moment aggregates** — stddev/variance (sample + population),
+  correlation and covariance; all single-pass, map-side-combinable
+  hash aggregates in Spark (no window, no second scan).
+* **fixed-width histogram** — ``floor(x/w)`` binning: pure integer
+  arithmetic, identical in every engine, and at 100 TB it is one
+  map-side-combined aggregation (compare ``width_bucket`` UDF-style
+  approaches that block codegen).
+* **unpivot (melt)** — wide→long reshape with ``DataFrame.unpivot``,
+  which Spark plans as a single ``Expand`` (one scan, no union of N
+  scans; the DuckDB oracle uses the equivalent UNION ALL).
+* **IN / EXISTS subqueries** — decorrelated by Catalyst into left-semi
+  joins; expressed DataFrame-side as explicit ``left_semi`` joins (the
+  broadcast-able dim side is hinted).
+* **date arithmetic** — add-days / last_day / iso weekday / quarter /
+  datediff, pinned against DuckDB's calendar (weekday conventions
+  differ across engines: Spark ``weekday()`` is Monday=0, DuckDB
+  ``isodow`` is Monday=1 — the declared column is ISO Monday=1).
+* **sorted collect_list** — per-group ordered array materialization
+  (``array_sort(collect_list(...))``), the building block for
+  sequence-model feature assembly; deterministic because sorted.
+* **column profiler** — one-pass per-column count/nulls/distinct/min/max
+  in long format, the standard pre-training data-quality report; a
+  single ``Expand``-style aggregate pass, not one scan per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatagenomic_spark.operators.relational import round2_portable
+from bigdatagenomic_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# moment aggregates
+# --------------------------------------------------------------------------
+def q_x_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample/population stddev + variance, corr, covariance per group.
+
+    One hash aggregate: Spark computes all moments in a single pass with
+    map-side partial aggregation (sum, sum of squares, co-moments), so
+    at 100 TB this shuffles one small row per (group, partition).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round2_portable(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+            round2_portable(F.var_samp("l_quantity")).alias("var_qty"),
+            round2_portable(F.stddev_pop("l_quantity")).alias("sdp_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            round2_portable(
+                F.covar_samp("l_quantity", "l_extendedprice")
+            ).alias("cov_qp"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_X_STAT_AGGS_SQL = """
+SELECT l_returnflag,
+       floor(stddev_samp(l_extendedprice)*100 + 0.5)/100 AS sd_price,
+       floor(var_samp(l_quantity)*100 + 0.5)/100          AS var_qty,
+       floor(stddev_pop(l_quantity)*100 + 0.5)/100        AS sdp_qty,
+       round(corr(l_quantity, l_extendedprice), 6)        AS corr_qp,
+       floor(covar_samp(l_quantity, l_extendedprice)*100 + 0.5)/100 AS cov_qp,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# fixed-width histogram
+# --------------------------------------------------------------------------
+BIN_WIDTH = 5000
+
+
+def q_x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of order totals in fixed 5000-wide bins.
+
+    ``floor(x/w)`` stays in whole-stage codegen and map-side-combines;
+    the result is one row per occupied bin regardless of input size.
+    """
+    o = _t(spark, sf_dir, "orders")
+    bin_id = F.floor(F.col("o_totalprice") / F.lit(BIN_WIDTH)).cast("long")
+    return (
+        o.groupBy(bin_id.alias("bin"))
+        .agg(
+            F.count("*").alias("cnt"),
+            round2_portable(F.avg("o_totalprice")).alias("avg_price"),
+        )
+        .withColumn("lo", (F.col("bin") * BIN_WIDTH).cast("double"))
+        .select("bin", "lo", "cnt", "avg_price")
+        .orderBy("bin")
+    )
+
+
+Q_X_HISTOGRAM_SQL = f"""
+SELECT CAST(floor(o_totalprice/{BIN_WIDTH}) AS BIGINT) AS bin,
+       CAST(CAST(floor(o_totalprice/{BIN_WIDTH}) AS BIGINT)*{BIN_WIDTH} AS DOUBLE) AS lo,
+       count(*) AS cnt,
+       floor(avg(o_totalprice)*100 + 0.5)/100 AS avg_price
+FROM orders GROUP BY 1, 2 ORDER BY bin
+"""
+
+
+# --------------------------------------------------------------------------
+# unpivot / melt
+# --------------------------------------------------------------------------
+def q_x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part(p_retailprice, p_size) wide→long via DataFrame.unpivot.
+
+    Spark plans this as one ``Expand`` over a single scan — not N
+    unioned scans — so the 100 TB cost is one pass however many metric
+    columns are melted.
+    """
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double"),
+            F.col("p_size").cast("double"),
+        )
+        .unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+Q_X_UNPIVOT_SQL = """
+SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+ORDER BY p_partkey, metric
+"""
+
+
+# --------------------------------------------------------------------------
+# IN / EXISTS subqueries (decorrelated → semi joins)
+# --------------------------------------------------------------------------
+def q_x_exists_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with a big order (IN) from a NATION_1x nation (EXISTS).
+
+    Written as the plan Catalyst decorrelates such subqueries into:
+    two left-semi joins, the tiny nation side broadcast.
+    """
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 50000)
+        .select("o_custkey")
+    )
+    a_nations = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").like("NATION_1%"))
+        .select("n_nationkey")
+    )
+    return (
+        c.join(big, c["c_custkey"] == big["o_custkey"], "left_semi")
+        .join(
+            F.broadcast(a_nations),
+            c["c_nationkey"] == a_nations["n_nationkey"],
+            "left_semi",
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+Q_X_EXISTS_IN_SQL = """
+SELECT c_custkey FROM customer c
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 50000)
+  AND EXISTS (SELECT 1 FROM nation n
+              WHERE n.n_nationkey = c.c_nationkey AND n.n_name LIKE 'NATION_1%')
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# date arithmetic
+# --------------------------------------------------------------------------
+def q_x_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic pinned across engines.
+
+    ``iso_dow`` is declared ISO (Monday=1): Spark ``weekday()+1``,
+    DuckDB ``isodow()`` — Spark's ``dayofweek()`` (Sunday=1) would
+    silently disagree.
+    """
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("d_plus30"),
+        F.last_day(d).alias("month_end"),
+        (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d).cast("long").alias("days_to_98"),
+    ).orderBy("o_orderkey")
+
+
+Q_X_DATE_ARITH_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) + 30                          AS d_plus30,
+       last_day(CAST(o_orderdate AS DATE))                     AS month_end,
+       CAST(isodow(o_orderdate) AS BIGINT)                     AS iso_dow,
+       CAST(quarter(o_orderdate) AS BIGINT)                    AS qtr,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT)
+                                                               AS days_to_98
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# sorted per-group array materialization
+# --------------------------------------------------------------------------
+def q_x_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer sorted order-key array (sequence feature assembly).
+
+    ``collect_list`` gathers in nondeterministic partition order;
+    ``array_sort`` makes the value deterministic and hash-comparable.
+    One shuffle on the group key; per-group arrays stay small relative
+    to executor memory (bounded by orders-per-customer, not table size).
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"))
+        .withColumn("n_orders", F.size("orderkeys").cast("long"))
+        .orderBy("o_custkey")
+    )
+
+
+Q_X_COLLECT_SORTED_SQL = """
+SELECT o_custkey,
+       array_agg(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# array higher-order functions
+# --------------------------------------------------------------------------
+def q_x_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform / filter / exists over the embedding arrays.
+
+    All three run inside codegen on the JVM (no UDF, no Arrow hop) —
+    the declared contract for array feature engineering at scale.
+    Floats are widened to double *before* arithmetic so Spark and the
+    oracle accumulate identically.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(
+            F.aggregate(
+                as_double, F.lit(0.0), lambda acc, x: acc + F.abs(x)
+            ),
+            4,
+        ).alias("l1_norm"),
+        F.exists("embedding", lambda x: x > 2.0).alias("has_gt2"),
+    ).orderBy("vec_id")
+
+
+Q_X_ARRAY_HOF_SQL = """
+SELECT vec_id,
+       CAST(length(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4)
+           AS l1_norm,
+       length(list_filter(embedding, x -> x > 2.0)) > 0 AS has_gt2
+FROM embeddings ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# one-pass column profiler
+# --------------------------------------------------------------------------
+PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+def profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Long-format per-column profile: count / nulls / distinct / min / max.
+
+    Built as ONE aggregate row (every metric for every column in a
+    single pass — count_distinct over N columns is one Expand, not N
+    scans) then exploded to long format driver-free. min/max are
+    stringified so heterogeneous column types share one schema.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__count"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__count").alias("cnt"),
+                F.col(f"{c}__nulls").alias("nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_s"),
+                F.col(f"{c}__max").alias("max_s"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        one.select(F.explode(pairs).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+def q_x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile(_t(spark, sf_dir, "orders"), PROFILE_COLS)
+
+
+def _profile_oracle_one(c: str) -> str:
+    return f"""SELECT '{c}' AS col_name, count({c}) AS cnt,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_s, CAST(max({c}) AS VARCHAR) AS max_s
+FROM orders"""
+
+
+Q_X_PROFILE_SQL = (
+    "\nUNION ALL\n".join(_profile_oracle_one(c) for c in PROFILE_COLS)
+    + "\nORDER BY col_name"
+)

@@ -1054,3 +1054,21 @@ register(
               ) AS second_cheapest
        FROM orders ORDER BY o_custkey, o_orderkey""",
 )
+
+
+register("q_x_grouping_sets", AN.q_x_grouping_sets, AN.Q_X_GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# statistics / reshaping / profiling surface (operators/stats.py)
+# ---------------------------------------------------------------------------
+from bigdatagenomic_spark.operators import stats as ST
+
+register("q_x_stat_aggs", ST.q_x_stat_aggs, ST.Q_X_STAT_AGGS_SQL)
+register("q_x_histogram", ST.q_x_histogram, ST.Q_X_HISTOGRAM_SQL)
+register("q_x_unpivot", ST.q_x_unpivot, ST.Q_X_UNPIVOT_SQL)
+register("q_x_exists_in", ST.q_x_exists_in, ST.Q_X_EXISTS_IN_SQL)
+register("q_x_date_arith", ST.q_x_date_arith, ST.Q_X_DATE_ARITH_SQL)
+register("q_x_collect_sorted", ST.q_x_collect_sorted, ST.Q_X_COLLECT_SORTED_SQL)
+register("q_x_array_hof", ST.q_x_array_hof, ST.Q_X_ARRAY_HOF_SQL)
+register("q_x_profile", ST.q_x_profile, ST.Q_X_PROFILE_SQL)
