@@ -1,0 +1,239 @@
+"""Training-data preparation operators: chunking, packing,
+decontamination, incremental dedup.
+
+The reference has no text layer (SURVEY.md §0); these are the remaining
+first-class LLM-pipeline operators on top of operators/text.py,
+dedup.py and curation.py — the steps between "curated corpus" and
+"token batches on the trainer":
+
+* **document chunking** — fixed-size character windows with overlap
+  (``size=64, stride=48``): `sequence` + `explode` + `substring`, all
+  JVM-side; one row per chunk, no Python. At 100 TB this is a narrow
+  map-only stage (no shuffle at all) that fans each document out to
+  its chunks.
+* **sequence packing** — assign documents to fixed-token-budget packs,
+  contiguously per source: a running token-count window partitioned by
+  ``source`` (never a single global window, so the sort parallelizes
+  across sources) with ``pack_id = floor(tokens_before / budget)``.
+  First-fit-contiguous semantics: a pack may overflow by at most one
+  document, the standard trade for a one-pass distributed packer.
+* **decontamination** — flag training documents sharing any 8-word
+  shingle with the held-out set (``doc_id % 97 == 0`` plays the eval
+  split). Shingles explode to (shingle, doc) pairs; the eval shingle
+  set is tiny and **broadcast**, so the training side never shuffles —
+  the exact plan used to decontaminate pretraining data against
+  benchmark suites.
+* **incremental dedup** — drop new-batch documents whose normalized
+  text already exists in the corpus (even doc_ids play the existing
+  corpus, odd the new batch): left-anti join on a 60-bit text
+  fingerprint, so the shuffle key is 8 bytes, not the document text.
+
+All four are hash-checked against DuckDB oracles (registered in
+queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bigdatagenomic_spark.functions import (
+    md5_long,
+    normalize_text,
+    tokens,
+    word_shingles,
+)
+from bigdatagenomic_spark.sources.tables import load_table
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+PACK_BUDGET = 256
+DECONTAM_N = 8
+EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out eval split
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# document chunking
+# --------------------------------------------------------------------------
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """One row per (doc, chunk): substring windows of `size` every `stride`.
+
+    chunk i covers [i*stride, i*stride+size); chunks start while
+    i*stride < len(text), so the tail chunk may be short. Map-only:
+    no shuffle, no Python — survives any scale the scan survives.
+    """
+    n = F.length("text")
+    n_chunks = (F.floor((n - 1) / F.lit(stride)) + 1).cast("int")
+    return (
+        docs.where(n > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.substring(
+                "text", F.col("chunk_id") * stride + 1, F.lit(size)
+            ).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("long"))
+    )
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(_docs(spark, sf_dir)).orderBy("doc_id", "chunk_id")
+
+
+Q_TEXT_CHUNKS_SQL = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(floor((length(text)-1)/{CHUNK_STRIDE}.0)
+                              AS BIGINT) + 1)) AS chunk_id
+  FROM documents WHERE length(text) > 0)
+SELECT doc_id, chunk_id,
+       substring(text, CAST(chunk_id*{CHUNK_STRIDE}+1 AS INT), {CHUNK_SIZE})
+         AS chunk,
+       CAST(length(substring(text, CAST(chunk_id*{CHUNK_STRIDE}+1 AS INT),
+                             {CHUNK_SIZE})) AS BIGINT) AS chunk_len
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+def pack_documents(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Assign docs to token-budget packs, contiguous in doc_id per source.
+
+    ``pack_id = floor(cumulative_tokens_before_this_doc / budget)``:
+    one window per source partition (parallel across sources; at 100 TB
+    the partition key would be (source, day) or similar to bound any
+    single window's row count). Token count = whitespace split, the
+    same convention both engines share exactly.
+    """
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    win = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(n_tok).over(win)
+    return docs.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / F.lit(budget)).cast("long").alias("pack_id"),
+    )
+
+
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_documents(_docs(spark, sf_dir)).orderBy("source", "doc_id")
+
+
+Q_TEXT_PACK_SQL = f"""
+SELECT source, doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(floor(
+         (sum(len(string_split(text, ' ')))
+            OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - len(string_split(text, ' '))) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+FROM documents
+ORDER BY source, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# decontamination vs a held-out set
+# --------------------------------------------------------------------------
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, n: int = DECONTAM_N
+) -> DataFrame:
+    """doc_ids of training docs sharing any word n-gram with eval docs.
+
+    The eval shingle set is distinct-ed and broadcast (eval suites are
+    thousands of docs, never TB), so the training side is a map-side
+    semi join: explode to shingles, probe the broadcast set, distinct
+    the surviving doc_ids. No all-pairs comparison anywhere.
+    """
+    sh = F.explode(word_shingles(tokens(F.col("text")), n)).alias("sh")
+    train_sh = docs.select("doc_id", sh)
+    eval_sh = eval_docs.select(sh).distinct()
+    return (
+        train_sh.join(F.broadcast(eval_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    return decontaminate(d.where(~is_eval), d.where(is_eval)).orderBy("doc_id")
+
+
+_SHINGLE8 = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - "
+    f"{DECONTAM_N - 1}, 1) + 1), i -> concat_ws(' ', "
+    + ", ".join(f"t[i+{j}]" for j in range(DECONTAM_N))
+    + ")))"
+)
+
+Q_TEXT_DECONTAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLE8}) AS sh FROM tok)
+SELECT DISTINCT doc_id FROM sh
+WHERE doc_id % {EVAL_MOD} <> 0
+  AND sh IN (SELECT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# incremental dedup (new batch vs existing corpus)
+# --------------------------------------------------------------------------
+def dedup_against_corpus(new_batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """New-batch rows whose normalized text is NOT already in the corpus.
+
+    Left-anti join on a 60-bit fingerprint of the normalized text: the
+    shuffle moves 8-byte keys, not document bodies, and the corpus side
+    is pre-distinct-ed so the join state per key is one row.
+    """
+    fp = md5_long(normalize_text(F.col("text"))).alias("fp")
+    new_fp = new_batch.select("doc_id", fp)
+    corpus_fp = corpus.select(fp).distinct()
+    return new_fp.join(corpus_fp, "fp", "left_anti").select("doc_id")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    existing = d.where(F.col("doc_id") % 2 == 0)  # plays the corpus
+    new_batch = d.where(F.col("doc_id") % 2 == 1)  # plays tonight's batch
+    return dedup_against_corpus(new_batch, existing).orderBy("doc_id")
+
+
+Q_DEDUP_INCREMENTAL_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))
+           AS BIGINT) AS fp
+  FROM documents)
+SELECT doc_id FROM fp
+WHERE doc_id % 2 = 1
+  AND fp NOT IN (SELECT fp FROM fp WHERE doc_id % 2 = 0)
+ORDER BY doc_id
+"""

@@ -203,3 +203,87 @@ def write_sorted_by_range(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# --------------------------------------------------------------------------
+# binned interval join (range-join-as-equi-join)
+# --------------------------------------------------------------------------
+FOLLOW_SECONDS = 300  # 5-minute follow window == the bin width
+
+
+def interval_follow_counts(
+    events: DataFrame, window_s: int = FOLLOW_SECONDS
+) -> DataFrame:
+    """For every 'error' event: count same-user events in (ts, ts+window].
+
+    The naive plan is a non-equi range join — Spark falls back to
+    BroadcastNestedLoopJoin / cartesian, O(n·m) and a 100 TB
+    non-starter. The scale formulation picks the bin width equal to the
+    window so any candidate lands in the probe's bin b or b+1: explode
+    each probe (error) row to [b, b+1], **equi-join** on
+    (user_id, bin) — an ordinary shuffled hash join Catalyst and AQE
+    can optimize — then apply the exact timestamp predicate. Each
+    candidate appears in exactly one bin, so no post-join dedup is
+    needed. Zero-follower errors are kept via a final left join.
+    """
+    base = events.select("event_id", "user_id", "ts", "event_type")
+    bin_col = F.floor(F.unix_timestamp("ts") / F.lit(window_s)).cast("long")
+    probes = (
+        base.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.explode(F.array(bin_col, bin_col + 1)).alias("bin"),
+        )
+    )
+    cands = base.select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        bin_col.alias("bin"),
+    )
+    hits = (
+        probes.join(
+            cands,
+            (probes["p_user"] == cands["c_user"])
+            & (probes["bin"] == cands["bin"]),
+        )
+        .where(
+            (F.col("c_ts") > F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                <= F.col("p_ts") + F.expr(f"INTERVAL {window_s} SECOND")
+            )
+        )
+        .groupBy("p_id")
+        .agg(F.count("*").alias("n_follow"))
+    )
+    errors = base.where(F.col("event_type") == "error").select(
+        F.col("event_id")
+    )
+    return errors.join(
+        hits, errors["event_id"] == hits["p_id"], "left"
+    ).select(
+        "event_id", F.coalesce("n_follow", F.lit(0)).cast("long").alias("n_follow")
+    )
+
+
+def q_x_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return interval_follow_counts(ev).orderBy("event_id")
+
+
+Q_X_INTERVAL_JOIN_SQL = f"""
+SELECT e.event_id, CAST(count(c.event_id) AS BIGINT) AS n_follow
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id
+ AND c.ts > e.ts
+ AND c.ts <= e.ts + INTERVAL {FOLLOW_SECONDS} SECOND
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+ORDER BY e.event_id
+"""

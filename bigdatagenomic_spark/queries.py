@@ -1002,6 +1002,9 @@ register("q_graph_pagerank", _q_pr, None)
 register("q_cluster_kmeans", CL.q_cluster_kmeans, None)
 
 
+register("q_x_interval_join", SC.q_x_interval_join, SC.Q_X_INTERVAL_JOIN_SQL)
+
+
 register(
     "q_x_skew_report",
     SC.q_x_skew_report,
@@ -1072,3 +1075,14 @@ register("q_x_date_arith", ST.q_x_date_arith, ST.Q_X_DATE_ARITH_SQL)
 register("q_x_collect_sorted", ST.q_x_collect_sorted, ST.Q_X_COLLECT_SORTED_SQL)
 register("q_x_array_hof", ST.q_x_array_hof, ST.Q_X_ARRAY_HOF_SQL)
 register("q_x_profile", ST.q_x_profile, ST.Q_X_PROFILE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# training-data preparation surface (operators/llm_prep.py)
+# ---------------------------------------------------------------------------
+from bigdatagenomic_spark.operators import llm_prep as LP
+
+register("q_text_chunks", LP.q_text_chunks, LP.Q_TEXT_CHUNKS_SQL)
+register("q_text_pack", LP.q_text_pack, LP.Q_TEXT_PACK_SQL)
+register("q_text_decontam", LP.q_text_decontam, LP.Q_TEXT_DECONTAM_SQL)
+register("q_dedup_incremental", LP.q_dedup_incremental, LP.Q_DEDUP_INCREMENTAL_SQL)

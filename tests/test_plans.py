@@ -141,3 +141,35 @@ def test_tpch_q5_broadcasts_dims(spark):
     plan = formatted_plan(df)
     assert "r_name" in " ".join(pushed_filters(df))
     assert "SortMergeJoin" not in plan  # nothing falls back to SMJ at sf0.1
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The binned rewrite must plan as a hash/merge equi-join: a
+    BroadcastNestedLoopJoin or CartesianProduct here means the range
+    predicate leaked into the join strategy (the O(n*m) plan)."""
+    df = _df(spark, "q_x_interval_join")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    kinds = join_kinds(df)
+    assert any(k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+               for k in kinds)
+
+
+def test_chunking_is_map_only(spark):
+    """Chunk fan-out (before the declared ORDER BY) adds no exchange:
+    generate + substring run inside the scan's stage."""
+    from bigdatagenomic_spark.operators.llm_prep import chunk_documents
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = chunk_documents(docs)
+    assert exchange_count(df) == 0
+    assert has_operator(df, "Generate")
+
+
+def test_decontam_broadcasts_eval_shingles(spark):
+    """The training side must probe a broadcast eval-shingle set — a
+    shuffled semi join would move the whole exploded corpus."""
+    df = _df(spark, "q_text_decontam")
+    assert "BroadcastHashJoin" in join_kinds(df)
