@@ -148,3 +148,127 @@ def test_near_dup_survivors_match_union_find(spark):
     all_ids = {r.doc_id for r in load_table(spark, sf, "documents").select("doc_id").collect()}
     assert got == all_ids - drop
     assert len(got) < len(all_ids)  # the generator plants real near-dups
+
+
+# --------------------------------------------------------------------------
+# training-data prep (operators/llm_prep.py)
+# --------------------------------------------------------------------------
+def test_chunks_reconstruct_document(spark):
+    """Dropping each chunk's overlap region and concatenating in
+    chunk order must reproduce the original text exactly."""
+    from bigdatagenomic_spark.operators.llm_prep import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    texts = ["x" * 47, "ab" * 300, "short", "a" * CHUNK_SIZE, "b" * (CHUNK_SIZE + 1)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    rows = chunk_documents(df).orderBy("doc_id", "chunk_id").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+    for i, t in enumerate(texts):
+        chunks = by_doc[i]
+        rebuilt = chunks[0].chunk + "".join(c.chunk[overlap:] for c in chunks[1:])
+        assert rebuilt == t, f"doc {i}"
+        # every non-final chunk is full-size
+        assert all(c.chunk_len == CHUNK_SIZE for c in chunks[:-1])
+
+
+def test_packing_budget_invariant(spark):
+    """Within a source, pack token totals never exceed budget + the
+    overflowing doc (first-fit-contiguous), pack ids are dense from 0,
+    and doc order within packs follows doc_id."""
+    from bigdatagenomic_spark.operators.llm_prep import PACK_BUDGET, pack_documents
+
+    rows = [
+        (i, "s0", "w " * n) for i, n in enumerate([100, 100, 100, 5, 251, 260, 1])
+    ] + [(100 + i, "s1", "w " * n) for i, n in enumerate([256, 256, 1])]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    got = pack_documents(df).orderBy("source", "doc_id").collect()
+    packs: dict[tuple, list] = {}
+    for r in got:
+        packs.setdefault((r.source, r.pack_id), []).append(r)
+    for (_, pid), members in packs.items():
+        total = sum(m.n_tokens for m in members)
+        assert total <= PACK_BUDGET + max(m.n_tokens for m in members)
+        assert pid >= 0
+    for src in ("s0", "s1"):
+        ids = sorted(pid for (s, pid) in packs if s == src)
+        assert ids == list(range(len(ids)))  # dense
+    # a doc never splits across packs, every doc appears once
+    assert len(got) == len(rows)
+
+
+def test_decontam_flags_only_sharing_docs(spark):
+    from bigdatagenomic_spark.operators.llm_prep import decontaminate
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix words here {shared} suffix tail words"),
+            (2, "totally unrelated body with enough words to form shingles okay"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    ev = spark.createDataFrame(
+        [(900, f"eval question mentions {shared} verbatim in context")],
+        "doc_id LONG, text STRING",
+    )
+    got = sorted(r.doc_id for r in decontaminate(train, ev, 8).collect())
+    assert got == [1]
+
+
+def test_incremental_dedup_whitespace_insensitive(spark):
+    from bigdatagenomic_spark.operators.llm_prep import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(0, "Hello   world"), (1, "old news")], "doc_id LONG, text STRING"
+    )
+    new = spark.createDataFrame(
+        [(10, "hello world"), (11, "fresh content"), (12, "OLD  NEWS")],
+        "doc_id LONG, text STRING",
+    )
+    got = sorted(r.doc_id for r in dedup_against_corpus(new, corpus).collect())
+    assert got == [11]
+
+
+def test_interval_follow_counts_match_python(spark):
+    """Binned equi-join result == naive python O(n^2) on a dense fixture
+    crossing bin boundaries (including exact-boundary timestamps)."""
+    from datetime import datetime, timedelta
+
+    from bigdatagenomic_spark.operators.scale import interval_follow_counts
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user 1: events every 100s; errors at idx 0, 3, 7
+    for i in range(12):
+        rows.append((i, 1, t0 + timedelta(seconds=100 * i),
+                     "error" if i in (0, 3, 7) else "view", 0.0))
+    # user 2: an error with a follower exactly at +300s (inclusive) and
+    # one at +300.000001s (exclusive)
+    rows += [
+        (100, 2, t0, "error", 0.0),
+        (101, 2, t0 + timedelta(seconds=300), "view", 0.0),
+        (102, 2, t0 + timedelta(seconds=300, microseconds=1), "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    got = {r.event_id: r.n_follow
+           for r in interval_follow_counts(df, 300).collect()}
+    want = {}
+    for (eid, uid, ts, et, _) in rows:
+        if et != "error":
+            continue
+        want[eid] = sum(
+            1 for (_, u2, t2, _, _) in rows
+            if u2 == uid and t2 > ts
+            and (t2 - ts).total_seconds() <= 300
+        )
+    assert got == want
