@@ -435,3 +435,108 @@ def q_x_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# keep-latest-per-key (QUALIFY-style windowed filter)
+# --------------------------------------------------------------------------
+def keep_latest(df: DataFrame, key: str, order: list) -> DataFrame:
+    """The warehouse CDC-compaction idiom: one row per key, the row
+    that sorts first under `order` (e.g. newest). One shuffle on the
+    key; Spark's window + filter is the same plan DuckDB's QUALIFY
+    sugar produces."""
+    w = W.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def q_x_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order per customer (ties broken by highest orderkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    return keep_latest(
+        o.select("o_custkey", "o_orderkey", "o_orderdate"),
+        "o_custkey",
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    ).orderBy("o_custkey")
+
+
+Q_X_KEEP_LATEST_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+ORDER BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+def q_x_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join on a NULL-able derived key with null-safe equality.
+
+    ``nullif(o_orderstatus,'O')`` manufactures NULL keys; ``eqNullSafe``
+    makes NULL match NULL (plain ``=`` would silently drop that group).
+    Still a hash-joinable equi-condition — Catalyst treats <=> as a
+    join key, no nested-loop fallback.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    dim = (
+        o.select(k.alias("d_status"))
+        .distinct()
+        .withColumn("status_tag", F.coalesce(F.concat(F.lit("s:"), "d_status"), F.lit("s:open")))
+    )
+    fact = o.select("o_orderkey", k.alias("f_status"))
+    return (
+        fact.join(F.broadcast(dim), fact["f_status"].eqNullSafe(dim["d_status"]))
+        .groupBy("status_tag")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("status_tag")
+    )
+
+
+Q_X_NULLSAFE_JOIN_SQL = """
+WITH dim AS (
+  SELECT DISTINCT nullif(o_orderstatus, 'O') AS d_status FROM orders),
+tagged AS (
+  SELECT d_status,
+         coalesce('s:' || d_status, 's:open') AS status_tag FROM dim),
+fact AS (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS f_status FROM orders)
+SELECT t.status_tag, count(*) AS cnt
+FROM fact f JOIN tagged t ON f.f_status IS NOT DISTINCT FROM t.d_status
+GROUP BY t.status_tag ORDER BY t.status_tag
+"""
+
+
+# --------------------------------------------------------------------------
+# multiset set ops (INTERSECT ALL / EXCEPT ALL)
+# --------------------------------------------------------------------------
+def q_x_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag semantics: customer nation keys INTERSECT ALL supplier nation
+    keys, then EXCEPT ALL one copy of each — exercises the multiplicity
+    bookkeeping (Spark plans both as aggregate-on-count, one shuffle)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    one_each = c.select("nk").distinct()
+    return c.intersectAll(s).exceptAll(one_each).groupBy("nk").agg(
+        F.count("*").alias("cnt")
+    ).orderBy("nk")
+
+
+Q_X_SETOPS_ALL_SQL = """
+SELECT nk, count(*) AS cnt FROM (
+  (SELECT c_nationkey AS nk FROM customer
+   INTERSECT ALL
+   SELECT s_nationkey FROM supplier)
+  EXCEPT ALL
+  SELECT DISTINCT c_nationkey FROM customer
+) GROUP BY nk ORDER BY nk
+"""

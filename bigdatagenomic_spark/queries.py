@@ -1082,6 +1082,10 @@ register("q_x_profile", ST.q_x_profile, ST.Q_X_PROFILE_SQL)
 # ---------------------------------------------------------------------------
 from bigdatagenomic_spark.operators import llm_prep as LP
 
+register("q_x_keep_latest", RX.q_x_keep_latest, RX.Q_X_KEEP_LATEST_SQL)
+register("q_x_nullsafe_join", RX.q_x_nullsafe_join, RX.Q_X_NULLSAFE_JOIN_SQL)
+register("q_x_setops_all", RX.q_x_setops_all, RX.Q_X_SETOPS_ALL_SQL)
+
 register("q_text_chunks", LP.q_text_chunks, LP.Q_TEXT_CHUNKS_SQL)
 register("q_text_pack", LP.q_text_pack, LP.Q_TEXT_PACK_SQL)
 register("q_text_decontam", LP.q_text_decontam, LP.Q_TEXT_DECONTAM_SQL)
