@@ -1090,3 +1090,45 @@ register("q_text_chunks", LP.q_text_chunks, LP.Q_TEXT_CHUNKS_SQL)
 register("q_text_pack", LP.q_text_pack, LP.Q_TEXT_PACK_SQL)
 register("q_text_decontam", LP.q_text_decontam, LP.Q_TEXT_DECONTAM_SQL)
 register("q_dedup_incremental", LP.q_dedup_incremental, LP.Q_DEDUP_INCREMENTAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering. The correctness driver checks registry entries in
+# insertion order and may cap how many it runs (round 1 capped at 50), so
+# contract-critical entries must come first:
+#   1. every SURVEY.md §2 component (Q01-Q27 + S02/S03 batch shapes),
+#   2. entries new or red in the previous round (so the fix gets a row),
+#   3. everything else in original insertion order (still covered by the
+#      sf0.001 pytest oracle suite every round).
+# Registrations above stay grouped by module for readability; this block
+# re-keys the dict into the contract order.
+# ---------------------------------------------------------------------------
+_PRIORITY_PREFIX = [
+    # -- SURVEY §2.B + §2.A end-to-end ------------------------------------
+    "q01_scan_filter", "q02_predicates", "q03_inner_join",
+    "q04_broadcast_join", "q05_outer_join", "q06_anti_join",
+    "q07_range_join", "q08_agg_tpch_q1", "q09_count_distinct",
+    "q10_approx_count_distinct", "q11_rollup", "q12_argmax",
+    "q13_rank_window", "q14_running_sum", "q15_topk", "q16_intersect",
+    "q17_string_funcs", "q18_date_funcs", "q19_math_funcs", "q20_case_when",
+    "q21_array_l2norm", "q22_json_extract", "q23_subquery",
+    "q24_dedup_exact", "q25_term_counts", "q26_cosine_topk", "q27_assembly",
+    # -- SURVEY §2 streaming batch shapes ---------------------------------
+    "q_s02_window_agg", "q_s03_session_agg",
+    # -- red in round 1 (events NANOS loader fix) -------------------------
+    "q_x_asof_join", "q_x_pivot", "q_x_time_rollup", "q_x_salted_agg",
+    # -- new in round 2 ---------------------------------------------------
+    "q_tpch_q2_shape", "q_tpch_q4_shape", "q_tpch_q7_shape",
+    "q_tpch_q10_shape", "q_x_reservoir_sample", "q_x_outlier_flags",
+    "q_x_snapshot_diff",
+]
+
+
+def _apply_priority_order() -> None:
+    global _REGISTRY
+    ordered = {n: _REGISTRY[n] for n in _PRIORITY_PREFIX if n in _REGISTRY}
+    ordered.update((n, v) for n, v in _REGISTRY.items() if n not in ordered)
+    _REGISTRY = ordered
+
+
+_apply_priority_order()

@@ -27,7 +27,26 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Set correctness-critical SQL confs at runtime.
+
+    Callers (the correctness driver, notebooks) may hand us a vanilla
+    SparkSession built without :func:`bigdatagenomic_spark.session.get_spark`,
+    so every conf a query's *result* depends on must be (re)applied here —
+    both are runtime-settable SQL confs, so ``conf.set`` is sufficient:
+
+    * ``nanosAsLong`` — the driver's ``events.parquet`` stores its ``ts``
+      column as INT64 TIMESTAMP(NANOS), which the Spark parquet reader
+      rejects outright without this flag.
+    * ``session.timeZone=UTC`` — timestamp formatting/extraction must agree
+      with the DuckDB oracle regardless of host timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with

@@ -94,6 +94,32 @@ def test_json_corrupt_record_capture(spark, tmp_path):
         read_json(spark, path, base, mode="FAILFAST").collect()
 
 
+def test_events_load_on_vanilla_session_confs(spark):
+    """Regression for the round-1 driver failure: the correctness harness
+    builds its own vanilla SparkSession (no ``get_spark`` confs), so
+    ``load_table`` must itself (re)apply every conf the result depends on
+    — ``nanosAsLong`` (events.ts is parquet TIMESTAMP(NANOS)) and the UTC
+    session timezone. Simulate a vanilla session by clearing both, then
+    verify load_table self-heals."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ev = load_table(spark, SF_DIR, "events")
+        assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+        assert ev.count() > 0
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # a timestamp-derived value is stable (UTC) after the heal
+        assert ev.select(F.min(F.hour("ts")).alias("h")).collect()[0].h is not None
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", saved_tz)
+
+
 def test_orc_roundtrip(spark, tmp_path):
     from bigdatagenomic_spark.sources.files import read_orc, write_orc
 
