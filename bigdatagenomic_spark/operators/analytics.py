@@ -124,6 +124,231 @@ ORDER BY revenue DESC, n.n_name
 """
 
 
+# TPC-H Q2 shape: min-cost supplier per part. The testdata has no
+# partsupp table, so the part↔supplier catalog is derived as the
+# DISTINCT (l_partkey, l_suppkey, l_extendedprice) triples of lineitem;
+# the correlated "price = (SELECT min(price) ...)" subquery becomes a
+# per-part min aggregate + equi-join — exactly the decorrelated plan
+# Catalyst (and DuckDB) produce for the SQL form. At 100 TB: the
+# distinct + min + join all shuffle on l_partkey, so AQE reuses one
+# exchange; supplier/nation are broadcast.
+def q_tpch_q2_shape(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") < 10)
+    ).select("p_partkey", "p_name")
+    catalog = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .distinct()
+    )
+    # self-join (catalog vs its own per-part min) needs explicit aliases
+    min_price = catalog.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    ).select(F.col("l_partkey").alias("mp_partkey"), "min_price")
+    best = catalog.join(
+        min_price,
+        (F.col("l_partkey") == F.col("mp_partkey"))
+        & (F.col("l_extendedprice") == F.col("min_price")),
+    ).select("l_partkey", "l_suppkey", "min_price")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        best.join(p, best["l_partkey"] == p["p_partkey"])
+        .join(s, best["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("s_acctbal"),
+            F.round("min_price", 2).alias("min_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q_TPCH_Q2_SQL = """
+WITH catalog AS (
+  SELECT DISTINCT l_partkey, l_suppkey, l_extendedprice FROM lineitem
+)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, s.s_acctbal,
+       round(c.l_extendedprice, 2) AS min_price
+FROM part p
+JOIN catalog c ON c.l_partkey = p.p_partkey
+JOIN supplier s ON c.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_type = 'PROMO' AND p.p_size < 10
+  AND c.l_extendedprice = (SELECT min(c2.l_extendedprice)
+                           FROM catalog c2
+                           WHERE c2.l_partkey = p.p_partkey)
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+# TPC-H Q4 shape: decorrelated EXISTS. The testdata lineitem has no
+# commit/receipt dates, so the exists predicate is "some line shipped
+# after the order date". Spark plans the EXISTS as a left-semi hash
+# join on l_orderkey with the date comparison as a join residual — one
+# shuffle, no row duplication, which is why semi-join beats the naive
+# inner-join+distinct formulation at scale.
+def q_tpch_q4_shape(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# TPC-H Q7 shape: bilateral shipping volume between two nations by
+# year. Two independent broadcast joins give each lineitem its
+# supplier nation and (via orders→customer) its customer nation; the
+# OR-of-two-directions predicate is a post-join filter. The only big
+# shuffles are lineitem⋈orders and orders⋈customer on their keys.
+def q_tpch_q7_shape(spark, sf_dir):
+    n1 = "NATION_1"
+    n2 = "NATION_2"
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") <= F.to_timestamp(F.lit("1997-12-31")))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q_TPCH_Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# TPC-H Q10 shape, outer-join-agg variant: revenue lost to returned
+# items per customer in one quarter — customers with NO returns are
+# kept (LEFT join, revenue 0), which is the shape warehouse "report
+# every account" queries need. The aggregate runs BEFORE the outer
+# join (group orders⋈lineitem by custkey first), so the big fact join
+# never carries customer attributes and the outer join is
+# customer-cardinality, not lineitem-cardinality.
+def q_tpch_q10_shape(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    ).select("o_orderkey", "o_custkey")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(rev, c["c_custkey"] == rev["o_custkey"], "left")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q_TPCH_Q10_SQL = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(c.c_acctbal, 2) AS c_acctbal,
+       coalesce(rev.revenue, 0.0) AS revenue
+FROM customer c
+LEFT JOIN rev ON c.c_custkey = rev.o_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
 # CUBE with grouping markers: all 4 grouping-set combinations in one
 # pass (partial aggregation happens once; the expand operator fans each
 # input row to its grouping sets before the single shuffle).

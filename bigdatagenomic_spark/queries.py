@@ -940,8 +940,12 @@ register(
 # ---------------------------------------------------------------------------
 from bigdatagenomic_spark.operators import analytics as AN
 
+register("q_tpch_q2_shape", AN.q_tpch_q2_shape, AN.Q_TPCH_Q2_SQL)
 register("q_tpch_q3_shape", AN.q_tpch_q3_shape, AN.Q_TPCH_Q3_SQL)
+register("q_tpch_q4_shape", AN.q_tpch_q4_shape, AN.Q_TPCH_Q4_SQL)
 register("q_tpch_q5_shape", AN.q_tpch_q5_shape, AN.Q_TPCH_Q5_SQL)
+register("q_tpch_q7_shape", AN.q_tpch_q7_shape, AN.Q_TPCH_Q7_SQL)
+register("q_tpch_q10_shape", AN.q_tpch_q10_shape, AN.Q_TPCH_Q10_SQL)
 register("q_x_cube", AN.q_x_cube, AN.Q_X_CUBE_SQL)
 register("q_x_range_frame", AN.q_x_range_frame, AN.Q_X_RANGE_FRAME_SQL)
 
