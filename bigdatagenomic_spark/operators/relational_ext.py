@@ -540,3 +540,56 @@ SELECT nk, count(*) AS cnt FROM (
   SELECT DISTINCT c_nationkey FROM customer
 ) GROUP BY nk ORDER BY nk
 """
+
+
+# --------------------------------------------------------------------------
+# deterministic per-key reservoir sampling
+# --------------------------------------------------------------------------
+RESERVOIR_K = 3
+
+
+def reservoir_per_key(df: DataFrame, key: str, id_cols: list[str], k: int) -> DataFrame:
+    """Keep a deterministic uniform-ish sample of ``k`` rows per key.
+
+    Classic reservoir sampling is sequential/stateful; the distributed
+    equivalent ranks rows inside each key by a content hash of their
+    identity and keeps the ``k`` smallest. Same statistical intent
+    (every row equally likely under a random-oracle hash), but
+    reproducible across runs, engines, and repartitions — which
+    rand()-based reservoirs are not. One shuffle on the key; the
+    per-key sort is partition-local and spillable, and with
+    ``spark.sql.execution.topKSortFallbackThreshold`` Spark plans
+    rank-filter windows as per-partition top-k heaps.
+    """
+    hv = md5_long(F.concat_ws(":", *[F.col(c) for c in id_cols]))
+    w = W.partitionBy(key).orderBy(hv.asc(), *[F.col(c).asc() for c in id_cols])
+    return (
+        df.select(key, *id_cols)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+def q_x_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return reservoir_per_key(
+        li, "l_suppkey", ["l_orderkey", "l_linenumber"], RESERVOIR_K
+    ).orderBy("l_suppkey", "sample_rank")
+
+
+Q_X_RESERVOIR_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 15)
+              AS BIGINT) AS hv
+  FROM lineitem
+), r AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY hv, l_orderkey, l_linenumber) AS sample_rank
+  FROM h
+)
+SELECT l_suppkey, l_orderkey, l_linenumber, sample_rank
+FROM r WHERE sample_rank <= {RESERVOIR_K}
+ORDER BY l_suppkey, sample_rank
+"""

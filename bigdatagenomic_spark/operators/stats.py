@@ -347,3 +347,87 @@ Q_X_PROFILE_SQL = (
     "\nUNION ALL\n".join(_profile_oracle_one(c) for c in PROFILE_COLS)
     + "\nORDER BY col_name"
 )
+
+
+# --------------------------------------------------------------------------
+# robust outlier detection (z-score + MAD)
+# --------------------------------------------------------------------------
+Z_THRESH = 3.0
+ROBUST_Z_THRESH = 3.5
+MAD_CONSISTENCY = 0.6745  # Φ⁻¹(0.75): scales MAD to σ under normality
+
+
+def outlier_flags(df: DataFrame, key: str, col: str) -> DataFrame:
+    """Per-group parametric (z-score) and robust (MAD) outlier flags.
+
+    Two aggregate passes — (mean, σ_pop, median), then MAD, which needs
+    the group median first — each a map-side-combinable hash aggregate;
+    the per-group stats are tiny (one row per key) so both join-backs
+    are broadcasts. No window over the fact table and no sort: at 100 TB
+    this is two scans + two broadcast joins, the cheapest exact plan for
+    a two-level statistic like MAD. (``percentile_approx`` would do it
+    in one pass with error bounds; this operator is the exact variant.)
+    """
+    x = F.col(col)
+    g1 = df.groupBy(key).agg(
+        F.avg(x).alias("_mu"),
+        F.stddev_pop(x).alias("_sigma"),
+        F.median(x).alias("_med"),
+    )
+    with_stats = df.join(F.broadcast(g1), key)
+    g2 = with_stats.groupBy(key).agg(
+        F.median(F.abs(x - F.col("_med"))).alias("_mad")
+    )
+    with_mad = with_stats.join(F.broadcast(g2), key)
+    z = (x - F.col("_mu")) / F.col("_sigma")
+    rz = F.lit(MAD_CONSISTENCY) * (x - F.col("_med")) / F.col("_mad")
+    return with_mad.withColumn("z_score", z).withColumn("robust_z", rz)
+
+
+def q_x_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = outlier_flags(li, "l_returnflag", "l_extendedprice")
+    return (
+        flagged.where(
+            (F.abs("z_score") > Z_THRESH) | (F.abs("robust_z") > ROBUST_Z_THRESH)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_extendedprice",
+            F.round("z_score", 4).alias("z_score"),
+            F.round("robust_z", 4).alias("robust_z"),
+            (F.abs("z_score") > Z_THRESH).alias("is_z_outlier"),
+            (F.abs("robust_z") > ROBUST_Z_THRESH).alias("is_mad_outlier"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q_X_OUTLIER_FLAGS_SQL = f"""
+WITH g1 AS (
+  SELECT l_returnflag, avg(l_extendedprice) AS mu,
+         stddev_pop(l_extendedprice) AS sigma,
+         median(l_extendedprice) AS med
+  FROM lineitem GROUP BY l_returnflag
+), g2 AS (
+  SELECT l.l_returnflag, median(abs(l.l_extendedprice - g1.med)) AS mad
+  FROM lineitem l JOIN g1 USING (l_returnflag)
+  GROUP BY l.l_returnflag
+), scored AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+         (l.l_extendedprice - g1.mu) / g1.sigma AS z_raw,
+         {MAD_CONSISTENCY} * (l.l_extendedprice - g1.med) / g2.mad AS rz_raw
+  FROM lineitem l
+  JOIN g1 USING (l_returnflag)
+  JOIN g2 USING (l_returnflag)
+)
+SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+       round(z_raw, 4) AS z_score, round(rz_raw, 4) AS robust_z,
+       abs(z_raw) > {Z_THRESH} AS is_z_outlier,
+       abs(rz_raw) > {ROBUST_Z_THRESH} AS is_mad_outlier
+FROM scored
+WHERE abs(z_raw) > {Z_THRESH} OR abs(rz_raw) > {ROBUST_Z_THRESH}
+ORDER BY l_orderkey, l_linenumber
+"""

@@ -1079,6 +1079,7 @@ register("q_x_date_arith", ST.q_x_date_arith, ST.Q_X_DATE_ARITH_SQL)
 register("q_x_collect_sorted", ST.q_x_collect_sorted, ST.Q_X_COLLECT_SORTED_SQL)
 register("q_x_array_hof", ST.q_x_array_hof, ST.Q_X_ARRAY_HOF_SQL)
 register("q_x_profile", ST.q_x_profile, ST.Q_X_PROFILE_SQL)
+register("q_x_outlier_flags", ST.q_x_outlier_flags, ST.Q_X_OUTLIER_FLAGS_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1089,6 +1090,9 @@ from bigdatagenomic_spark.operators import llm_prep as LP
 register("q_x_keep_latest", RX.q_x_keep_latest, RX.Q_X_KEEP_LATEST_SQL)
 register("q_x_nullsafe_join", RX.q_x_nullsafe_join, RX.Q_X_NULLSAFE_JOIN_SQL)
 register("q_x_setops_all", RX.q_x_setops_all, RX.Q_X_SETOPS_ALL_SQL)
+register(
+    "q_x_reservoir_sample", RX.q_x_reservoir_sample, RX.Q_X_RESERVOIR_SAMPLE_SQL
+)
 
 register("q_text_chunks", LP.q_text_chunks, LP.Q_TEXT_CHUNKS_SQL)
 register("q_text_pack", LP.q_text_pack, LP.Q_TEXT_PACK_SQL)
