@@ -237,3 +237,109 @@ WHERE doc_id % 2 = 1
   AND fp NOT IN (SELECT fp FROM fp WHERE doc_id % 2 = 0)
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# snapshot diff (incremental-pipeline primitive)
+# --------------------------------------------------------------------------
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """Row-level diff of two table snapshots: added / removed / changed.
+
+    Each side is reduced to (key, content-hash) BEFORE the join, so the
+    full-outer shuffle carries fixed-width rows no matter how wide the
+    snapshot is — at 100 TB the join state per key is two 8-byte-ish
+    values, and unchanged rows (the overwhelming majority of a daily
+    snapshot pair) are filtered right after the join without ever
+    materializing their payload. Nulls inside compare columns are
+    sentinel-tagged so NULL vs '' vs missing-column-value all hash
+    differently.
+    """
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        content = F.md5(
+            F.concat_ws(
+                "\x01",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in compare_cols
+                ],
+            )
+        )
+        return df.select(
+            *[F.col(k).alias(f"{side}_{k}") for k in key_cols],
+            content.alias(f"{side}_hash"),
+        )
+
+    o = hashed(old, "o")
+    n = hashed(new, "n")
+    cond = [o[f"o_{k}"] == n[f"n_{k}"] for k in key_cols]
+    joined = o.join(n, cond, "full_outer")
+    status = (
+        F.when(o["o_hash"].isNull(), F.lit("added"))
+        .when(n["n_hash"].isNull(), F.lit("removed"))
+        .when(o["o_hash"] != n["n_hash"], F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", status)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(n[f"n_{k}"], o[f"o_{k}"]).alias(k)
+                for k in key_cols
+            ],
+            "change_type",
+        )
+    )
+
+
+SNAP_DROP_MOD = 10  # doc_id % 10 == 0 rows exist only in the OLD snapshot
+SNAP_ADD_MOD = 7  # doc_id % 7 == 0 rows exist only in the NEW snapshot
+SNAP_EDIT_MOD = 5  # doc_id % 5 == 0 surviving rows get edited text
+
+
+def q_x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two deterministic snapshots derived from `documents`: the
+    old snapshot drops every 7th doc, the new drops every 10th and
+    rewrites every 5th surviving text — so the result exercises all
+    three change types at once."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    old = d.where(F.col("doc_id") % SNAP_ADD_MOD != 0)
+    new = d.where(F.col("doc_id") % SNAP_DROP_MOD != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % SNAP_EDIT_MOD == 0,
+            F.concat(F.lit("edited: "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, ["doc_id"], ["text", "source"]).orderBy(
+        "change_type", "doc_id"
+    )
+
+
+Q_X_SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id % {SNAP_ADD_MOD} <> 0
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {SNAP_EDIT_MOD} = 0
+              THEN 'edited: ' || text ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % {SNAP_DROP_MOD} <> 0
+), o AS (
+  SELECT doc_id, md5(coalesce(text, chr(0) || 'null') || chr(1) ||
+                     coalesce(source, chr(0) || 'null')) AS h FROM old
+), n AS (
+  SELECT doc_id, md5(coalesce(text, chr(0) || 'null') || chr(1) ||
+                     coalesce(source, chr(0) || 'null')) AS h FROM new
+)
+SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+       CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed' END AS change_type
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE (CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed' END) IS NOT NULL
+ORDER BY change_type, doc_id
+"""

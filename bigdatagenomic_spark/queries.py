@@ -1098,6 +1098,7 @@ register("q_text_chunks", LP.q_text_chunks, LP.Q_TEXT_CHUNKS_SQL)
 register("q_text_pack", LP.q_text_pack, LP.Q_TEXT_PACK_SQL)
 register("q_text_decontam", LP.q_text_decontam, LP.Q_TEXT_DECONTAM_SQL)
 register("q_dedup_incremental", LP.q_dedup_incremental, LP.Q_DEDUP_INCREMENTAL_SQL)
+register("q_x_snapshot_diff", LP.q_x_snapshot_diff, LP.Q_X_SNAPSHOT_DIFF_SQL)
 
 
 # ---------------------------------------------------------------------------
