@@ -173,3 +173,45 @@ def test_decontam_broadcasts_eval_shingles(spark):
     shuffled semi join would move the whole exploded corpus."""
     df = _df(spark, "q_text_decontam")
     assert "BroadcastHashJoin" in join_kinds(df)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime-filter evidence for big shuffle joins: with a selective
+    filter on the orders side, Catalyst must inject a bloom filter that
+    prunes the lineitem scan before the join shuffle. At 100 TB this is
+    the difference between shuffling all of lineitem and shuffling only
+    rows whose orderkey can match. The creation/application thresholds
+    are lowered so the rewrite fires at test scale; broadcast is
+    disabled because the runtime filter targets shuffle joins (broadcast
+    joins prune via their build side already)."""
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "500MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        df = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy().agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("rev")
+        )
+        plan = formatted_plan(df)
+        assert "bloomfilter" in plan.lower() or "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
