@@ -28,12 +28,50 @@ from pyspark.sql import functions as F
 _COMBINE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
 
 
+def suggest_salt_fanout(
+    df: DataFrame,
+    key: str,
+    shuffle_partitions: int | None = None,
+    max_fanout: int = 256,
+) -> int:
+    """Derive the salt fan-out from the key's observed skew.
+
+    If the hottest key holds share ``p`` of the rows and the shuffle has
+    ``P`` partitions, a balanced reducer should hold ``1/P`` — so the
+    hot key needs ``ceil(p·P)`` sub-keys. A uniform key distribution
+    yields fan-out 1 (salting disabled, no second shuffle paid);
+    a single dominant key approaches ``P``.
+
+    Costs one map-side-combined aggregate over the key — the same stat
+    :func:`key_skew_report` surfaces for humans. At 100 TB run it on the
+    same sample you profile with, or persist the report and pass its
+    numbers through ``shuffle_partitions``-aware planning offline; the
+    decision only needs the max-share ratio, not exact counts.
+    """
+    import math
+
+    spark = df.sparkSession
+    n_part = shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    row = (
+        df.groupBy(key)
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .collect()[0]
+    )
+    if not row.tot:
+        return 1
+    share = row.mx / row.tot
+    return max(1, min(max_fanout, n_part, math.ceil(share * n_part)))
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
     salt_on: str,
-    n_salt: int = 16,
+    n_salt: int | None = 16,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
@@ -41,7 +79,11 @@ def salted_agg(
     count/sum/min/max. ``salt_on`` is any high-cardinality column used to
     derive a deterministic salt (rand() would break retry idempotency —
     a failed task re-running with different salts double-counts).
+    ``n_salt=None`` sizes the fan-out from the observed key skew via
+    :func:`suggest_salt_fanout` instead of a fixed constant.
     """
+    if n_salt is None:
+        n_salt = suggest_salt_fanout(df, keys[0])
     salt = F.pmod(F.abs(F.hash(F.col(salt_on))), F.lit(n_salt)).alias("_salt")
     partial_exprs = []
     combine_exprs = []
@@ -84,7 +126,7 @@ def salted_join(
     dim: DataFrame,
     key: str,
     salt_on: str,
-    n_salt: int = 8,
+    n_salt: int | None = 8,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the fact side, replicate the dim side.
 
@@ -100,7 +142,12 @@ def salted_join(
 
     Returns fact ⋈ dim with the salt column dropped; value-identical to
     ``fact.join(dim, key)`` (hash-checked by q_x_salted_join).
+    ``n_salt=None`` sizes the fan-out from the fact side's observed key
+    skew via :func:`suggest_salt_fanout` (dim-side replication cost then
+    tracks actual skew instead of a guess).
     """
+    if n_salt is None:
+        n_salt = suggest_salt_fanout(fact, key)
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.abs(F.hash(F.col(salt_on))), F.lit(n_salt))
     )

@@ -105,3 +105,57 @@ def test_write_sorted_by_range_produces_disjoint_files(spark, tmp_path):
     assert len(ranges) >= 2
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo, f"overlapping file ranges: {ranges}"
+
+
+def test_salt_fanout_follows_observed_skew(spark):
+    """suggest_salt_fanout sizes the salt from the hottest key's share of
+    the rows: a 90%-dominant key on an 8-partition shuffle needs ~8
+    sub-keys; a uniform key needs none (fan-out 1, the second shuffle is
+    not paid)."""
+    from bigdatagenomic_spark.operators.scale import (
+        salted_join,
+        suggest_salt_fanout,
+    )
+
+    skewed = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), F.col("id") % 10)
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    uniform = spark.range(1000).select(
+        F.concat(F.lit("k"), F.col("id") % 10).alias("k"),
+        F.col("id").alias("v"),
+    )
+    assert suggest_salt_fanout(skewed, "k", shuffle_partitions=8) == 8
+    assert suggest_salt_fanout(uniform, "k", shuffle_partitions=8) == 1
+    # and the cap applies when one key IS the table
+    single = spark.range(100).select(F.lit("only").alias("k"), F.col("id").alias("v"))
+    assert suggest_salt_fanout(single, "k", shuffle_partitions=64, max_fanout=16) == 16
+
+    # auto-sized salted_agg stays value-identical to the plain GROUP BY
+    plain = {
+        (r.k, r.n, r.s)
+        for r in skewed.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.k, r.n, r.s)
+        for r in salted_agg(
+            skewed, ["k"], {"n": ("count", "v"), "s": ("sum", "v")},
+            salt_on="v", n_salt=None,
+        ).collect()
+    }
+    assert plain == salted
+
+    # auto-sized salted_join matches the plain join rowset
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"D{i}") for i in range(10)], ["k", "label"]
+    )
+    plain_j = {(r.k, r.v, r.label) for r in skewed.join(dim, "k").collect()}
+    salted_j = {
+        (r.k, r.v, r.label)
+        for r in salted_join(skewed, dim, key="k", salt_on="v", n_salt=None).collect()
+    }
+    assert plain_j == salted_j
