@@ -593,3 +593,77 @@ SELECT l_suppkey, l_orderkey, l_linenumber, sample_rank
 FROM r WHERE sample_rank <= {RESERVOIR_K}
 ORDER BY l_suppkey, sample_rank
 """
+
+
+# --------------------------------------------------------------------------
+# batch gap-sessionization (the batch twin of streaming session_window)
+# --------------------------------------------------------------------------
+SESSION_GAP_S = 1800  # 30-minute inactivity closes a session
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = SESSION_GAP_S,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the gap
+    to the previous event of the same user exceeds ``gap_s``.
+
+    The classic two-window formulation — boundary flag via ``lag``,
+    then a running sum of boundaries — shares ONE shuffle+sort on
+    (user, ts): Spark plans both windows in a single Window operator
+    because partitioning and ordering are identical. Timestamps are
+    compared directly (never via unix_timestamp, which truncates
+    sub-second parts and would mis-place events exactly at the gap
+    boundary). At 100 TB the state per task is one row (the previous
+    event), the same regime as streaming session_window (S03) — this is
+    its batch/backfill twin with identical semantics.
+    """
+    order = [F.col(ts_col).asc(), F.col("event_id").asc()]
+    w = W.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {gap_s} SECOND")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return events.withColumn("session_seq", F.sum(is_new).over(run))
+
+
+def q_x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev)
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+Q_X_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL {SESSION_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""

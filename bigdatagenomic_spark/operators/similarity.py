@@ -270,3 +270,74 @@ def ivf_topk(
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir)
     return ivf_topk(vecs.where(F.col("vec_id") < N_QUERIES), vecs)
+
+
+# --------------------------------------------------------------------------
+# embedding preprocessing: L2 normalization + int8 scalar quantization
+# --------------------------------------------------------------------------
+def q_x_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize every embedding (the precompute that turns cosine
+    into a plain dot product for every op downstream). Pure array
+    expressions — the fold and transform run inside codegen, no Python,
+    no shuffle: a narrow map-only stage at any scale."""
+    e = _vecs(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    # raw norm keeps its own name: aliasing the rounded value to the same
+    # name would make the transform below divide by the ROUNDED norm
+    out = e.withColumn("_nrm", norm)
+
+    # floor(x*1e6+0.5)/1e6 on BOTH engines: identical double arithmetic,
+    # so half-way cases can't disagree the way native round() does
+    def r6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    return out.select(
+        "vec_id",
+        r6(F.col("_nrm")).alias("l2_norm"),
+        F.transform("v", lambda x: r6(x / F.col("_nrm"))).alias("unit_vec"),
+    ).orderBy("vec_id")
+
+
+Q_X_EMB_NORMALIZE_SQL = """
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS nrm
+  FROM embeddings
+)
+SELECT vec_id, floor(nrm * 1000000 + 0.5) / 1000000 AS l2_norm,
+       list_transform(v, x -> floor(x / nrm * 1000000 + 0.5) / 1000000)
+         AS unit_vec
+FROM n ORDER BY vec_id
+"""
+
+
+def q_x_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector max-abs int8 quantization (the 4x memory cut before
+    ANN serving): scale = 127/max|x|, stored with the scale so the dot
+    product can be de-quantized. Map-only, codegen-side, no shuffle."""
+    e = _vecs(spark, sf_dir)
+    max_abs = F.array_max(F.transform("v", F.abs))
+    out = e.withColumn("_ma", max_abs)
+    return out.select(
+        "vec_id",
+        F.round(F.col("_ma"), 6).alias("max_abs"),
+        F.transform(
+            "v", lambda x: F.round(x * 127.0 / F.col("_ma"), 0).cast("int")
+        ).alias("qvec"),
+    ).orderBy("vec_id")
+
+
+Q_X_EMB_QUANTIZE_SQL = """
+WITH m AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+           AS ma
+  FROM embeddings
+)
+SELECT vec_id, round(ma, 6) AS max_abs,
+       list_transform(v, x -> CAST(round(x * 127.0 / ma, 0) AS INT)) AS qvec
+FROM m ORDER BY vec_id
+"""

@@ -672,6 +672,8 @@ register(
 # IVF ANN: approximate by contract (probed buckets bound the candidate
 # set); rows-only check here, recall-vs-exact measured in tests
 register("q_sim_ivf_topk", S.q_sim_ivf_topk, None)
+register("q_x_emb_normalize", S.q_x_emb_normalize, S.Q_X_EMB_NORMALIZE_SQL)
+register("q_x_emb_quantize", S.q_x_emb_quantize, S.Q_X_EMB_QUANTIZE_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -946,6 +948,8 @@ register("q_tpch_q4_shape", AN.q_tpch_q4_shape, AN.Q_TPCH_Q4_SQL)
 register("q_tpch_q5_shape", AN.q_tpch_q5_shape, AN.Q_TPCH_Q5_SQL)
 register("q_tpch_q7_shape", AN.q_tpch_q7_shape, AN.Q_TPCH_Q7_SQL)
 register("q_tpch_q10_shape", AN.q_tpch_q10_shape, AN.Q_TPCH_Q10_SQL)
+register("q_tpch_q14_shape", AN.q_tpch_q14_shape, AN.Q_TPCH_Q14_SQL)
+register("q_tpch_q18_shape", AN.q_tpch_q18_shape, AN.Q_TPCH_Q18_SQL)
 register("q_x_cube", AN.q_x_cube, AN.Q_X_CUBE_SQL)
 register("q_x_range_frame", AN.q_x_range_frame, AN.Q_X_RANGE_FRAME_SQL)
 
@@ -1093,6 +1097,7 @@ register("q_x_setops_all", RX.q_x_setops_all, RX.Q_X_SETOPS_ALL_SQL)
 register(
     "q_x_reservoir_sample", RX.q_x_reservoir_sample, RX.Q_X_RESERVOIR_SAMPLE_SQL
 )
+register("q_x_sessionize", RX.q_x_sessionize, RX.Q_X_SESSIONIZE_SQL)
 
 register("q_text_chunks", LP.q_text_chunks, LP.Q_TEXT_CHUNKS_SQL)
 register("q_text_pack", LP.q_text_pack, LP.Q_TEXT_PACK_SQL)
@@ -1128,8 +1133,9 @@ _PRIORITY_PREFIX = [
     "q_x_asof_join", "q_x_pivot", "q_x_time_rollup", "q_x_salted_agg",
     # -- new in round 2 ---------------------------------------------------
     "q_tpch_q2_shape", "q_tpch_q4_shape", "q_tpch_q7_shape",
-    "q_tpch_q10_shape", "q_x_reservoir_sample", "q_x_outlier_flags",
-    "q_x_snapshot_diff",
+    "q_tpch_q10_shape", "q_tpch_q14_shape", "q_tpch_q18_shape",
+    "q_x_reservoir_sample", "q_x_outlier_flags", "q_x_snapshot_diff",
+    "q_x_sessionize", "q_x_emb_normalize", "q_x_emb_quantize",
 ]
 
 
