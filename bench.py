@@ -34,6 +34,10 @@ HEADLINE = [
     "q25_term_counts",
     "q26_cosine_topk",
     "q27_assembly",
+    # breadth: multi-join warehouse shape, binned range join, LSH dedup
+    "q_tpch_q3_shape",
+    "q_x_interval_join",
+    "q_dedup_minhash_pairs",
 ]
 
 

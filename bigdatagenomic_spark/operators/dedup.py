@@ -116,15 +116,19 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact Jaccard."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_SAMPLE_DOCS)
     sig = minhash_signatures(d)
-    bands = None
-    for band in range(4):
-        cols = [f"s{band * 4 + r}" for r in range(4)]
-        one = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.md5(F.concat_ws(",", *cols)).alias("bkey"),
-        )
-        bands = one if bands is None else bands.unionByName(one)
+    # one posexplode projection instead of a 4-way union: the signature
+    # aggregate is computed once and the band fan-out is a narrow map —
+    # 4x fewer stages, and at scale 4x less re-aggregation after the
+    # (reused) shuffle
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws(",", *[f"s{band * 4 + r}" for r in range(4)]))
+            for band in range(4)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    )
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "bkey")
     cand = (
