@@ -778,9 +778,11 @@ register(
 
 from bigdatagenomic_spark.operators import graph as G
 
-# iterative fixpoint algorithm: non-SQL-expressible by contract (rows-only
-# driver check); exact-matched against union-find in tests/test_graph.py
-register("q_graph_cc", G.q_graph_cc, None)
+# iterative fixpoint algorithm, but the bounded co-purchase slice IS
+# SQL-expressible via a recursive-CTE transitive closure — upgraded from
+# rows-only to a full hash check (also union-find-matched in
+# tests/test_graph.py)
+register("q_graph_cc", G.q_graph_cc, G.Q_GRAPH_CC_SQL)
 
 
 # BPE-ish pretokenizer counts — same regex dialect subset (no lookaround,

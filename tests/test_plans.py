@@ -215,3 +215,29 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Join-driven partition pruning: when the fact table is
+    date-partitioned and the dim side carries a selective filter, the
+    fact scan must plan a dynamicpruning subquery — at 100 TB this skips
+    whole partitions based on the dim filter at runtime, the partitioned
+    twin of the bloom-filter test above."""
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.sources.tables import load_table
+    from bigdatagenomic_spark.sources.writers import write_parquet
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day_dpp")
+    write_parquet(ev, path, partition_by=["event_date"])
+    fact = spark.read.parquet(path)
+
+    dim = ev.select("event_date").distinct().where(
+        F.dayofmonth("event_date") == 5
+    )
+    joined = fact.join(dim, "event_date").groupBy("event_date").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
