@@ -95,8 +95,8 @@ def kmeans(vectors: DataFrame, k: int = 8, n_iter: int = 5) -> tuple[DataFrame, 
 
 def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster sizes + within-cluster dispersion after 3 rounds, k=4.
-    Iterative → rows-only by contract; exact parity with a numpy
-    reference is pinned in tests/test_clustering.py."""
+    Fixed-iteration → hash-checked against a loop-unrolled CTE oracle;
+    exact parity with numpy is pinned in tests/test_clustering.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans(emb.select("vec_id", "embedding"), k=4, n_iter=3)
     return (
@@ -107,3 +107,60 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dims: int = 64) -> str:
+    """Loop-unrolled Lloyd's oracle: one assign + one update CTE pair per
+    iteration (fixed iteration count needs no recursion). Distances use
+    the same left-to-right list fold as the Spark plan, so they agree
+    bit-for-bit; the only cross-engine float divergence is the avg
+    summation order in the centroid update, absorbed by the final
+    4-decimal floor rounding. ``dims`` pins the embedding width
+    (TESTDATA.md: 64)."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> (v.e[i] - c.centroid[i]) * (v.e[i] - c.centroid[i])))"
+    )
+    parts = [
+        f"""
+  v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                e AS centroid
+         FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for it in range(1, n_iter + 1):
+        parts.append(f"""
+  a{it} AS (
+    SELECT vec_id, cluster, dist FROM (
+      SELECT vec_id, cluster, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM (SELECT v.vec_id, c.cluster, {d2} AS dist
+            FROM v CROSS JOIN c{it - 1} c))
+    WHERE rn = 1),
+  c{it} AS (
+    SELECT cluster, list(mean ORDER BY dim) AS centroid FROM (
+      SELECT a.cluster, t.dim, avg(v.e[t.dim]) AS mean
+      FROM a{it} a JOIN v USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS dim) t
+      GROUP BY a.cluster, t.dim)
+    GROUP BY cluster)""")
+    parts.append(f"""
+  afinal AS (
+    SELECT vec_id, cluster, dist FROM (
+      SELECT vec_id, cluster, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM (SELECT v.vec_id, c.cluster, {d2} AS dist
+            FROM v CROSS JOIN c{n_iter} c))
+    WHERE rn = 1)""")
+    return (
+        "WITH" + ",".join(parts)
+        + """
+SELECT cluster, count(*) AS n_vecs,
+       floor(avg(dist) * 10000 + 0.5) / 10000 AS mean_sq_dist
+FROM afinal GROUP BY cluster ORDER BY cluster"""
+    )
+
+
+Q_CLUSTER_KMEANS_SQL = _kmeans_oracle_sql()

@@ -253,9 +253,9 @@ def near_dup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH candidates -> exact-Jaccard
-    verification -> transitive clustering -> surviving corpus. Iterative
-    (CC) -> rows-only by contract; survivors exact-matched against
-    union-find in tests/test_llm_ops.py."""
+    verification -> transitive clustering -> surviving corpus.
+    Hash-checked against a recursive-CTE closure oracle; survivors also
+    exact-matched against union-find in tests/test_llm_ops.py."""
     d = load_table(spark, sf_dir, "documents")
     pairs = q_dedup_minhash_pairs(spark, sf_dir).where(
         F.col("jacc") >= JACCARD_THRESHOLD

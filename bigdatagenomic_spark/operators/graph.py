@@ -133,8 +133,8 @@ def connected_components(
 def q_graph_cc(spark, sf_dir: str) -> DataFrame:
     """Entity resolution demo: orders connected by sharing a part
     (co-purchase graph over a bounded lineitem slice), labeled with
-    their component. Iterative → rows-only by contract; exact-match
-    tested against union-find in tests/test_graph.py."""
+    their component. Iterative, but hash-checked against a recursive-CTE
+    transitive closure; also union-find-matched in tests/test_graph.py."""
     from bigdatagenomic_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
@@ -234,10 +234,55 @@ def pagerank(
     return ranks
 
 
+def _pagerank_oracle_sql(n_iter: int = 8, damping: float = 0.85) -> str:
+    """Loop-unrolled PageRank oracle: one CTE per power iteration.
+
+    Fixed iteration counts need no recursion — each iteration is a
+    join + group-by over the previous CTE, so the whole computation is
+    a chain of ordinary CTEs DuckDB evaluates exactly like the Spark
+    driver loop. Ranks use the portable floor-rounding at 4 decimals
+    (both engines sum doubles; the rounding absorbs order effects)."""
+    base = """
+  o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 500),
+  nxt AS (SELECT a.o_custkey AS src, b.o_custkey AS dst
+          FROM o a JOIN o b ON b.o_orderkey = a.o_orderkey + 1),
+  edges AS (SELECT DISTINCT src, dst FROM nxt WHERE src <> dst),
+  verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+  nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+  deg AS (SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src),
+  contrib AS (SELECT e.src, e.dst, d.out_degree
+              FROM edges e JOIN deg d ON e.src = d.id),
+  r0 AS (SELECT id, 1.0 AS rank FROM verts)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+  r{k} AS (
+    SELECT v.id,
+           {1.0 - damping} + {damping} * (coalesce(m.recv, 0.0) + d.dmass / nv.n)
+             AS rank
+    FROM verts v
+    CROSS JOIN nv
+    CROSS JOIN (SELECT coalesce(sum(rank), 0.0) AS dmass FROM r{k - 1}
+                WHERE id NOT IN (SELECT id FROM deg)) d
+    LEFT JOIN (SELECT c.dst AS id, sum(r.rank / c.out_degree) AS recv
+               FROM contrib c JOIN r{k - 1} r ON c.src = r.id
+               GROUP BY c.dst) m ON v.id = m.id)""")
+    return (
+        "WITH" + base + "," + ",".join(steps)
+        + f"""
+SELECT id, floor(rank * 10000 + 0.5) / 10000 AS rank
+FROM r{n_iter} ORDER BY id"""
+    )
+
+
+Q_GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()
+
+
 def q_graph_pagerank(spark, sf_dir: str) -> DataFrame:
-    """PageRank over the customer→customer co-nation order graph slice
-    (bounded, deterministic). Iterative → rows-only by contract; exact
-    semantics pinned by the hand-computed fixture in tests/test_graph.py."""
+    """PageRank over the customer→customer order graph slice (bounded,
+    deterministic). Fixed-iteration → hash-checked against a
+    loop-unrolled CTE oracle; semantics also pinned by the hand-computed
+    fixture in tests/test_graph.py."""
     from bigdatagenomic_spark.sources.tables import load_table
 
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)

@@ -7,8 +7,9 @@ SURVEY.md §2.B Q26 — no reference counterpart, SURVEY.md §0).
   every ANN variant is measured against.
 * ``q_sim_lsh_topk`` — the scale path: random-hyperplane LSH (signed
   projections onto deterministic pseudo-random hyperplanes) bucketing
-  candidates, exact cosine re-ranking inside buckets. Approximate by
-  contract (rows-only check); tests measure recall vs the exact top-k.
+  candidates, exact cosine re-ranking inside buckets. Approximate only
+  vs the exact top-k — the pipeline itself is deterministic, so it
+  hash-checks against a DuckDB replay (and tests measure recall).
 
 Scale notes: brute force is O(Q x N) — fine for Q small (it broadcasts
 the query set), unusable for all-pairs at 100 TB. The LSH plan shuffles
@@ -86,7 +87,7 @@ def q26_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# LSH variant (approximate, rows-only by contract)
+# LSH variant (approximate vs exact top-k; deterministic -> hash-checked)
 # ---------------------------------------------------------------------------
 
 def _hyperplane(dim: int, plane: int) -> list[float]:
@@ -165,7 +166,8 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF variant (approximate, rows-only by contract): the other classic ANN
+# IVF variant (approximate vs exact, deterministic -> hash-checked): the
+# other classic ANN
 # scale path — coarse-quantize into centroid buckets, probe a few buckets
 # per query, numpy-score candidates per query group (applyInPandas)
 # ---------------------------------------------------------------------------
@@ -341,3 +343,97 @@ SELECT vec_id, round(ma, 6) AS max_abs,
        list_transform(v, x -> CAST(round(x * 127.0 / ma, 0) AS INT)) AS qvec
 FROM m ORDER BY vec_id
 """
+
+
+def _lsh_oracle_sql(
+    dim: int = 64, n_planes: int = 8, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> str:
+    """DuckDB oracle for the LSH top-k: the hyperplanes are
+    driver-generated literals, so the oracle embeds the SAME values and
+    replays the whole pipeline (sign signatures -> bucket equi-join ->
+    exact cosine re-rank). 'Approximate' here means approximate vs the
+    exact top-k — the computation itself is fully deterministic, so it
+    hash-checks like any other query. Projections use the same
+    left-to-right list fold as the Spark plan (bit-identical sums)."""
+    rows = []
+    for p in range(n_planes):
+        arr = ", ".join(repr(x) for x in _hyperplane(dim, p))
+        rows.append(f"({2 ** p}, CAST([{arr}] AS DOUBLE[]))")
+    values = ",\n         ".join(rows)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+planes AS (SELECT * FROM (VALUES {values}) AS t(w, plane)),
+sigs AS (
+  SELECT v.vec_id,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                          i -> v.e[i] * pl.plane[i])) > 0
+                       THEN pl.w ELSE 0 END) AS BIGINT) AS sig
+  FROM v CROSS JOIN planes pl GROUP BY v.vec_id),
+q AS (SELECT s.vec_id AS query_id, v.e AS qv,
+             sqrt(list_dot_product(v.e, v.e)) AS qn, s.sig
+      FROM sigs s JOIN v USING (vec_id) WHERE v.vec_id < {n_queries}),
+c AS (SELECT s.vec_id, v.e AS cv,
+             sqrt(list_dot_product(v.e, v.e)) AS cn, s.sig
+      FROM sigs s JOIN v USING (vec_id)),
+sims AS (SELECT query_id, c.vec_id,
+                round(list_dot_product(qv, cv) / (qn * cn), 4) AS sim
+         FROM q JOIN c USING (sig) WHERE query_id <> c.vec_id),
+r AS (SELECT query_id, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS INT) AS rn
+      FROM sims)
+SELECT query_id, vec_id, sim, rn FROM r WHERE rn <= {k}
+ORDER BY query_id, rn"""
+
+
+Q_SIM_LSH_TOPK_SQL = _lsh_oracle_sql()
+
+
+def _ivf_oracle_sql(
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> str:
+    """DuckDB oracle for the IVF top-k. Like the LSH oracle this replays
+    the deterministic pipeline exactly: lowest-id centroids, max-cosine
+    bucket assignment (ties to the lowest centroid id), n_probe nearest
+    buckets per query, exact cosine re-rank. The numpy matmul in the
+    Spark rerank and list_dot_product may differ in summation order at
+    the last ulp; the declared 4-decimal rounding absorbs it."""
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS cvec FROM v
+         ORDER BY vec_id LIMIT {n_centroids}),
+assigned AS (
+  SELECT vec_id, centroid_id, e FROM (
+    SELECT v.vec_id, c.centroid_id, v.e,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos.format(a='v.e', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM v CROSS JOIN cent c)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT v.vec_id AS query_id, v.e AS qv, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos.format(a='v.e', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS pr
+    FROM v CROSS JOIN cent c WHERE v.vec_id < {n_queries})
+  WHERE pr <= {n_probe}),
+sims AS (
+  SELECT p.query_id, a.vec_id,
+         round({cos.format(a='p.qv', b='a.e')}, 4) AS sim
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE p.query_id <> a.vec_id),
+r AS (SELECT query_id, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS INT) AS rn
+      FROM sims)
+SELECT query_id, vec_id, sim, rn FROM r WHERE rn <= {k}
+ORDER BY query_id, rn"""
+
+
+Q_SIM_IVF_TOPK_SQL = _ivf_oracle_sql()

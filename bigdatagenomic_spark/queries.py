@@ -566,7 +566,9 @@ register(
 
 # approximate by contract: LSH bucketing changes the candidate set; checked
 # rows-only by the driver, recall-vs-exact in tests
-register("q_sim_lsh_topk", S.q_sim_lsh_topk, None)
+# approximate vs exact top-k, but deterministically computed (md5-derived
+# hyperplanes embedded as literals in the oracle) -> full hash check
+register("q_sim_lsh_topk", S.q_sim_lsh_topk, S.Q_SIM_LSH_TOPK_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -671,7 +673,9 @@ register(
 
 # IVF ANN: approximate by contract (probed buckets bound the candidate
 # set); rows-only check here, recall-vs-exact measured in tests
-register("q_sim_ivf_topk", S.q_sim_ivf_topk, None)
+# deterministic IVF pipeline (fixed centroids, single-bucket assignment)
+# -> full hash check; the numpy rerank's 4-dec rounding is the contract
+register("q_sim_ivf_topk", S.q_sim_ivf_topk, S.Q_SIM_IVF_TOPK_SQL)
 register("q_x_emb_normalize", S.q_x_emb_normalize, S.Q_X_EMB_NORMALIZE_SQL)
 register("q_x_emb_quantize", S.q_x_emb_quantize, S.Q_X_EMB_QUANTIZE_SQL)
 
@@ -829,9 +833,38 @@ register(
 )
 
 
-# survivorship over transitive near-dup clusters (iterative CC -> rows-only;
-# exact-matched against union-find in tests)
-register("q_dedup_survivors", D.q_dedup_survivors, None)
+# survivorship over transitive near-dup clusters: the pair graph is tiny
+# and deterministic, so the transitive closure is recursive-CTE
+# expressible — full hash check (also union-find-matched in tests)
+_SURVIVORS_SQL = f"""WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE},
+  bands AS ({_BANDS_SQL}),
+  cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM bands a JOIN bands b USING (band, bkey)
+           WHERE a.doc_id < b.doc_id),
+  pairs AS (
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    LEFT JOIN common cm ON c.a_id = cm.a_id AND c.b_id = cm.b_id
+    JOIN sizes sa ON c.a_id = sa.doc_id
+    JOIN sizes sb ON c.b_id = sb.doc_id
+    WHERE round(coalesce(cm.n_common, 0)
+                / CAST(sa.n_sh + sb.n_sh - coalesce(cm.n_common, 0) AS DOUBLE),
+                4) >= {D.JACCARD_THRESHOLD}),
+  undirected AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                 UNION SELECT b_id AS src, a_id AS dst FROM pairs),
+  reach AS (SELECT src AS id, dst AS r FROM undirected
+            UNION
+            SELECT reach.id, u.dst AS r FROM reach
+            JOIN undirected u ON reach.r = u.src),
+  comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+  dropped AS (
+    SELECT id FROM comp
+    WHERE id NOT IN (SELECT min(id) FROM comp GROUP BY component))
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM dropped)
+ORDER BY doc_id"""
+
+register("q_dedup_survivors", D.q_dedup_survivors, _SURVIVORS_SQL)
 
 
 def _q_s08_interval_join(spark, sf_dir):
@@ -1008,8 +1041,14 @@ register("q_pipeline_curation", CU.q_pipeline_curation, CU.Q_PIPELINE_CURATION_S
 from bigdatagenomic_spark.operators import clustering as CL
 from bigdatagenomic_spark.operators.graph import q_graph_pagerank as _q_pr
 
-register("q_graph_pagerank", _q_pr, None)
-register("q_cluster_kmeans", CL.q_cluster_kmeans, None)
+from bigdatagenomic_spark.operators.graph import Q_GRAPH_PAGERANK_SQL
+
+# fixed-iteration power method: loop-unrolled into chained CTEs -> full
+# hash check (was rows-only)
+register("q_graph_pagerank", _q_pr, Q_GRAPH_PAGERANK_SQL)
+# fixed-iteration Lloyd's: loop-unrolled into chained CTEs -> full hash
+# check (was rows-only); distances share the same left-to-right fold
+register("q_cluster_kmeans", CL.q_cluster_kmeans, CL.Q_CLUSTER_KMEANS_SQL)
 
 
 register("q_x_interval_join", SC.q_x_interval_join, SC.Q_X_INTERVAL_JOIN_SQL)
