@@ -522,3 +522,100 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY o_totalprice DESC, o.o_orderkey
 LIMIT 100
 """
+
+
+# TPC-H Q16 shape: supplier diversity per part attribute group with a
+# NOT-IN anti-subquery. The testdata has no partsupp, so the DISTINCT
+# (l_partkey, l_suppkey) pairs of lineitem play the catalog; excluded
+# suppliers (name ending in '7' — the "complaints" stand-in) are
+# removed with a left-anti join BEFORE the count-distinct shuffle, so
+# the excluded rows never enter the aggregation.
+def q_tpch_q16_shape(spark, sf_dir):
+    catalog = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    excluded = _t(spark, sf_dir, "supplier").where(
+        F.col("s_name").like("%7")
+    ).select(F.col("s_suppkey").alias("x_suppkey"))
+    kept = catalog.join(
+        excluded, catalog["l_suppkey"] == excluded["x_suppkey"], "left_anti"
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_size").isin(1, 4, 7, 10)).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        kept.join(p, kept["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q_TPCH_Q16_SQL = """
+WITH catalog AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT c.l_suppkey) AS supplier_cnt
+FROM catalog c
+JOIN part p ON c.l_partkey = p.p_partkey
+WHERE p.p_size IN (1, 4, 7, 10)
+  AND c.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_name LIKE '%7')
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+# TPC-H Q19 shape: disjunctive multi-attribute join predicate (the
+# OR-of-ANDs shape that stresses predicate normalization). Catalyst
+# extracts the common l_partkey = p_partkey conjunct as the join key
+# and leaves the disjunction as a post-join filter; the per-side
+# conjuncts it can hoist (p_size ranges, quantity bounds) are pushed
+# into the scans.
+def q_tpch_q19_shape(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q_TPCH_Q19_SQL = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""

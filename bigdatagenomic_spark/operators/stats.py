@@ -431,3 +431,37 @@ FROM scored
 WHERE abs(z_raw) > {Z_THRESH} OR abs(rz_raw) > {ROBUST_Z_THRESH}
 ORDER BY l_orderkey, l_linenumber
 """
+
+
+# --------------------------------------------------------------------------
+# mergeable-sketch rollup (HLL): the precompute-then-union pattern
+# --------------------------------------------------------------------------
+def hll_daily_rollup(events: DataFrame) -> DataFrame:
+    """Distinct users per day AND overall from ONE pass of sketches.
+
+    The 100 TB pattern for distinct-count dashboards: build an HLL
+    sketch per partition/day once (map-side combinable aggregate),
+    then answer the per-day question with ``hll_sketch_estimate`` and
+    the any-range question by ``hll_union_agg`` over the tiny sketch
+    rows — the raw events are never re-scanned. Exact distinct over a
+    rolling range would need a full reshuffle per query; sketch union
+    is O(days) bytes. Approximate by algorithm (Spark's HLL++), so the
+    registry entry is rows-only; tolerance vs exact counts is pinned in
+    tests/test_scale.py.
+    """
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sk").alias("approx_users"), "n_events"
+    )
+    overall = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit(None).cast("date").alias("day"), "approx_users", "n_events")
+    return per_day.unionByName(overall).orderBy(F.col("day").asc_nulls_last())
+
+
+def q_x_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_daily_rollup(_t(spark, sf_dir, "events"))

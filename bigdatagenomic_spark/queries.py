@@ -984,6 +984,8 @@ register("q_tpch_q5_shape", AN.q_tpch_q5_shape, AN.Q_TPCH_Q5_SQL)
 register("q_tpch_q7_shape", AN.q_tpch_q7_shape, AN.Q_TPCH_Q7_SQL)
 register("q_tpch_q10_shape", AN.q_tpch_q10_shape, AN.Q_TPCH_Q10_SQL)
 register("q_tpch_q14_shape", AN.q_tpch_q14_shape, AN.Q_TPCH_Q14_SQL)
+register("q_tpch_q16_shape", AN.q_tpch_q16_shape, AN.Q_TPCH_Q16_SQL)
+register("q_tpch_q19_shape", AN.q_tpch_q19_shape, AN.Q_TPCH_Q19_SQL)
 register("q_tpch_q18_shape", AN.q_tpch_q18_shape, AN.Q_TPCH_Q18_SQL)
 register("q_x_cube", AN.q_x_cube, AN.Q_X_CUBE_SQL)
 register("q_x_range_frame", AN.q_x_range_frame, AN.Q_X_RANGE_FRAME_SQL)
@@ -1125,6 +1127,9 @@ register("q_x_collect_sorted", ST.q_x_collect_sorted, ST.Q_X_COLLECT_SORTED_SQL)
 register("q_x_array_hof", ST.q_x_array_hof, ST.Q_X_ARRAY_HOF_SQL)
 register("q_x_profile", ST.q_x_profile, ST.Q_X_PROFILE_SQL)
 register("q_x_outlier_flags", ST.q_x_outlier_flags, ST.Q_X_OUTLIER_FLAGS_SQL)
+# HLL++ sketch rollup: approximate by algorithm -> rows-only; tolerance
+# + mergeability pinned in tests/test_scale.py
+register("q_x_hll_rollup", ST.q_x_hll_rollup, None)
 
 
 # ---------------------------------------------------------------------------
@@ -1174,9 +1179,13 @@ _PRIORITY_PREFIX = [
     "q_x_asof_join", "q_x_pivot", "q_x_time_rollup", "q_x_salted_agg",
     # -- new in round 2 ---------------------------------------------------
     "q_tpch_q2_shape", "q_tpch_q4_shape", "q_tpch_q7_shape",
-    "q_tpch_q10_shape", "q_tpch_q14_shape", "q_tpch_q18_shape",
+    "q_tpch_q10_shape", "q_tpch_q14_shape", "q_tpch_q16_shape",
+    "q_tpch_q18_shape", "q_tpch_q19_shape",
     "q_x_reservoir_sample", "q_x_outlier_flags", "q_x_snapshot_diff",
     "q_x_sessionize", "q_x_emb_normalize", "q_x_emb_quantize",
+    # -- upgraded from rows-only to hash-checked in round 2 -------------
+    "q_sim_lsh_topk", "q_sim_ivf_topk", "q_graph_pagerank",
+    "q_cluster_kmeans", "q_dedup_survivors", "q_graph_cc",
 ]
 
 

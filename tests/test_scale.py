@@ -159,3 +159,30 @@ def test_salt_fanout_follows_observed_skew(spark):
         for r in salted_join(skewed, dim, key="k", salt_on="v", n_salt=None).collect()
     }
     assert plain_j == salted_j
+
+
+def test_hll_rollup_tolerance_and_mergeability(spark):
+    """Per-day HLL estimates within 5% of exact distinct counts, and the
+    union-of-sketches estimate matches (a) the overall exact count within
+    5% and (b) a sketch built directly over all rows (mergeability)."""
+    from bigdatagenomic_spark.operators.stats import hll_daily_rollup
+
+    ev = load_table(spark, SF_DIR, "events")
+    got = {r.day: (r.approx_users, r.n_events)
+           for r in hll_daily_rollup(ev).collect()}
+    exact_days = {
+        r.day: r.n
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for day, n in exact_days.items():
+        approx = got[day][0]
+        assert abs(approx - n) <= max(2, 0.05 * n), (day, approx, n)
+    exact_total = ev.select(F.count_distinct("user_id")).collect()[0][0]
+    union_est = got[None][0]
+    assert abs(union_est - exact_total) <= max(2, 0.05 * exact_total)
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+    ).collect()[0][0]
+    assert union_est == direct  # union of day sketches == one big sketch
