@@ -159,3 +159,111 @@ def test_cogrouped_asof_survives_shared_lineage(spark):
         for r in asof_join_cogrouped(clicks, views, on="user_id").collect()
     }
     assert got == {1: 7, 2: 8}
+
+
+# ---------------------------------------------------------------------------
+# round-2 operators: snapshot diff, reservoir, sessionization
+# ---------------------------------------------------------------------------
+
+_snap_rows = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 3)),  # (key, version)
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(old=_snap_rows, new=_snap_rows)
+def test_snapshot_diff_reconstructs_new_from_old(spark, old, new):
+    """Applying the diff to the old snapshot must reproduce the new one:
+    old - removed - changed + (changed ∪ added rows from new) == new."""
+    from bigdatagenomic_spark.operators.llm_prep import snapshot_diff
+
+    schema = "doc_id LONG, payload STRING"
+    o = spark.createDataFrame(
+        [(k, f"v{v}") for k, v in old] or [], schema
+    )
+    n = spark.createDataFrame(
+        [(k, f"v{v}") for k, v in new] or [], schema
+    )
+    diff = {
+        r.doc_id: r.change_type
+        for r in snapshot_diff(o, n, ["doc_id"], ["payload"]).collect()
+    }
+    old_map = dict(old)
+    new_map = dict(new)
+    # classification is exactly the set-algebra of the two key spaces
+    for k in set(old_map) | set(new_map):
+        if k not in old_map:
+            assert diff.get(k) == "added"
+        elif k not in new_map:
+            assert diff.get(k) == "removed"
+        elif old_map[k] != new_map[k]:
+            assert diff.get(k) == "changed"
+        else:
+            assert k not in diff
+    # reconstruction: patch old with the diff and compare to new
+    patched = {k: v for k, v in old_map.items() if diff.get(k) != "removed"}
+    for k, ct in diff.items():
+        if ct in ("added", "changed"):
+            patched[k] = new_map[k]
+    assert patched == new_map
+
+
+def test_reservoir_sample_is_stable_and_bounded(spark):
+    """Per-key sample size = min(k, n_key); membership is identical after
+    an arbitrary repartition (determinism is the whole point)."""
+    from bigdatagenomic_spark.operators.relational_ext import reservoir_per_key
+
+    rows = [(k, i, i * 7 % 13) for k in range(5) for i in range(k * 3)]
+    df = spark.createDataFrame(rows, "k INT, a INT, b INT")
+    got = reservoir_per_key(df, "k", ["a", "b"], 3).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.k, set()).add((r.a, r.b))
+    for k in range(5):
+        n_key = k * 3
+        expect = min(3, n_key)
+        assert len(by_key.get(k, set())) == expect, (k, by_key.get(k))
+    again = reservoir_per_key(df.repartition(7, "b"), "k", ["a", "b"], 3).collect()
+    by_key2 = {}
+    for r in again:
+        by_key2.setdefault(r.k, set()).add((r.a, r.b))
+    assert by_key == by_key2
+
+
+def test_sessionize_gap_invariants(spark):
+    """Within a session every inter-event gap <= gap_s; across session
+    boundaries the gap > gap_s."""
+    from bigdatagenomic_spark.operators.relational_ext import sessionize
+
+    base = datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    # user 1: three bursts separated by > gap; user 2: one long session
+    for burst_start in (0, 100, 300):
+        for j in range(3):
+            rows.append((eid, 1, base + timedelta(minutes=burst_start + j)))
+            eid += 1
+    for j in range(10):
+        rows.append((eid, 2, base + timedelta(minutes=j * 5)))
+        eid += 1
+    df = spark.createDataFrame(rows, "event_id LONG, user_id LONG, ts TIMESTAMP")
+    out = sessionize(df, gap_s=30 * 60).collect()
+    sessions = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.ts)):
+        sessions.setdefault((r.user_id, r.session_seq), []).append(r.ts)
+    assert len({s for (u, s) in sessions if u == 1}) == 3
+    assert len({s for (u, s) in sessions if u == 2}) == 1
+    for (u, s), tss in sessions.items():
+        for a, b in zip(tss, tss[1:]):
+            assert (b - a).total_seconds() <= 30 * 60
+    # consecutive sessions of the same user are separated by > gap
+    u1 = sorted([(s, tss) for (u, s), tss in sessions.items() if u == 1])
+    for (s1, t1), (s2, t2) in zip(u1, u1[1:]):
+        assert (t2[0] - t1[-1]).total_seconds() > 30 * 60
