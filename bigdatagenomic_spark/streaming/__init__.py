@@ -23,7 +23,10 @@ from bigdatagenomic_spark.streaming.replay import (
     run_to_memory,
     write_event_chunks,
 )
-from bigdatagenomic_spark.streaming.stateful import running_user_totals
+from bigdatagenomic_spark.streaming.stateful import (
+    running_type_totals_tws,
+    running_user_totals,
+)
 
 __all__ = [
     "tumbling_agg",
@@ -36,5 +39,6 @@ __all__ = [
     "write_event_chunks",
     "read_event_stream",
     "run_to_memory",
+    "running_type_totals_tws",
     "running_user_totals",
 ]

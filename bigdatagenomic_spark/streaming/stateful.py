@@ -53,3 +53,58 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API): the successor
+# to applyInPandasWithState — typed state handles, timers, RocksDB-backed
+# ---------------------------------------------------------------------------
+TWS_OUT_SCHEMA = "event_type STRING, n_events BIGINT, total_value DOUBLE"
+
+
+def _make_type_totals_processor():
+    """Factory (deferred import: the StatefulProcessor base only matters
+    on streaming queries, and older runtimes may lack it)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n BIGINT, tot DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, tot = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                tot += float(pdf["value"].sum())
+            self._state.update((n, tot))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "n_events": [n], "total_value": [tot]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TypeTotals()
+
+
+def running_type_totals_tws(events: DataFrame) -> DataFrame:
+    """Cumulative per-event-type totals via ``transformWithStateInPandas``.
+
+    Same semantics as :func:`running_user_totals` but on the Spark 4
+    arbitrary-state API: typed state handles (ValueState/ListState/
+    MapState), optional timers, and a RocksDB state store — the API new
+    stateful operators should target. Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    ``RocksDBStateStoreProvider`` (set by the caller/test; a batch plan
+    ignores it) and ``google.protobuf`` at runtime (the state-server
+    protocol) — the test suite skips when protobuf is absent.
+    """
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=_make_type_totals_processor(),
+        outputStructType=TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

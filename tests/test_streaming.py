@@ -269,3 +269,55 @@ def test_s09_foreach_batch_upsert_sink(spark, replay_dir, tmp_path):
     )
     again = read_upserted(spark, target)
     _assert_equal_aggs(again, want, ["w_start", "event_type"], ["n_events"], ["sum_value"])
+
+
+def _has_protobuf() -> bool:
+    # transformWithStateInPandas speaks protobuf to the state server; the
+    # container may not ship google.protobuf (no pip install allowed)
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas requires google.protobuf at runtime",
+)
+def test_s10_transform_with_state_running_totals(spark, replay_dir):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) running
+    per-event-type totals: the last update per type equals the batch
+    aggregate. Needs the RocksDB state store provider + protobuf."""
+    from bigdatagenomic_spark.streaming import running_type_totals_tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = run_to_memory(
+            running_type_totals_tws(_stream_events(spark, replay_dir)), "update"
+        )
+        final = got.groupBy("event_type").agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        want = (
+            _batch_events(spark)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        )
+        g = _as_map(final, ["event_type"], ["n_events", "total_value"])
+        w = _as_map(want, ["event_type"], ["n_events", "total_value"])
+        assert set(g) == set(w)
+        for k in w:
+            assert g[k][0] == w[k][0]
+            assert abs(g[k][1] - w[k][1]) < 1e-6
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
