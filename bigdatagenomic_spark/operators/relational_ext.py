@@ -667,3 +667,100 @@ FROM sessions
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
 """
+
+
+# --------------------------------------------------------------------------
+# CDC apply-changes (changelog merge into a snapshot)
+# --------------------------------------------------------------------------
+def apply_changes(
+    base: DataFrame,
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an I/U/D changelog to a base snapshot; latest op per key wins.
+
+    The merge half of the incremental-pipeline pair (snapshot_diff is
+    the inverse). Plan: one window shuffle compacts the changelog to its
+    final op per key (same shape as keep-latest), then the base is
+    anti-joined on ALL touched keys (replaced or deleted rows drop out)
+    and surviving upserts are unioned back. No join ever carries the
+    base×changelog product; at 100 TB the changelog side is typically
+    tiny relative to base, so both the anti-join build side and the
+    union stay changelog-sized.
+    """
+    w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    latest = (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = latest.select(*key_cols)
+    upserts = latest.where(F.col(op_col) != "D").drop(op_col, seq_col)
+    return base.join(touched, key_cols, "left_anti").unionByName(upserts)
+
+
+CDC_DEL_MOD = 10
+CDC_UPD_MOD = 4
+CDC_INS_MOD = 7
+
+
+def q_x_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDC scenario over documents: base = 2/3 of docs;
+    changelog = updates (seq 1) on every 4th doc, deletes (seq 2) on
+    every 10th, re-inserts (seq 3) on every 7th — overlapping keys
+    exercise the latest-op-wins ordering."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.where(F.col("doc_id") % 3 != 0)
+    upd = d.where(F.col("doc_id") % CDC_UPD_MOD == 0).select(
+        "doc_id",
+        F.concat(F.lit("u1: "), F.col("text")).alias("text"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    dele = d.where(F.col("doc_id") % CDC_DEL_MOD == 0).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    ins = d.where(F.col("doc_id") % CDC_INS_MOD == 0).select(
+        "doc_id",
+        F.concat(F.lit("i3: "), F.col("text")).alias("text"),
+        F.lit("I").alias("op"),
+        F.lit(3).alias("seq"),
+    )
+    log = upd.unionByName(dele).unionByName(ins)
+    out = apply_changes(base, log, ["doc_id"], "seq")
+    return out.select("doc_id", F.md5("text").alias("content_hash")).orderBy(
+        "doc_id"
+    )
+
+
+Q_X_APPLY_CHANGES_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+), log AS (
+  SELECT doc_id, 'u1: ' || text AS text, 'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % {CDC_UPD_MOD} = 0
+  UNION ALL
+  SELECT doc_id, CAST(NULL AS VARCHAR), 'D', 2
+  FROM documents WHERE doc_id % {CDC_DEL_MOD} = 0
+  UNION ALL
+  SELECT doc_id, 'i3: ' || text, 'I', 3
+  FROM documents WHERE doc_id % {CDC_INS_MOD} = 0
+), latest AS (
+  SELECT doc_id, text, op FROM (
+    SELECT doc_id, text, op,
+           row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+    FROM log)
+  WHERE rn = 1
+), merged AS (
+  SELECT b.doc_id, b.text FROM base b
+  WHERE b.doc_id NOT IN (SELECT doc_id FROM latest)
+  UNION ALL
+  SELECT doc_id, text FROM latest WHERE op <> 'D'
+)
+SELECT doc_id, md5(text) AS content_hash FROM merged ORDER BY doc_id
+"""

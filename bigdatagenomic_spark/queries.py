@@ -1150,6 +1150,7 @@ register("q_text_pack", LP.q_text_pack, LP.Q_TEXT_PACK_SQL)
 register("q_text_decontam", LP.q_text_decontam, LP.Q_TEXT_DECONTAM_SQL)
 register("q_dedup_incremental", LP.q_dedup_incremental, LP.Q_DEDUP_INCREMENTAL_SQL)
 register("q_x_snapshot_diff", LP.q_x_snapshot_diff, LP.Q_X_SNAPSHOT_DIFF_SQL)
+register("q_x_apply_changes", RX.q_x_apply_changes, RX.Q_X_APPLY_CHANGES_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1182,6 +1183,7 @@ _PRIORITY_PREFIX = [
     "q_tpch_q10_shape", "q_tpch_q14_shape", "q_tpch_q16_shape",
     "q_tpch_q18_shape", "q_tpch_q19_shape",
     "q_x_reservoir_sample", "q_x_outlier_flags", "q_x_snapshot_diff",
+    "q_x_apply_changes",
     "q_x_sessionize", "q_x_emb_normalize", "q_x_emb_quantize",
     # -- upgraded from rows-only to hash-checked in round 2 -------------
     "q_sim_lsh_topk", "q_sim_ivf_topk", "q_graph_pagerank",
