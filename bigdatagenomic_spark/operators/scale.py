@@ -334,3 +334,81 @@ WHERE e.event_type = 'error'
 GROUP BY e.event_id
 ORDER BY e.event_id
 """
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) multi-column layout
+# --------------------------------------------------------------------------
+Z_BITS = 16
+
+
+def zorder_value(c1, c2, bits: int = Z_BITS):
+    """Morton-interleave two non-negative bucketed ints into one z-value.
+
+    Pure integer shift/mask expressions (codegen-friendly, engine-
+    portable). Sorting/range-partitioning by the z-value clusters BOTH
+    dimensions at once, so parquet row-group min/max stats prune scans
+    filtered on either column — the Delta/Iceberg Z-ORDER primitive on
+    vanilla Spark (single-column clustering is write_sorted_by_range).
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        b1 = F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1))
+        b2 = F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1))
+        z = z + F.shiftleft(b1, 2 * i) + F.shiftleft(b2, 2 * i + 1)
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, c1: str, c2: str, n_files: int = 8
+) -> None:
+    """Persist df range-partitioned + sorted by the z-value of (c1, c2):
+    the two-dimensional layout investment for scan locality.
+
+    Both dimensions are min/max-normalized to the full bit width before
+    interleaving — with raw values, the wider column owns every leading
+    z-bit and the curve degenerates to single-column clustering (the
+    same reason Delta/Iceberg Z-ORDER rank-normalizes inputs). The
+    min/max pass is one tiny aggregate over the two columns.
+    """
+    lo1, hi1, lo2, hi2 = df.select(
+        F.min(c1), F.max(c1), F.min(c2), F.max(c2)
+    ).collect()[0]
+    span = 2**Z_BITS - 1
+
+    def scaled(col, lo, hi):
+        if hi == lo:
+            return F.lit(0).cast("long")
+        return F.floor((col - F.lit(lo)) / F.lit(hi - lo) * span).cast("long")
+
+    zed = df.withColumn(
+        "_z",
+        zorder_value(
+            scaled(F.col(c1), lo1, hi1), scaled(F.col(c2), lo2, hi2)
+        ),
+    )
+    (
+        zed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def q_x_zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-values for orders over (custkey, bucketed totalprice) — the
+    deterministic index computation behind write_zordered."""
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    price_bucket = F.floor(F.col("o_totalprice") / 1000).cast("long")
+    return o.select(
+        "o_orderkey",
+        zorder_value(F.col("o_custkey"), price_bucket).alias("zval"),
+    ).orderBy("o_orderkey")
+
+
+Q_X_ZORDER_VALUE_SQL = (
+    """SELECT o_orderkey, CAST((((o_custkey >> 0) & 1) << 0) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 0) & 1) << 1) + (((o_custkey >> 1) & 1) << 2) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 1) & 1) << 3) + (((o_custkey >> 2) & 1) << 4) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 2) & 1) << 5) + (((o_custkey >> 3) & 1) << 6) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 3) & 1) << 7) + (((o_custkey >> 4) & 1) << 8) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 4) & 1) << 9) + (((o_custkey >> 5) & 1) << 10) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 5) & 1) << 11) + (((o_custkey >> 6) & 1) << 12) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 6) & 1) << 13) + (((o_custkey >> 7) & 1) << 14) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 7) & 1) << 15) + (((o_custkey >> 8) & 1) << 16) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 8) & 1) << 17) + (((o_custkey >> 9) & 1) << 18) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 9) & 1) << 19) + (((o_custkey >> 10) & 1) << 20) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 10) & 1) << 21) + (((o_custkey >> 11) & 1) << 22) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 11) & 1) << 23) + (((o_custkey >> 12) & 1) << 24) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 12) & 1) << 25) + (((o_custkey >> 13) & 1) << 26) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 13) & 1) << 27) + (((o_custkey >> 14) & 1) << 28) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 14) & 1) << 29) + (((o_custkey >> 15) & 1) << 30) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 15) & 1) << 31) AS BIGINT) AS zval FROM orders ORDER BY o_orderkey"""
+)

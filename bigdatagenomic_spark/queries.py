@@ -1054,6 +1054,7 @@ register("q_cluster_kmeans", CL.q_cluster_kmeans, CL.Q_CLUSTER_KMEANS_SQL)
 
 
 register("q_x_interval_join", SC.q_x_interval_join, SC.Q_X_INTERVAL_JOIN_SQL)
+register("q_x_zorder_value", SC.q_x_zorder_value, SC.Q_X_ZORDER_VALUE_SQL)
 
 
 register(

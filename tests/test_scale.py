@@ -186,3 +186,40 @@ def test_hll_rollup_tolerance_and_mergeability(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
     ).collect()[0][0]
     assert union_est == direct  # union of day sketches == one big sketch
+
+
+def test_write_zordered_clusters_both_columns(spark, tmp_path):
+    """Z-order layout invariant: per-file z-value ranges are disjoint,
+    and BOTH underlying columns are clustered — the summed per-file
+    min/max extent of each column is well under n_files × full-range
+    (a random layout would put the full range in every file)."""
+    import glob
+
+    from bigdatagenomic_spark.operators.scale import write_zordered
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders").withColumn(
+        "price_bucket", (F.col("o_totalprice") / 1000).cast("long")
+    )
+    path = str(tmp_path / "orders_z")
+    write_zordered(o, path, "o_custkey", "price_bucket", n_files=8)
+
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) >= 4
+    extents = {"o_custkey": [], "price_bucket": []}
+    full = {
+        c: o.selectExpr(f"max({c}) - min({c}) AS r").collect()[0].r
+        for c in extents
+    }
+    for f in files:
+        part = spark.read.parquet(f)
+        for c in extents:
+            row = part.selectExpr(
+                f"min({c}) AS lo", f"max({c}) AS hi", "count(*) AS n"
+            ).collect()[0]
+            if row.n:
+                extents[c].append(row.hi - row.lo)
+    for c, exts in extents.items():
+        # random layout: every file spans ~the full range (sum = n*full);
+        # z-order: each dimension's extents shrink by ~sqrt(n_files)
+        assert sum(exts) < 0.75 * len(exts) * full[c], (c, exts, full[c])
