@@ -764,3 +764,32 @@ WITH base AS (
 )
 SELECT doc_id, md5(text) AS content_hash FROM merged ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# VARIANT semi-structured extraction (Spark 4 successor to get_json_object)
+# --------------------------------------------------------------------------
+def q_x_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse event props into VARIANT once, then typed-path extract.
+
+    Unlike per-field ``get_json_object`` (which re-parses the JSON
+    string per extraction), VARIANT parses once into a binary-encoded
+    tree and every ``variant_get`` is a cheap path walk — the right
+    shape when events carry many consumed fields. At 100 TB you parse
+    at ingest, store the variant column, and never re-tokenize JSON.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("_v", F.try_parse_json("props"))
+    return v.select(
+        "event_id",
+        F.variant_get("_v", "$.k", "int").alias("k_int"),
+        F.variant_get("_v", "$.k", "string").isNotNull().alias("has_k"),
+    ).orderBy("event_id")
+
+
+Q_X_VARIANT_EXTRACT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       json_extract_string(props, '$.k') IS NOT NULL AS has_k
+FROM events ORDER BY event_id
+"""
