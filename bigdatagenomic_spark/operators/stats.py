@@ -465,3 +465,110 @@ def hll_daily_rollup(events: DataFrame) -> DataFrame:
 
 def q_x_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_daily_rollup(_t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# data-quality constraint report
+# --------------------------------------------------------------------------
+def dq_report(
+    df: DataFrame,
+    unique_cols: list[str],
+    not_null_cols: list[str],
+    fk: tuple[str, DataFrame, str] | None = None,
+) -> DataFrame:
+    """One-pass-per-constraint-family data-quality report in long form:
+    (check, column, violations). Uniqueness = groupBy-count>1 per
+    declared key; not-null = conditional counts in ONE aggregate pass
+    over the table; referential integrity = a left-anti join against
+    the parent key set. Each family is its own tiny job and the output
+    is a handful of rows, so the report runs cheaply at any scale —
+    this is the pre-load gate a warehouse runs before publishing a
+    partition.
+    """
+    spark = df.sparkSession
+    parts = []
+    for c in unique_cols:
+        dup = (
+            df.groupBy(c)
+            .count()
+            .where(F.col("count") > 1)
+            .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("v"))
+            .select(
+                F.lit("unique").alias("check"),
+                F.lit(c).alias("column"),
+                F.col("v").cast("long").alias("violations"),
+            )
+        )
+        parts.append(dup)
+    if not_null_cols:
+        null_counts = df.agg(
+            *[
+                F.count_if(F.col(c).isNull()).alias(c)
+                for c in not_null_cols
+            ]
+        )
+        long_form = null_counts.unpivot(
+            [], not_null_cols, "column", "violations"
+        ).select(
+            F.lit("not_null").alias("check"),
+            "column",
+            F.col("violations").cast("long"),
+        )
+        parts.append(long_form)
+    if fk is not None:
+        child_col, parent, parent_col = fk
+        orphans = (
+            df.select(F.col(child_col))
+            .where(F.col(child_col).isNotNull())
+            .join(
+                parent.select(F.col(parent_col).alias(child_col)),
+                child_col,
+                "left_anti",
+            )
+            .agg(F.count("*").alias("v"))
+            .select(
+                F.lit("foreign_key").alias("check"),
+                F.lit(child_col).alias("column"),
+                F.col("v").cast("long").alias("violations"),
+            )
+        )
+        parts.append(orphans)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("check", "column")
+
+
+def q_x_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return dq_report(
+        o,
+        unique_cols=["o_orderkey", "o_custkey"],
+        not_null_cols=["o_orderdate", "o_totalprice"],
+        fk=("o_custkey", c, "c_custkey"),
+    )
+
+
+Q_X_DQ_REPORT_SQL = """
+SELECT 'foreign_key' AS "check", 'o_custkey' AS "column",
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+         AS violations
+UNION ALL
+SELECT 'not_null', 'o_orderdate',
+       (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+UNION ALL
+SELECT 'not_null', 'o_totalprice',
+       (SELECT count(*) FROM orders WHERE o_totalprice IS NULL)
+UNION ALL
+SELECT 'unique', 'o_orderkey',
+       (SELECT coalesce(sum(n - 1), 0) FROM
+         (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) WHERE n > 1)
+UNION ALL
+SELECT 'unique', 'o_custkey',
+       (SELECT coalesce(sum(n - 1), 0) FROM
+         (SELECT count(*) AS n FROM orders GROUP BY o_custkey) WHERE n > 1)
+ORDER BY "check", "column"
+"""

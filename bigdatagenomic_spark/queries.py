@@ -1131,6 +1131,7 @@ register("q_x_outlier_flags", ST.q_x_outlier_flags, ST.Q_X_OUTLIER_FLAGS_SQL)
 # HLL++ sketch rollup: approximate by algorithm -> rows-only; tolerance
 # + mergeability pinned in tests/test_scale.py
 register("q_x_hll_rollup", ST.q_x_hll_rollup, None)
+register("q_x_dq_report", ST.q_x_dq_report, ST.Q_X_DQ_REPORT_SQL)
 
 
 # ---------------------------------------------------------------------------
