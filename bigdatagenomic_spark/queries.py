@@ -1191,6 +1191,8 @@ _PRIORITY_PREFIX = [
     # -- upgraded from rows-only to hash-checked in round 2 -------------
     "q_sim_lsh_topk", "q_sim_ivf_topk", "q_graph_pagerank",
     "q_cluster_kmeans", "q_dedup_survivors", "q_graph_cc",
+    "q_x_zorder_value", "q_x_variant_extract", "q_x_dq_report",
+    "q_x_hll_rollup",
 ]
 
 
