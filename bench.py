@@ -34,10 +34,13 @@ HEADLINE = [
     "q25_term_counts",
     "q26_cosine_topk",
     "q27_assembly",
-    # breadth: multi-join warehouse shape, binned range join, LSH dedup
+    # breadth: multi-join warehouse shape, binned range join, LSH dedup,
+    # window sessionization, map-only array math
     "q_tpch_q3_shape",
     "q_x_interval_join",
     "q_dedup_minhash_pairs",
+    "q_x_sessionize",
+    "q_x_emb_normalize",
 ]
 
 

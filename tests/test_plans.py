@@ -241,3 +241,30 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     joined = fact.join(dim, "event_date").groupBy("event_date").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_tpch_q7_pushes_date_filter_and_broadcasts_nations(spark):
+    df = _df(spark, "q_tpch_q7_shape")
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed
+    assert "BroadcastHashJoin" in join_kinds(df)
+
+
+def test_tpch_q18_aggregates_before_joins(spark):
+    """The HAVING aggregate must sit BELOW the joins (lineitem is
+    reduced to qualifying orderkeys before touching orders/customer)."""
+    df = _df(spark, "q_tpch_q18_shape")
+    plan = formatted_plan(df)
+    assert "partial_sum" in plan
+    # the filter on the aggregated quantity exists pre-join
+    assert "sum_qty" in plan
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_sessionize_windows_share_one_shuffle(spark):
+    """lag + running-sum use identical partitioning/ordering, so both
+    plan into window operators over ONE exchange (plus the declared
+    final ORDER BY and the aggregation)."""
+    df = _df(spark, "q_x_sessionize")
+    assert exchange_count(df) <= 3  # window + groupBy agg + ORDER BY
+    assert join_kinds(df) == []
