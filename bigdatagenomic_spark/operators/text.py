@@ -234,3 +234,108 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("bigram"))
         .limit(40)
     )
+
+
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 collocations by pointwise mutual information.
+
+    PMI(a,b) = log( p(a,b) / (p(a)·p(b)) ) over adjacent-pair and
+    unigram distributions — the statistic behind phrase mining and BPE
+    merge scoring. Three map-side-combined aggregates (bigrams,
+    unigrams, totals as 1-row broadcasts), two broadcast join-backs of
+    the tiny unigram table; the corpus is scanned twice and shuffled
+    only on the word keys. Counts gate at >= 5 so the log is stable;
+    floor-rounding keeps the doubles portable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit(""))
+    pairs = F.zip_with(
+        tok,
+        F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(1))),
+        lambda a, b: F.concat_ws("\x01", a, b),
+    )
+    bg = (
+        d.select(F.explode(pairs).alias("p"))
+        .where(F.col("p").contains("\x01"))
+        .select(
+            F.split_part(F.col("p"), F.lit("\x01"), F.lit(1)).alias("w1"),
+            F.split_part(F.col("p"), F.lit("\x01"), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_pair"))
+        .where(F.col("c_pair") >= 5)
+    )
+    uni = (
+        d.select(F.explode(tok).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    totals = (
+        d.select(
+            (F.size(tok)).alias("n_tok"),
+            (F.greatest(F.size(tok) - 1, F.lit(0))).alias("n_pair"),
+        )
+        .agg(F.sum("n_tok").alias("tot_w"), F.sum("n_pair").alias("tot_p"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
+    pmi = (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            (
+                F.floor(
+                    F.log(
+                        (F.col("c_pair") / F.col("tot_p"))
+                        / (
+                            (F.col("c_w1") / F.col("tot_w"))
+                            * (F.col("c_w2") / F.col("tot_w"))
+                        )
+                    )
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi"), "w1", "w2").limit(30)
+
+
+Q_TEXT_PMI_SQL = """
+WITH tok AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT string_split(p, chr(1))[1] AS w1, string_split(p, chr(1))[2] AS w2
+  FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || chr(1) || t[i+1])) AS p
+        FROM tok WHERE len(t) >= 2)
+), pc AS (
+  SELECT w1, w2, count(*) AS c_pair FROM bg GROUP BY w1, w2
+  HAVING count(*) >= 5
+), uni AS (
+  SELECT unnest(t) AS w FROM tok
+), uc AS (
+  SELECT w, count(*) AS c_w FROM uni GROUP BY w
+), tot AS (
+  SELECT sum(len(t)) AS tot_w,
+         sum(greatest(len(t) - 1, 0)) AS tot_p
+  FROM tok
+)
+SELECT pc.w1, pc.w2, pc.c_pair,
+       floor(ln((pc.c_pair / tot.tot_p)
+                / ((u1.c_w / tot.tot_w) * (u2.c_w / tot.tot_w)))
+             * 10000 + 0.5) / 10000 AS pmi
+FROM pc
+JOIN uc u1 ON pc.w1 = u1.w
+JOIN uc u2 ON pc.w2 = u2.w
+CROSS JOIN tot
+ORDER BY pmi DESC, pc.w1, pc.w2
+LIMIT 30
+"""

@@ -1083,6 +1083,8 @@ register(
        GROUP BY bigram ORDER BY c DESC, bigram LIMIT 40""",
 )
 
+register("q_text_pmi", T.q_text_pmi, T.Q_TEXT_PMI_SQL)
+
 
 register(
     "q_x_map_funcs",
