@@ -572,3 +572,73 @@ SELECT 'unique', 'o_custkey',
          (SELECT count(*) AS n FROM orders GROUP BY o_custkey) WHERE n > 1)
 ORDER BY "check", "column"
 """
+
+
+# --------------------------------------------------------------------------
+# quantile discretization (feature binning)
+# --------------------------------------------------------------------------
+N_QUANTILE_BINS = 4
+
+
+def quantile_bins(df: DataFrame, col: str, n_bins: int = N_QUANTILE_BINS) -> DataFrame:
+    """Assign each row to its value's quantile bin (0..n_bins-1).
+
+    The QuantileDiscretizer pattern on plain SQL: exact interpolated
+    percentile boundaries from ONE aggregate pass (tiny result,
+    broadcast back), bin = count of boundaries <= value. Rows equal to
+    a boundary go to the higher bin, matching searchsorted-right. At
+    scale you'd swap ``percentile`` for ``percentile_approx`` — the
+    plan shape is identical; the exact form is kept here for the
+    hash-match gate.
+    """
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.agg(
+        F.array(
+            *[F.percentile(col, F.lit(p)).alias(f"q{i}") for i, p in enumerate(probs)]
+        ).alias("_bounds")
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.aggregate(
+                "_bounds",
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(col) >= b, F.lit(1)).otherwise(F.lit(0)),
+            ),
+        )
+        .drop("_bounds")
+    )
+
+
+def q_x_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    binned = quantile_bins(li, "l_extendedprice")
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            round2_portable(F.min("l_extendedprice")).alias("lo"),
+            round2_portable(F.max("l_extendedprice")).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+Q_X_QUANTILE_BINS_SQL = """
+WITH b AS (
+  SELECT [quantile_cont(l_extendedprice, 0.25),
+          quantile_cont(l_extendedprice, 0.50),
+          quantile_cont(l_extendedprice, 0.75)] AS bounds
+  FROM lineitem
+), binned AS (
+  SELECT l.l_extendedprice,
+         len(list_filter(b.bounds, x -> l.l_extendedprice >= x)) AS bin
+  FROM lineitem l CROSS JOIN b
+)
+SELECT bin, count(*) AS n_rows,
+       floor(min(l_extendedprice) * 100 + 0.5) / 100 AS lo,
+       floor(max(l_extendedprice) * 100 + 0.5) / 100 AS hi
+FROM binned GROUP BY bin ORDER BY bin
+"""

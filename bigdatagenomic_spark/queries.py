@@ -1134,6 +1134,7 @@ register("q_x_outlier_flags", ST.q_x_outlier_flags, ST.Q_X_OUTLIER_FLAGS_SQL)
 # + mergeability pinned in tests/test_scale.py
 register("q_x_hll_rollup", ST.q_x_hll_rollup, None)
 register("q_x_dq_report", ST.q_x_dq_report, ST.Q_X_DQ_REPORT_SQL)
+register("q_x_quantile_bins", ST.q_x_quantile_bins, ST.Q_X_QUANTILE_BINS_SQL)
 
 
 # ---------------------------------------------------------------------------
