@@ -793,3 +793,82 @@ SELECT event_id,
        json_extract_string(props, '$.k') IS NOT NULL AS has_k
 FROM events ORDER BY event_id
 """
+
+
+# --------------------------------------------------------------------------
+# ordered-sequence funnel analysis
+# --------------------------------------------------------------------------
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel_counts(
+    events: DataFrame, steps: list[str] = None, user_col: str = "user_id"
+) -> DataFrame:
+    """Users reaching each stage of an ordered event funnel.
+
+    Stage k requires an event of type steps[k] STRICTLY AFTER the user's
+    stage-(k-1) timestamp (first-touch semantics: the earliest qualifying
+    event per stage). One conditional-min aggregate pass per stage, each
+    shuffling only (user, ts) pairs, with the per-user stage table
+    carried forward — len(steps) small shuffles, never a self-join of
+    the event log against itself. Output: (stage, step, n_users).
+    """
+    steps = steps or FUNNEL_STEPS
+    stage_ts = events.where(F.col("event_type") == steps[0]).groupBy(
+        user_col
+    ).agg(F.min("ts").alias("t0"))
+    out_rows = [
+        stage_ts.agg(
+            F.lit(1).alias("stage"),
+            F.lit(steps[0]).alias("step"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+    ]
+    for k, step in enumerate(steps[1:], start=1):
+        nxt = (
+            events.where(F.col("event_type") == step)
+            .join(stage_ts, user_col)
+            .where(F.col("ts") > F.col(f"t{k - 1}"))
+            .groupBy(user_col, *[f"t{i}" for i in range(k)])
+            .agg(F.min("ts").alias(f"t{k}"))
+        )
+        stage_ts = nxt
+        out_rows.append(
+            stage_ts.agg(
+                F.lit(k + 1).alias("stage"),
+                F.lit(step).alias("step"),
+                F.count("*").cast("long").alias("n_users"),
+            )
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage")
+
+
+def q_x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_counts(load_table(spark, sf_dir, "events"))
+
+
+Q_X_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t0
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t1
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'click', count(*) FROM s2
+UNION ALL
+SELECT 3, 'purchase', count(*) FROM s3
+ORDER BY stage
+"""
