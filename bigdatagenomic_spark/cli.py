@@ -71,7 +71,8 @@ def cmd_assemble(args: argparse.Namespace) -> int:
 
     t1 = time.time()
     annotated, assembled = asm.assemble(
-        reads, edges, args.source, args.destination, bit_compat=args.bit_compat
+        reads, edges, args.source, args.destination,
+        bit_compat=args.bit_compat, n_reads_hint=n_reads,
     )
     result = assembled.collect()
     if not result or result[0].content is None:

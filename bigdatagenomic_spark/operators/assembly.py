@@ -155,6 +155,7 @@ def extract_path(
     source: int,
     max_rounds: int = 40,
     driver_walk_threshold: int = 4_000_000,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Extract the ``next_id`` chain from ``source`` as (pos, read_id).
 
@@ -186,7 +187,12 @@ def extract_path(
         .where(F.col("s").isNotNull() & (F.col("s") != 0))
     )
 
-    n_succ = succ.count()
+    # strategy pick needs only an UPPER BOUND on the successor count; a
+    # caller that already knows its row count (the pipeline counts reads
+    # at load) passes it as the hint and saves this extra job. The bound
+    # can only over-estimate, i.e. err toward pointer doubling — never
+    # toward collecting too much to the driver.
+    n_succ = n_rows_hint if n_rows_hint is not None else succ.count()
     if n_succ <= driver_walk_threshold:
         nxt = dict(succ.collect())
         order: list[tuple[int, int]] = []
@@ -410,6 +416,7 @@ def assemble(
     source: int,
     destination: int,
     bit_compat: bool = False,
+    n_reads_hint: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run phases 1-3; returns (annotated_reads, assembled).
 
@@ -421,6 +428,6 @@ def assemble(
     flagged = flag_valid(reads, edges, destination)
     with_next = with_next_id(flagged, edges)
     annotated = scatter_invalidation(with_next, edges)
-    path = extract_path(with_next, source)
+    path = extract_path(with_next, source, n_rows_hint=n_reads_hint)
     assembled = merge_path(path, reads, bit_compat=bit_compat)
     return annotated, assembled
