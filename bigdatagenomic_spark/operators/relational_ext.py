@@ -872,3 +872,49 @@ UNION ALL
 SELECT 3, 'purchase', count(*) FROM s3
 ORDER BY stage
 """
+
+
+# --------------------------------------------------------------------------
+# cohort retention analysis
+# --------------------------------------------------------------------------
+def q_x_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort retention triangle: users grouped by first-event
+    week, counted distinct per week offset since their cohort week.
+
+    Two shuffles: the per-user min (cohort assignment) and the
+    (cohort, offset) distinct count after joining cohorts back onto the
+    event log — the join key is user_id, so at scale it co-partitions
+    with the first aggregate and AQE reuses the exchange.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = ev.join(cohort, "user_id")
+    return (
+        joined.select(
+            F.to_date("cohort_wk").alias("cohort_week"),
+            ((F.unix_timestamp("wk") - F.unix_timestamp("cohort_wk"))
+             / (7 * 86400)).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+Q_X_COHORT_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+), cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+)
+SELECT CAST(c.cohort_wk AS DATE) AS cohort_week,
+       CAST(floor((epoch(e.wk) - epoch(c.cohort_wk)) / (7 * 86400)) AS INT)
+         AS week_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM ev e JOIN cohort c USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
