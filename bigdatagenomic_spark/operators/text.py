@@ -339,3 +339,62 @@ CROSS JOIN tot
 ORDER BY pmi DESC, pc.w1, pc.w2
 LIMIT 30
 """
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean log unigram probability.
+
+    The classic cheap quality filter between heuristics (q_text_quality)
+    and a real LM: score each document by the average log corpus
+    frequency of its tokens — gibberish and boilerplate-heavy docs sit
+    in the tails. One pass builds the unigram table, which joins back
+    onto the exploded tokens (broadcast here; at 100 TB vocab the join
+    shuffles on the token key) and aggregates per doc. Floor-rounded at
+    6 decimals for the cross-engine hash.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit("")
+            )
+        ).alias("w"),
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c_w"))
+    total = tok.agg(F.count("*").alias("tot"))
+    scored = (
+        tok.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            (
+                F.floor(
+                    F.avg(F.log(F.col("c_w") / F.col("tot"))) * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("avg_logp"),
+        )
+    )
+    return scored.orderBy("doc_id")
+
+
+Q_TEXT_UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, count(*) AS c_w FROM tok GROUP BY w
+), tot AS (
+  SELECT count(*) AS tot FROM tok
+)
+SELECT t.doc_id, count(*) AS n_tok,
+       floor(avg(ln(v.c_w / tot.tot)) * 1000000 + 0.5) / 1000000 AS avg_logp
+FROM tok t JOIN vocab v USING (w) CROSS JOIN tot
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""

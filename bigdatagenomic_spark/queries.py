@@ -1084,6 +1084,11 @@ register(
 )
 
 register("q_text_pmi", T.q_text_pmi, T.Q_TEXT_PMI_SQL)
+register(
+    "q_text_unigram_logprob",
+    T.q_text_unigram_logprob,
+    T.Q_TEXT_UNIGRAM_LOGPROB_SQL,
+)
 
 
 register(
