@@ -140,3 +140,28 @@ def test_orc_filter_pushdown(spark, tmp_path):
     df = read_orc(spark, path).where("o_orderkey < 100").select("o_orderkey")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:120]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across partition generations: an added column
+    appears (null-filled for old files) under mergeSchema, and the
+    reader without it still serves the common prefix — the contract
+    that lets a 100 TB table grow columns without rewriting history."""
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, SF_DIR, "nation")
+    v1 = str(tmp_path / "evo/gen=1")
+    v2 = str(tmp_path / "evo/gen=2")
+    base.write.parquet(v1)
+    base.withColumn("population", F.col("n_nationkey") * 1000).write.parquet(v2)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "evo")
+    )
+    assert "population" in merged.columns
+    assert merged.count() == 2 * base.count()
+    nulls = merged.where(F.col("population").isNull()).count()
+    assert nulls == base.count()  # old generation null-filled
+    # plain read still works and serves the common columns
+    plain = spark.read.parquet(str(tmp_path / "evo"))
+    assert plain.select("n_nationkey", "n_name").count() == 2 * base.count()
