@@ -268,3 +268,37 @@ def test_sessionize_windows_share_one_shuffle(spark):
     df = _df(spark, "q_x_sessionize")
     assert exchange_count(df) <= 3  # window + groupBy agg + ORDER BY
     assert join_kinds(df) == []
+
+
+# Queries that INTENTIONALLY plan a BroadcastNestedLoopJoin: each one
+# broadcasts a provably tiny side (a bounded query set, K centroids, or a
+# 1-row totals/bounds scalar). Everything else must plan equi-joins.
+_BNLJ_ALLOWED = {
+    "q26_cosine_topk",       # broadcast bounded query set x candidates
+    "q_sim_ivf_topk",        # broadcast centroid table
+    "q_cluster_kmeans",      # broadcast K centroids per iteration
+    "q_dedup_embcos",        # bounded-sample pair scores (by contract)
+    "q_text_tfidf",          # 1-row corpus doc-count scalar
+    "q_x_skew_report",       # 1-row total scalar
+    "q_text_pmi",            # 1-row pair/word totals scalar
+    "q_text_unigram_logprob", # 1-row token total scalar
+    "q_x_quantile_bins",     # 1-row bounds array
+}
+
+
+def test_no_cartesian_and_bnlj_only_where_intended(spark):
+    """Registry-wide plan hygiene: NO CartesianProduct anywhere, and
+    BroadcastNestedLoopJoin only in the allowlisted queries that attach
+    a tiny broadcast side on purpose. A BNLJ over two big inputs is the
+    O(n*m) plan that kills a 100 TB job; this guard catches one the day
+    it sneaks in."""
+    from bigdatagenomic_spark import queries as Q
+
+    offenders = {}
+    for name, fn in Q.queries().items():
+        plan = formatted_plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+    assert not offenders, offenders
