@@ -918,3 +918,46 @@ FROM ev e JOIN cohort c USING (user_id)
 GROUP BY cohort_week, week_offset
 ORDER BY cohort_week, week_offset
 """
+
+
+# --------------------------------------------------------------------------
+# full outer join (aggregate-then-join reconciliation)
+# --------------------------------------------------------------------------
+def q_x_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer vs supplier counts, FULL OUTER joined so
+    nations present on only one side keep a 0 on the other — the
+    reconciliation-report shape. Both sides aggregate BEFORE the join,
+    so the outer join runs at nation cardinality."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, c["nk_c"] == s["nk_s"], "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q_X_FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1
+)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(c.n_cust, 0) AS n_cust,
+       coalesce(s.n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+ORDER BY nationkey
+"""

@@ -1164,6 +1164,7 @@ register("q_x_apply_changes", RX.q_x_apply_changes, RX.Q_X_APPLY_CHANGES_SQL)
 register("q_x_variant_extract", RX.q_x_variant_extract, RX.Q_X_VARIANT_EXTRACT_SQL)
 register("q_x_funnel", RX.q_x_funnel, RX.Q_X_FUNNEL_SQL)
 register("q_x_cohort_retention", RX.q_x_cohort_retention, RX.Q_X_COHORT_RETENTION_SQL)
+register("q_x_full_outer", RX.q_x_full_outer, RX.Q_X_FULL_OUTER_SQL)
 
 
 # ---------------------------------------------------------------------------
