@@ -210,3 +210,60 @@ def decode_images(mm: DataFrame, decoder=None) -> DataFrame:
     return mm.mapInPandas(
         gen, "doc_id BIGINT, width INT, height INT, pixel_checksum BIGINT"
     )
+
+
+# --------------------------------------------------------------------------
+# fixed-size payload chunking (multipart storage / upload plumbing)
+# --------------------------------------------------------------------------
+CHUNK_BYTES = 256
+
+
+def chunk_payloads(mm: DataFrame, chunk_bytes: int = CHUNK_BYTES) -> DataFrame:
+    """Split each binary payload into fixed-size chunks with per-chunk
+    checksum + length — the multipart-upload/content-addressed-store
+    plumbing for blob columns. The explode is a narrow map (no shuffle);
+    chunk extraction is binary ``substring`` JVM-side, and only the
+    (doc, chunk_id, md5, length) manifest — never the bytes — needs to
+    move for dedup/verification downstream.
+    """
+    n_chunks = F.ceil(F.col("meta.n_bytes") / F.lit(chunk_bytes)).cast("int")
+    rows = mm.select(
+        "doc_id",
+        "payload",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+        ).alias("chunk_id"),
+    )
+    chunk = F.expr(
+        f"substring(payload, chunk_id * {chunk_bytes} + 1, {chunk_bytes})"
+    )
+    return rows.select(
+        "doc_id",
+        "chunk_id",
+        F.octet_length(chunk).alias("chunk_bytes"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+def q_mm_chunked_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = attach_payloads(load_table(spark, sf_dir, "documents"))
+    return chunk_payloads(mm).orderBy("doc_id", "chunk_id")
+
+
+Q_MM_CHUNKED_PAYLOAD_SQL = f"""
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+), c AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(CAST(ceil(n / {CHUNK_BYTES}.0) AS INT), 1)))
+           AS chunk_id
+  FROM p
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(length(substr(text, CAST(chunk_id * {CHUNK_BYTES} + 1 AS INT),
+                          {CHUNK_BYTES})) AS INT) AS chunk_bytes,
+       md5(substr(text, CAST(chunk_id * {CHUNK_BYTES} + 1 AS INT),
+                  {CHUNK_BYTES})) AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_id
+"""

@@ -671,6 +671,10 @@ register(
        FROM c ORDER BY doc_id""",
 )
 
+register(
+    "q_mm_chunked_payload", MM.q_mm_chunked_payload, MM.Q_MM_CHUNKED_PAYLOAD_SQL
+)
+
 # IVF ANN: approximate by contract (probed buckets bound the candidate
 # set); rows-only check here, recall-vs-exact measured in tests
 # deterministic IVF pipeline (fixed centroids, single-bucket assignment)
