@@ -961,3 +961,68 @@ SELECT coalesce(c.nk, s.nk) AS nationkey,
 FROM c FULL OUTER JOIN s ON c.nk = s.nk
 ORDER BY nationkey
 """
+
+
+# --------------------------------------------------------------------------
+# ratio-to-report (percent of total) window
+# --------------------------------------------------------------------------
+def q_x_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of total customer account balance: an
+    aggregate followed by an unpartitioned window sum. The window input
+    is nation-cardinality (the aggregate ran first), so the single-
+    partition window is over ~25 rows, not the fact table — the safe
+    version of a pattern that is a scale trap when applied pre-agg."""
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.sum("c_acctbal").alias("bal")
+    )
+    w = W.partitionBy()
+    return per_nation.select(
+        "c_nationkey",
+        round2_portable(F.col("bal")).alias("bal"),
+        (
+            F.floor(F.col("bal") / F.sum("bal").over(w) * 1000000 + F.lit(0.5))
+            / 10000
+        ).alias("pct_of_total"),
+    ).orderBy("c_nationkey")
+
+
+Q_X_RATIO_TO_REPORT_SQL = """
+WITH per_nation AS (
+  SELECT c_nationkey, sum(c_acctbal) AS bal FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey,
+       floor(bal * 100 + 0.5) / 100 AS bal,
+       floor(bal / sum(bal) OVER () * 1000000 + 0.5) / 10000 AS pct_of_total
+FROM per_nation ORDER BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# time-bucketed dedup (at most one row per content per day)
+# --------------------------------------------------------------------------
+def q_x_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the FIRST event per (user, event_type, day) — the batch twin
+    of streaming dropDuplicatesWithinWatermark with a day-bucketed key:
+    one window shuffle on the dedup key, earliest row wins
+    deterministically (ties broken by event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy(
+        "user_id", "event_type", F.to_date("ts").alias("day")
+    ).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("event_id", "user_id", "event_type", F.to_date("ts").alias("day"))
+        .orderBy("event_id")
+    )
+
+
+Q_X_WINDOW_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS day FROM (
+  SELECT event_id, user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn = 1 ORDER BY event_id
+"""

@@ -1169,6 +1169,10 @@ register("q_x_variant_extract", RX.q_x_variant_extract, RX.Q_X_VARIANT_EXTRACT_S
 register("q_x_funnel", RX.q_x_funnel, RX.Q_X_FUNNEL_SQL)
 register("q_x_cohort_retention", RX.q_x_cohort_retention, RX.Q_X_COHORT_RETENTION_SQL)
 register("q_x_full_outer", RX.q_x_full_outer, RX.Q_X_FULL_OUTER_SQL)
+register(
+    "q_x_ratio_to_report", RX.q_x_ratio_to_report, RX.Q_X_RATIO_TO_REPORT_SQL
+)
+register("q_x_window_dedup", RX.q_x_window_dedup, RX.Q_X_WINDOW_DEDUP_SQL)
 
 
 # ---------------------------------------------------------------------------
