@@ -1026,3 +1026,46 @@ SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS day FROM (
   FROM events)
 WHERE rn = 1 ORDER BY event_id
 """
+
+
+# --------------------------------------------------------------------------
+# rolling time-window aggregate (RANGE frame over seconds)
+# --------------------------------------------------------------------------
+ROLLING_WINDOW_S = 3600  # trailing hour
+
+
+def q_x_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-hour event count + value sum at every event —
+    the continuous rolling metric (rate limiting, anomaly baselines).
+    A value-RANGE frame over epoch seconds: ONE shuffle on user_id,
+    each partition scanned once with a sliding frame — never the
+    self-join-on-time-band formulation (O(n·w) per key)."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-ROLLING_WINDOW_S, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            sec.alias("ts_sec"),
+            F.count("*").over(w).alias("n_trailing"),
+            round2_portable(F.sum("value").over(w)).alias("sum_trailing"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q_X_ROLLING_WINDOW_SQL = f"""
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+       count(*) OVER w AS n_trailing,
+       floor(sum(value) OVER w * 100 + 0.5) / 100 AS sum_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN {ROLLING_WINDOW_S} PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""

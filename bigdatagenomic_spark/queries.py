@@ -984,6 +984,8 @@ from bigdatagenomic_spark.operators import analytics as AN
 register("q_tpch_q2_shape", AN.q_tpch_q2_shape, AN.Q_TPCH_Q2_SQL)
 register("q_tpch_q3_shape", AN.q_tpch_q3_shape, AN.Q_TPCH_Q3_SQL)
 register("q_tpch_q4_shape", AN.q_tpch_q4_shape, AN.Q_TPCH_Q4_SQL)
+register("q_tpch_q6_shape", AN.q_tpch_q6_shape, AN.Q_TPCH_Q6_SQL)
+register("q_tpch_q15_shape", AN.q_tpch_q15_shape, AN.Q_TPCH_Q15_SQL)
 register("q_tpch_q5_shape", AN.q_tpch_q5_shape, AN.Q_TPCH_Q5_SQL)
 register("q_tpch_q7_shape", AN.q_tpch_q7_shape, AN.Q_TPCH_Q7_SQL)
 register("q_tpch_q10_shape", AN.q_tpch_q10_shape, AN.Q_TPCH_Q10_SQL)
@@ -1173,6 +1175,9 @@ register(
     "q_x_ratio_to_report", RX.q_x_ratio_to_report, RX.Q_X_RATIO_TO_REPORT_SQL
 )
 register("q_x_window_dedup", RX.q_x_window_dedup, RX.Q_X_WINDOW_DEDUP_SQL)
+register(
+    "q_x_rolling_window", RX.q_x_rolling_window, RX.Q_X_ROLLING_WINDOW_SQL
+)
 
 
 # ---------------------------------------------------------------------------
