@@ -379,8 +379,10 @@ def outlier_flags(df: DataFrame, key: str, col: str) -> DataFrame:
         F.median(F.abs(x - F.col("_med"))).alias("_mad")
     )
     with_mad = with_stats.join(F.broadcast(g2), key)
-    z = (x - F.col("_mu")) / F.col("_sigma")
-    rz = F.lit(MAD_CONSISTENCY) * (x - F.col("_med")) / F.col("_mad")
+    # try_divide: a zero-variance / zero-MAD group (constant column) must
+    # yield NULL scores — no outliers — not an ANSI divide-by-zero error
+    z = F.try_divide(x - F.col("_mu"), F.col("_sigma"))
+    rz = F.lit(MAD_CONSISTENCY) * F.try_divide(x - F.col("_med"), F.col("_mad"))
     return with_mad.withColumn("z_score", z).withColumn("robust_z", rz)
 
 

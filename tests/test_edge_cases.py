@@ -1,0 +1,104 @@
+"""Empty- and degenerate-input robustness for operator FUNCTIONS.
+
+A 100 TB pipeline routinely produces empty slices (a filter that
+matches nothing, a new partition, a cold-start corpus); every operator
+must return an empty/correct result, never throw."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+DOC_SCHEMA = "doc_id LONG, text STRING, source STRING"
+
+
+def _empty(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+def test_sessionize_empty_and_single(spark):
+    from bigdatagenomic_spark.operators.relational_ext import sessionize
+
+    assert sessionize(_empty(spark, EVENT_SCHEMA)).count() == 0
+    one = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 7, "view", 1.0, "{}")], EVENT_SCHEMA
+    )
+    rows = sessionize(one).collect()
+    assert len(rows) == 1 and rows[0].session_seq == 1
+
+
+def test_funnel_empty_events(spark):
+    from bigdatagenomic_spark.operators.relational_ext import funnel_counts
+
+    got = {r.stage: r.n_users for r in funnel_counts(_empty(spark, EVENT_SCHEMA)).collect()}
+    assert got == {1: 0, 2: 0, 3: 0}
+
+
+def test_snapshot_diff_empty_sides(spark):
+    from bigdatagenomic_spark.operators.llm_prep import snapshot_diff
+
+    docs = spark.createDataFrame([(1, "a", "s"), (2, "b", "s")], DOC_SCHEMA)
+    empty = _empty(spark, DOC_SCHEMA)
+    added = snapshot_diff(empty, docs, ["doc_id"], ["text"]).collect()
+    assert {r.change_type for r in added} == {"added"} and len(added) == 2
+    removed = snapshot_diff(docs, empty, ["doc_id"], ["text"]).collect()
+    assert {r.change_type for r in removed} == {"removed"} and len(removed) == 2
+    assert snapshot_diff(empty, empty, ["doc_id"], ["text"]).count() == 0
+
+
+def test_apply_changes_empty_changelog_and_empty_base(spark):
+    from bigdatagenomic_spark.operators.relational_ext import apply_changes
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id LONG, text STRING")
+    log_schema = "doc_id LONG, text STRING, op STRING, seq INT"
+    out = apply_changes(base, _empty(spark, log_schema), ["doc_id"], "seq")
+    assert sorted((r.doc_id, r.text) for r in out.collect()) == [(1, "a"), (2, "b")]
+    ins = spark.createDataFrame([(9, "z", "I", 1)], log_schema)
+    out2 = apply_changes(
+        _empty(spark, "doc_id LONG, text STRING"), ins, ["doc_id"], "seq"
+    )
+    assert [(r.doc_id, r.text) for r in out2.collect()] == [(9, "z")]
+
+
+def test_outlier_flags_constant_column(spark):
+    """Zero variance: sigma = 0 and MAD = 0 make both scores NULL/inf-free
+    divisions in ANSI mode? They divide 0 by 0 -> NaN/NULL; the flags
+    must simply mark nothing instead of throwing."""
+    from bigdatagenomic_spark.operators.stats import outlier_flags
+
+    df = spark.createDataFrame([( "A", 5.0)] * 10, "k STRING, x DOUBLE")
+    flagged = outlier_flags(df, "k", "x")
+    got = flagged.where(
+        (F.abs("z_score") > 3) | (F.abs("robust_z") > 3.5)
+    ).count()
+    assert got == 0
+
+
+def test_reservoir_k_larger_than_group(spark):
+    from bigdatagenomic_spark.operators.relational_ext import reservoir_per_key
+
+    df = spark.createDataFrame([(1, 10, 20)], "k INT, a INT, b INT")
+    rows = reservoir_per_key(df, "k", ["a", "b"], 5).collect()
+    assert len(rows) == 1 and rows[0].sample_rank == 1
+
+
+def test_connected_components_no_edges(spark):
+    from bigdatagenomic_spark.operators.graph import connected_components
+
+    edges = _empty(spark, "src LONG, dst LONG")
+    assert connected_components(edges).count() == 0
+
+
+def test_quantile_bins_single_value(spark):
+    from bigdatagenomic_spark.operators.stats import quantile_bins
+
+    df = spark.createDataFrame([(7.0,)] * 8, "x DOUBLE")
+    rows = quantile_bins(df, "x").collect()
+    # all boundaries equal the value; every row lands in the top bin
+    assert len(rows) == 8 and len({r.bin for r in rows}) == 1
