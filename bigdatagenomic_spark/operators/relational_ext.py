@@ -981,7 +981,10 @@ def q_x_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         round2_portable(F.col("bal")).alias("bal"),
         (
-            F.floor(F.col("bal") / F.sum("bal").over(w) * 1000000 + F.lit(0.5))
+            F.floor(
+                F.try_divide(F.col("bal"), F.sum("bal").over(w)) * 1000000
+                + F.lit(0.5)
+            )
             / 10000
         ).alias("pct_of_total"),
     ).orderBy("c_nationkey")
