@@ -261,3 +261,70 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jacc") >= JACCARD_THRESHOLD
     )
     return near_dup_survivors(d.select("doc_id"), pairs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (edit-distance) dedup with blocking
+# ---------------------------------------------------------------------------
+FUZZY_SAMPLE_PARTS = 1000
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_pairs(
+    names: DataFrame, key: str, name: str, max_dist: int = FUZZY_MAX_DIST
+) -> DataFrame:
+    """Near-identical name pairs by edit distance, with blocking.
+
+    The all-pairs edit-distance matrix is O(n²·L²) and a non-starter;
+    the classic fix is BLOCKING on cheap necessary conditions — here
+    the first character plus a length band (edit distance ≤ d implies
+    length difference ≤ d) — so the self-join is an equi-join on the
+    block key and levenshtein only runs on candidates, exactly the
+    LSH-then-verify shape the other dedup families use.
+    """
+    base = names.select(
+        F.col(key).alias("k"),
+        F.lower(F.col(name)).alias("nm"),
+        F.substring(F.lower(F.col(name)), 1, 1).alias("blk"),
+        F.length(F.col(name)).alias("ln"),
+    )
+    a = base.select(
+        F.col("k").alias("a_id"), F.col("nm").alias("a_nm"),
+        F.col("blk"), F.col("ln").alias("a_ln"),
+    )
+    b = base.select(
+        F.col("k").alias("b_id"), F.col("nm").alias("b_nm"),
+        F.col("blk"), F.col("ln").alias("b_ln"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_ln") - F.col("b_ln")) <= max_dist)
+        )
+        .withColumn("dist", F.levenshtein("a_nm", "b_nm"))
+        .where(F.col("dist") <= max_dist)
+        .select("a_id", "b_id", "dist")
+    )
+
+
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_partkey") < FUZZY_SAMPLE_PARTS
+    )
+    return fuzzy_pairs(p, "p_partkey", "p_name").orderBy("a_id", "b_id")
+
+
+Q_DEDUP_FUZZY_SQL = f"""
+WITH base AS (
+  SELECT p_partkey AS k, lower(p_name) AS nm,
+         substr(lower(p_name), 1, 1) AS blk, length(p_name) AS ln
+  FROM part WHERE p_partkey < {FUZZY_SAMPLE_PARTS}
+)
+SELECT a.k AS a_id, b.k AS b_id,
+       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+FROM base a JOIN base b ON a.blk = b.blk
+WHERE a.k < b.k AND abs(a.ln - b.ln) <= {FUZZY_MAX_DIST}
+  AND levenshtein(a.nm, b.nm) <= {FUZZY_MAX_DIST}
+ORDER BY a_id, b_id
+"""

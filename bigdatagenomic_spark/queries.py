@@ -533,6 +533,8 @@ register(
         FROM bs ORDER BY doc_id""",
 )
 
+register("q_dedup_fuzzy", D.q_dedup_fuzzy, D.Q_DEDUP_FUZZY_SQL)
+
 _COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
         " * sqrt(list_dot_product({b}, {b})))")
 
