@@ -1072,3 +1072,56 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN {ROLLING_WINDOW_S} PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+
+# --------------------------------------------------------------------------
+# consecutive-event pattern detection (MATCH_RECOGNIZE-lite)
+# --------------------------------------------------------------------------
+PATTERN_RUN_LEN = 3
+
+
+def q_x_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with >= 3 CONSECUTIVE 'error' events (no other event type in
+    between): the alerting/pattern shape SQL MATCH_RECOGNIZE serves,
+    built from two windows that share one shuffle on user_id —
+    gaps-and-islands run-ids (row_number difference), then a run-length
+    count. Emits (user_id, run_start_id, run_len) per qualifying run."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_err = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn("rn_all", F.row_number().over(w_all))
+        .withColumn("rn_type", F.row_number().over(w_err))
+        .where(F.col("event_type") == "error")
+        .withColumn("run_key", F.col("rn_all") - F.col("rn_type"))
+    )
+    return (
+        runs.groupBy("user_id", "run_key")
+        .agg(
+            F.min("event_id").alias("run_start_id"),
+            F.count("*").alias("run_len"),
+        )
+        .where(F.col("run_len") >= PATTERN_RUN_LEN)
+        .select("user_id", "run_start_id", "run_len")
+        .orderBy("user_id", "run_start_id")
+    )
+
+
+Q_X_ERROR_RUNS_SQL = f"""
+WITH numbered AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn_all,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_type
+  FROM events
+), runs AS (
+  SELECT user_id, event_id, rn_all - rn_type AS run_key
+  FROM numbered WHERE event_type = 'error'
+)
+SELECT user_id, min(event_id) AS run_start_id, count(*) AS run_len
+FROM runs
+GROUP BY user_id, run_key
+HAVING count(*) >= {PATTERN_RUN_LEN}
+ORDER BY user_id, run_start_id
+"""

@@ -1180,6 +1180,7 @@ register("q_x_window_dedup", RX.q_x_window_dedup, RX.Q_X_WINDOW_DEDUP_SQL)
 register(
     "q_x_rolling_window", RX.q_x_rolling_window, RX.Q_X_ROLLING_WINDOW_SQL
 )
+register("q_x_error_runs", RX.q_x_error_runs, RX.Q_X_ERROR_RUNS_SQL)
 
 
 # ---------------------------------------------------------------------------
