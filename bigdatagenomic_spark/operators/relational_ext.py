@@ -1125,3 +1125,106 @@ GROUP BY user_id, run_key
 HAVING count(*) >= {PATTERN_RUN_LEN}
 ORDER BY user_id, run_start_id
 """
+
+
+# --------------------------------------------------------------------------
+# SCD type-2 history build (validity intervals from a changelog)
+# --------------------------------------------------------------------------
+def scd2_history(
+    changelog: DataFrame, key_cols: list[str], seq_col: str
+) -> DataFrame:
+    """Build slowly-changing-dimension type-2 rows: each change version
+    gets [valid_from, valid_to) with valid_to = the next version's seq
+    (NULL = current). One window shuffle on the key; the lead() lookup
+    is partition-local. The temporal-versioning complement of
+    apply_changes (which keeps only the latest)."""
+    w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).asc())
+    return (
+        changelog.withColumn("valid_from", F.col(seq_col))
+        .withColumn("valid_to", F.lead(seq_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def q_x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 over a deterministic document changelog (same U/D/I scenario
+    as q_x_apply_changes) — every version row with its validity range."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    upd = d.where(F.col("doc_id") % CDC_UPD_MOD == 0).select(
+        "doc_id", F.lit("U").alias("op"), F.lit(1).alias("seq")
+    )
+    dele = d.where(F.col("doc_id") % CDC_DEL_MOD == 0).select(
+        "doc_id", F.lit("D").alias("op"), F.lit(2).alias("seq")
+    )
+    ins = d.where(F.col("doc_id") % CDC_INS_MOD == 0).select(
+        "doc_id", F.lit("I").alias("op"), F.lit(3).alias("seq")
+    )
+    log = upd.unionByName(dele).unionByName(ins)
+    return (
+        scd2_history(log, ["doc_id"], "seq")
+        .select("doc_id", "op", "seq", "valid_from", "valid_to", "is_current")
+        .orderBy("doc_id", "seq")
+    )
+
+
+Q_X_SCD2_HISTORY_SQL = f"""
+WITH log AS (
+  SELECT doc_id, 'U' AS op, 1 AS seq FROM documents
+  WHERE doc_id % {CDC_UPD_MOD} = 0
+  UNION ALL
+  SELECT doc_id, 'D', 2 FROM documents WHERE doc_id % {CDC_DEL_MOD} = 0
+  UNION ALL
+  SELECT doc_id, 'I', 3 FROM documents WHERE doc_id % {CDC_INS_MOD} = 0
+)
+SELECT doc_id, op, seq, seq AS valid_from,
+       lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to,
+       lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) IS NULL AS is_current
+FROM log
+ORDER BY doc_id, seq
+"""
+
+
+# --------------------------------------------------------------------------
+# calendar dimension generator (no source table)
+# --------------------------------------------------------------------------
+CAL_START = "2024-01-01"
+CAL_END = "2024-03-31"
+
+
+def q_x_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate a date dimension from thin air: sequence + explode, all
+    attributes derived JVM-side — the standard star-schema helper a
+    reference user would otherwise hand-load. sf_dir is unused (the
+    generator is data-free) but kept for the registry signature."""
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit(CAL_START)),
+                F.to_date(F.lit(CAL_END)),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    return days.select(
+        "d",
+        F.year("d").cast("int").alias("y"),
+        F.month("d").cast("int").alias("m"),
+        F.dayofmonth("d").cast("int").alias("dom"),
+        (F.weekday("d") + 1).cast("int").alias("isodow"),
+        F.quarter("d").cast("int").alias("q"),
+        (F.weekday("d") >= 5).alias("is_weekend"),
+        F.last_day("d").alias("month_end"),
+    ).orderBy("d")
+
+
+Q_X_CALENDAR_DIM_SQL = f"""
+SELECT CAST(d AS DATE) AS d,
+       CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS m,
+       CAST(day(d) AS INT) AS dom, CAST(isodow(d) AS INT) AS isodow,
+       CAST(quarter(d) AS INT) AS q,
+       isodow(d) >= 6 AS is_weekend,
+       last_day(d) AS month_end
+FROM (SELECT unnest(generate_series(DATE '{CAL_START}', DATE '{CAL_END}',
+                                    INTERVAL 1 DAY)) AS d)
+ORDER BY d
+"""

@@ -1181,6 +1181,8 @@ register(
     "q_x_rolling_window", RX.q_x_rolling_window, RX.Q_X_ROLLING_WINDOW_SQL
 )
 register("q_x_error_runs", RX.q_x_error_runs, RX.Q_X_ERROR_RUNS_SQL)
+register("q_x_scd2_history", RX.q_x_scd2_history, RX.Q_X_SCD2_HISTORY_SQL)
+register("q_x_calendar_dim", RX.q_x_calendar_dim, RX.Q_X_CALENDAR_DIM_SQL)
 
 
 # ---------------------------------------------------------------------------
