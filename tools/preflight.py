@@ -1,0 +1,78 @@
+"""Full-registry preflight on a vanilla SparkSession (VERDICT r1 item 3).
+
+Simulates the correctness driver: build a bare SparkSession (none of
+``get_spark``'s confs), run EVERY registry entry at sf0.01, and compare
+against its DuckDB oracle with the same normalization the driver uses.
+Any query whose correctness silently depends on a ``get_spark``-only conf
+(UTC timezone, nanosAsLong, ANSI mode, ...) fails here before it fails in
+the driver's gate.
+
+Usage: python tools/preflight.py [sf_dir]  (default /root/testdata/sf0.01)
+Writes one line per query and a final JSON summary to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Vanilla on purpose: master + parallelism only (perf knobs, not
+    # correctness knobs). No timezone, no nanosAsLong, no ANSI override.
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.driver.memory", "8g")
+        .appName("preflight-vanilla")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    from tests.oracle_harness import compare_query
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    results: dict[str, str] = {}
+    t0 = time.time()
+    for name, fn in qs.items():
+        t = time.time()
+        try:
+            if name in oracles:
+                problems = compare_query(spark, sf_dir, fn, oracles[name])
+                status = "ok" if not problems else "MISMATCH: " + "; ".join(problems)
+            else:
+                n = fn(spark, sf_dir).count()
+                status = f"ok(rows-only,{n})"
+        except Exception:
+            status = "ERROR: " + traceback.format_exc().strip().splitlines()[-1]
+        results[name] = status
+        print(f"{name:36s} {time.time() - t:6.2f}s  {status}", flush=True)
+
+    bad = {k: v for k, v in results.items() if not v.startswith("ok")}
+    print(
+        json.dumps(
+            {
+                "total": len(results),
+                "ok": len(results) - len(bad),
+                "bad": bad,
+                "elapsed_sec": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
