@@ -397,9 +397,10 @@ def asof_join_cogrouped(
 
 def q_x_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: build a map from the event props, read it back
-    with map_keys/map_values/try_element_at (ANSI-safe access). The
-    oracle mirrors the map as parallel key/value lists — DuckDB has no
-    MAP in its parquet-view path, but the observable contents match."""
+    with map_keys/map_values/try_element_at (ANSI-safe access). Keys and
+    values are emitted comma-joined: the correctness driver canonicalizes
+    through pandas, where raw list cells are unsortable, and int/string
+    casts agree exactly across engines."""
     ev = load_table(spark, sf_dir, "events")
     v = F.get_json_object("props", "$.k").cast("int")
     m = F.map_from_arrays(
@@ -409,8 +410,11 @@ def q_x_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", m.alias("m"))
         .select(
             "event_id",
-            F.map_keys("m").alias("keys"),
-            F.map_values("m").alias("vals"),
+            F.array_join(F.map_keys("m"), ",").alias("keys"),
+            F.array_join(
+                F.transform(F.map_values("m"), lambda x: x.cast("string")),
+                ",",
+            ).alias("vals"),
             F.try_element_at(F.col("m"), F.lit("kk")).alias("kk"),
             F.size("m").alias("n_entries"),
         )
@@ -656,8 +660,12 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         -- CAST: DuckDB sum(int) is HUGEINT, which pandas renders as
+         -- float64 — the driver's canonicalizer would then hash 1.0 vs
+         -- Spark's int64 1 and mismatch. BIGINT keeps both sides int64.
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
            AS session_seq
   FROM flagged
 )

@@ -287,7 +287,13 @@ def q_x_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalize every embedding (the precompute that turns cosine
     into a plain dot product for every op downstream). Pure array
     expressions — the fold and transform run inside codegen, no Python,
-    no shuffle: a narrow map-only stage at any scale."""
+    no shuffle: a narrow map-only stage at any scale.
+
+    Output encoding: the unit vector is emitted as a comma-joined string
+    of micro-unit BIGINTs (component * 1e6, half-up). The correctness
+    driver canonicalizes results through pandas, where raw list columns
+    are unsortable/unhashable; integers cast to identical strings on both
+    engines, so the whole vector stays hash-checkable."""
     e = _vecs(spark, sf_dir)
     norm = F.sqrt(
         F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
@@ -296,17 +302,21 @@ def q_x_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # name would make the transform below divide by the ROUNDED norm
     out = e.withColumn("_nrm", norm)
 
-    # floor(x*1e6+0.5)/1e6 on BOTH engines: identical double arithmetic,
+    # floor(x*1e6+0.5) on BOTH engines: identical double arithmetic,
     # so half-way cases can't disagree the way native round() does
-    def r6(c):
-        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    def micro(c):
+        return F.floor(c * 1000000 + F.lit(0.5)).cast("bigint")
 
     return out.select(
         "vec_id",
-        r6(F.col("_nrm")).alias("l2_norm"),
-        F.transform(
-            "v", lambda x: r6(F.try_divide(x, F.col("_nrm")))
-        ).alias("unit_vec"),
+        (micro(F.col("_nrm")) / 1000000).alias("l2_norm"),
+        F.array_join(
+            F.transform(
+                "v",
+                lambda x: micro(F.try_divide(x, F.col("_nrm"))).cast("string"),
+            ),
+            ",",
+        ).alias("unit_vec_micro"),
     ).orderBy("vec_id")
 
 
@@ -317,9 +327,11 @@ WITH n AS (
                                       x -> x * x))) AS nrm
   FROM embeddings
 )
-SELECT vec_id, floor(nrm * 1000000 + 0.5) / 1000000 AS l2_norm,
-       list_transform(v, x -> floor(x / nrm * 1000000 + 0.5) / 1000000)
-         AS unit_vec
+SELECT vec_id,
+       CAST(floor(nrm * 1000000 + 0.5) AS BIGINT) / 1000000 AS l2_norm,
+       array_to_string(
+         list_transform(v, x -> CAST(floor(x / nrm * 1000000 + 0.5)
+                                     AS BIGINT)), ',') AS unit_vec_micro
 FROM n ORDER BY vec_id
 """
 
@@ -331,14 +343,23 @@ def q_x_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vecs(spark, sf_dir)
     max_abs = F.array_max(F.transform("v", F.abs))
     out = e.withColumn("_ma", max_abs)
+    # qvec as a comma-joined string of int8 codes: the driver's pandas
+    # canonicalizer can't sort raw list columns (see q_x_emb_normalize);
+    # integer-to-string casts agree exactly across engines. Half-up via
+    # floor(x+0.5) — banker's-rounding-free, identical in both engines.
     return out.select(
         "vec_id",
         F.round(F.col("_ma"), 6).alias("max_abs"),
-        F.transform(
-            "v",
-            lambda x: F.round(F.try_divide(x * 127.0, F.col("_ma")), 0).cast(
-                "int"
+        F.array_join(
+            F.transform(
+                "v",
+                lambda x: F.floor(
+                    F.try_divide(x * 127.0, F.col("_ma")) + F.lit(0.5)
+                )
+                .cast("int")
+                .cast("string"),
             ),
+            ",",
         ).alias("qvec"),
     ).orderBy("vec_id")
 
@@ -351,7 +372,9 @@ WITH m AS (
   FROM embeddings
 )
 SELECT vec_id, round(ma, 6) AS max_abs,
-       list_transform(v, x -> CAST(round(x * 127.0 / ma, 0) AS INT)) AS qvec
+       array_to_string(
+         list_transform(v, x -> CAST(floor(x * 127.0 / ma + 0.5) AS INT)),
+         ',') AS qvec
 FROM m ORDER BY vec_id
 """
 

@@ -233,19 +233,28 @@ def q_x_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_sort`` makes the value deterministic and hash-comparable.
     One shuffle on the group key; per-group arrays stay small relative
     to executor memory (bounded by orders-per-customer, not table size).
+    The array is emitted comma-joined (driver canonicalizes via pandas,
+    which can't sort raw list cells; BIGINT-to-string agrees exactly).
     """
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
-        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"))
-        .withColumn("n_orders", F.size("orderkeys").cast("long"))
+        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("ok_arr"))
+        .select(
+            "o_custkey",
+            F.array_join(
+                F.transform("ok_arr", lambda x: x.cast("string")), ","
+            ).alias("orderkeys"),
+            F.size("ok_arr").cast("long").alias("n_orders"),
+        )
         .orderBy("o_custkey")
     )
 
 
 Q_X_COLLECT_SORTED_SQL = """
 SELECT o_custkey,
-       array_agg(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+       array_to_string(array_agg(o_orderkey ORDER BY o_orderkey), ',')
+         AS orderkeys,
        count(*) AS n_orders
 FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
@@ -566,11 +575,13 @@ SELECT 'not_null', 'o_totalprice',
        (SELECT count(*) FROM orders WHERE o_totalprice IS NULL)
 UNION ALL
 SELECT 'unique', 'o_orderkey',
-       (SELECT coalesce(sum(n - 1), 0) FROM
+       -- CAST: sum() over ints is HUGEINT in DuckDB -> float64 in pandas;
+       -- keep the whole UNION column int64 like the Spark side
+       (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM
          (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) WHERE n > 1)
 UNION ALL
 SELECT 'unique', 'o_custkey',
-       (SELECT coalesce(sum(n - 1), 0) FROM
+       (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM
          (SELECT count(*) AS n FROM orders GROUP BY o_custkey) WHERE n > 1)
 ORDER BY "check", "column"
 """

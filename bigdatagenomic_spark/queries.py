@@ -1103,8 +1103,8 @@ register(
     "q_x_map_funcs",
     RX.q_x_map_funcs,
     """SELECT event_id,
-              ['k','kk'] AS keys,
-              [v, v*2] AS vals,
+              'k,kk' AS keys,
+              CAST(v AS VARCHAR) || ',' || CAST(v*2 AS VARCHAR) AS vals,
               v*2 AS kk,
               2 AS n_entries
        FROM (SELECT event_id,

@@ -53,6 +53,38 @@ def _norm_rows(cols, rows):
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+def _driver_compat_problems(sdf, o_types) -> list[str]:
+    """Flag output types the correctness driver's pandas canonicalizer
+    cannot hash-compare even when values agree:
+
+    - Spark array/map/struct columns arrive as Python lists/dicts in
+      pandas -> ``sort_values`` raises ``unhashable type`` (observed in
+      CORRECTNESS_r02 on q_x_emb_normalize/quantize);
+    - DuckDB HUGEINT (the result type of sum() over integers) converts
+      to float64 in ``.df()`` while Spark yields int64, so stringified
+      hashes split (observed on q_x_sessionize).
+
+    Queries must emit scalars with matching integer/float-ness on both
+    engines (arrays: comma-join them).
+    """
+    problems = []
+    for f in sdf.schema.fields:
+        t = f.dataType.typeName()
+        if t in ("array", "map", "struct"):
+            problems.append(
+                f"driver-incompat: spark column {f.name!r} is {t} "
+                "(pandas canon cannot sort it; emit a joined string)"
+            )
+    for c, t in o_types:
+        ts = str(t).upper()
+        if "HUGEINT" in ts or ts.endswith("[]") or ts.startswith(("STRUCT", "MAP", "LIST")):
+            problems.append(
+                f"driver-incompat: oracle column {c!r} is {ts} "
+                "(pandas .df() degrades it; CAST to BIGINT / join to string)"
+            )
+    return problems
+
+
 def compare_query(spark, sf_dir: str, fn, oracle: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     sdf = fn(spark, sf_dir)
@@ -61,8 +93,9 @@ def compare_query(spark, sf_dir: str, fn, oracle: str) -> list[str]:
     con = duck_connection(sf_dir)
     res = con.sql(oracle)
     o_cols = res.columns
+    o_types = list(zip(res.columns, res.types))
     o_rows = res.fetchall()
-    problems = []
+    problems = _driver_compat_problems(sdf, o_types)
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         return problems

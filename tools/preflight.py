@@ -26,8 +26,8 @@ from pyspark.sql import SparkSession
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    # Vanilla on purpose: master + parallelism only (perf knobs, not
-    # correctness knobs). No timezone, no nanosAsLong, no ANSI override.
+    # Vanilla on purpose: only perf knobs (master, parallelism, driver
+    # memory) — no timezone, no nanosAsLong, no ANSI override.
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -49,10 +49,14 @@ def main() -> int:
         try:
             if name in oracles:
                 problems = compare_query(spark, sf_dir, fn, oracles[name])
-                status = "ok" if not problems else "MISMATCH: " + "; ".join(problems)
+                # one line per query: collapse embedded newlines
+                flat = ["   ".join(p.split()) for p in problems]
+                status = "ok" if not problems else "MISMATCH: " + "; ".join(flat)
             else:
                 n = fn(spark, sf_dir).count()
-                status = f"ok(rows-only,{n})"
+                # mirror the driver's rows>0 smoke check: an empty result
+                # from a rows-only query is a silent breakage, not a pass
+                status = f"ok(rows-only,{n})" if n > 0 else "EMPTY: 0 rows"
         except Exception:
             status = "ERROR: " + traceback.format_exc().strip().splitlines()[-1]
         results[name] = status
