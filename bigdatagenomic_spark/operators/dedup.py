@@ -96,14 +96,35 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jacc.where(F.col("jacc") >= JACCARD_THRESHOLD).orderBy("a_id", "b_id")
 
 
+def _shingle_base(d: DataFrame) -> DataFrame:
+    """(doc_id, shs ARRAY<STRING>, hs ARRAY<BIGINT>) — the per-doc distinct
+    shingle set and its hashed form, computed ONCE as a narrow map (the
+    shingle set is per-document data, so it never needs a shuffle; the md5
+    is hoisted so the 16 permutations below reuse one hash per shingle)."""
+    return d.select(
+        "doc_id", word_shingles(tokens(F.col("text")), 3).alias("shs")
+    ).withColumn(
+        "hs", F.transform("shs", lambda s: md5_long(s) % MERSENNE31)
+    )
+
+
 def minhash_signatures(d: DataFrame) -> DataFrame:
-    """16 minhash values per doc over the deterministic md5 hash family."""
-    sh = _doc_shingles(d).withColumn("h", md5_long("sh") % MERSENNE31)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"s{i}")
+    """16 minhash values per doc over the deterministic md5 hash family.
+
+    Shuffle-free: each permutation is ``array_min`` over a ``transform``
+    of the per-doc hashed-shingle array — a map-only stage at any scale
+    (vs the naive explode + 16-way groupBy aggregation, which shuffles
+    every (doc, shingle) pair; same values, the min over the same set)."""
+    base = _shingle_base(d)
+    sigs = [
+        F.array_min(
+            F.transform(
+                "hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
+            )
+        ).alias(f"s{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return base.select("doc_id", *sigs)
 
 
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,13 +134,28 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands x 4 rows): candidate pairs sharing any band,
-    verified with exact Jaccard."""
+    verified with exact Jaccard.
+
+    Plan shape (3 shuffles total, vs ~8 in the naive formulation):
+      1. map-only: shingle set + 16 minhash mins + 4 band keys per doc
+         (no explode/groupBy — see minhash_signatures)
+      2. band-bucket self-join on (band, bkey) — THE shuffle that makes
+         LSH scale: candidates come from equal 16-bit band signatures,
+         never an all-pairs product; exchange reuse covers both sides
+      3. candidate pairs join back the two per-doc shingle sets and the
+         verify is ``array_intersect`` on row-local arrays — no second
+         shingle explode, no 3-way join; per-doc arrays are bounded by
+         document length, the same regime word_shingles already assumes
+    """
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_SAMPLE_DOCS)
-    sig = minhash_signatures(d)
-    # one posexplode projection instead of a 4-way union: the signature
-    # aggregate is computed once and the band fan-out is a narrow map —
-    # 4x fewer stages, and at scale 4x less re-aggregation after the
-    # (reused) shuffle
+    base = _shingle_base(d)
+    sigs = [
+        F.array_min(
+            F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31)
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    sig = base.select("doc_id", F.size("shs").alias("n_sh"), "shs", *sigs)
     band_keys = F.array(
         *[
             F.md5(F.concat_ws(",", *[f"s{band * 4 + r}" for r in range(4)]))
@@ -127,41 +163,33 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bands = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+        "doc_id", "n_sh", "shs", F.posexplode(band_keys).alias("band", "bkey")
     )
-    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bkey")
-    b = bands.select(F.col("doc_id").alias("b_id"), "band", "bkey")
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"),
+        F.col("shs").alias("shs_a"), "band", "bkey",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"),
+        F.col("shs").alias("shs_b"), "band", "bkey",
+    )
     cand = (
         a.join(b, ["band", "bkey"])
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+        # dropDuplicates on the pair key (not distinct on the whole row):
+        # a pair colliding in 2 bands must count once, and the dedup key
+        # should exclude the wide shingle arrays
+        .dropDuplicates(["a_id", "b_id"])
     )
-    # verify candidates with exact jaccard (no threshold: LSH already gated)
-    sh = _doc_shingles(d)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    ash = sh.select(F.col("doc_id").alias("a_id"), "sh")
-    bsh = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
-    common = (
-        cand.join(ash, "a_id")
-        .join(bsh, "b_id")
-        .where(F.col("sh") == F.col("sh_b"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    # verify with exact jaccard on the row-local shingle sets (shingles
+    # are distinct within a doc, so intersect size == common count)
+    common = F.size(F.array_intersect("shs_a", "shs_b"))
     return (
-        cand.join(common, ["a_id", "b_id"], "left")
-        .join(sa, "a_id")
-        .join(sb, "b_id")
-        .select(
+        cand.select(
             "a_id",
             "b_id",
             F.round(
-                F.coalesce(F.col("n_common"), F.lit(0))
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0))),
-                4,
+                common / (F.col("n_a") + F.col("n_b") - common), 4
             ).alias("jacc"),
         )
         .orderBy("a_id", "b_id")
