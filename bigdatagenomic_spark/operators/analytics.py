@@ -692,3 +692,452 @@ JOIN supplier s ON rev.l_suppkey = s.s_suppkey
 WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
 ORDER BY s.s_suppkey
 """
+
+
+# TPC-H Q8 shape: national market share — the share of one supplier
+# nation's revenue within one region's market, by order year. An
+# 7-way join whose small sides (part, nation x2, region, customer,
+# supplier) all broadcast; the single big shuffle is lineitem ⋈ orders.
+# The share is a conditional-sum / sum ratio computed in ONE aggregate
+# pass — no second scan, no self-join.
+def q_tpch_q8_shape(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == n1["n_nationkey"])
+        .join(F.broadcast(r), n1["n_regionkey"] == r["r_regionkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("sn_key"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q_TPCH_Q8_SQL = """
+SELECT year(o.o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE p.p_type = 'STANDARD' AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# TPC-H Q9 shape: product-type profit by supplier nation and year.
+# The testdata has no partsupp, so supply cost is modeled as
+# 0.5 * p_retailprice per unit (a fixed-margin adaptation, same join
+# and aggregation shape). part is filtered on a substring predicate
+# BEFORE the join (pushed to the scan); the profit expression is a
+# pure per-row map between the joins and the (nation, year) rollup.
+def q_tpch_q9_shape(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%rod%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    # per-row amounts are rounded to cents and summed as integers: the
+    # profit expression mixes signs, so a float sum's value depends on
+    # accumulation order (non-deterministic across partitionings and
+    # engines); fixed-point summation is exact and order-independent
+    amount_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg((F.sum(amount_cents) / 100.0).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q_TPCH_Q9_SQL = """
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                       - 0.5 * p.p_retailprice * l.l_quantity) * 100) AS BIGINT))
+         / 100.0 AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%rod%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+# TPC-H Q11 shape: "important stock" — per-part value from one
+# nation's suppliers, kept only if above a fraction of the total.
+# partsupp-less adaptation: value = shipped l_extendedprice. The
+# total is the same aggregate reduced once more — a 1-row broadcast
+# reused via the scalar-subquery pattern of Q15, never a second
+# lineitem scan (ReusedExchange covers the shared groupBy subtree).
+def q_tpch_q11_shape(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    filtered = li.join(s, li["l_suppkey"] == s["s_suppkey"]).join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    )
+    per_part = filtered.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("value")
+    )
+    total = per_part.agg((F.sum("value") * F.lit(0.001)).alias("cut"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("cut"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+Q_TPCH_Q11_SQL = """
+WITH per_part AS (
+  SELECT l.l_partkey, round(sum(l.l_extendedprice), 2) AS value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, value
+FROM per_part
+WHERE value > (SELECT sum(value) * 0.001 FROM per_part)
+ORDER BY value DESC, l_partkey
+"""
+
+
+# TPC-H Q12 shape: shipping-priority classification. The testdata has
+# no l_shipmode/commitdate/receiptdate, so "late" is adapted to
+# l_shipdate > o_orderdate + 90 days and the grouping key is
+# l_returnflag. One join + one conditional-count aggregate — both
+# counts come out of a single pass (no per-branch scans).
+def q_tpch_q12_shape(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_TPCH_Q12_SQL = """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+# TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+# (customers with zero orders must appear) followed by two stacked
+# aggregations: orders-per-customer, then customers-per-count. The
+# second groupBy is over an already-tiny result; only the first one
+# shuffles real data, keyed on c_custkey.
+def q_tpch_q13_shape(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q_TPCH_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# TPC-H Q17 shape: small-quantity-order revenue — lineitems of one
+# brand whose quantity is below 20% of that part's average quantity.
+# The correlated scalar subquery decorrelates to a per-part aggregate
+# joined back on l_partkey; the brand filter shrinks the part side to
+# broadcast size and the per-part averages are computed only over the
+# brand's lineitems (filter-before-aggregate, the plan Catalyst and
+# DuckDB both produce for the SQL form).
+def q_tpch_q17_shape(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    avg_q = brand_li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        brand_li.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q_TPCH_Q17_SQL = """
+WITH brand_li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#23'
+), avg_q AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT round(sum(b.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM brand_li b JOIN avg_q a ON b.l_partkey = a.l_partkey
+WHERE b.l_quantity < a.qty_cut
+"""
+
+
+# TPC-H Q20 shape: suppliers who shipped a significant volume of a
+# part family in a window — a chain of SEMI joins (partsupp-less
+# adaptation: "availqty" becomes shipped quantity > 50). Each IN(...)
+# of the SQL form is a left-semi join here; nothing from the inner
+# sides is carried past its join, which is what keeps the chain
+# narrow at scale.
+def q_tpch_q20_shape(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    return (
+        s.join(shipped, s["s_suppkey"] == shipped["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q_TPCH_Q20_SQL = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS qty
+    FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_partkey, l.l_suppkey
+  ) WHERE qty > 40
+)
+AND s.s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2')
+ORDER BY s.s_suppkey
+"""
+
+
+# TPC-H Q21 shape: suppliers who were the SOLE late shipper in a
+# multi-supplier finished order. The classic EXISTS / NOT EXISTS pair
+# decorrelates to per-order supplier counts (total distinct suppliers,
+# distinct LATE suppliers) — one groupBy over lineitem⋈orders, then a
+# filter n_supp >= 2 AND n_late_supp = 1 and a join back to the late
+# rows. Same result set as the correlated form (the oracle keeps the
+# EXISTS shape to pin the equivalence), one shuffle instead of three
+# correlated scans.
+def q_tpch_q21_shape(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).withColumn(
+        "late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    sole_late = (
+        lo.where(F.col("late"))
+        .join(
+            per_order.where(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ),
+            F.col("l_orderkey") == F.col("po_key"),
+            "left_semi",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
+
+
+Q_TPCH_Q21_SQL = """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+  FROM lo GROUP BY l_orderkey
+), sole_late AS (
+  SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+  FROM lo JOIN per_order p ON lo.l_orderkey = p.l_orderkey
+  WHERE lo.late AND p.n_supp >= 2 AND p.n_late_supp = 1
+)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM sole_late sl JOIN supplier s ON sl.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_suppkey
+LIMIT 20
+"""
+
+
+# TPC-H Q22 shape: "global sales opportunity" — well-funded customers
+# (acctbal above the positive-balance average, a 1-row broadcast
+# scalar) with no RECENT orders (anti join; every testdata customer
+# has some order, so the dormancy window makes the predicate
+# non-trivial), counted per nation. The anti join is the plan's only
+# wide edge and it's keyed on c_custkey; the date filter is pushed to
+# the orders scan so the anti join's build side is already shrunk.
+def q_tpch_q22_shape(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("cut")
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("cut"))
+        .join(o, F.col("c_custkey") == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q_TPCH_Q22_SQL = """
+SELECT c.c_nationkey, count(*) AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""

@@ -100,12 +100,31 @@ def _shingle_base(d: DataFrame) -> DataFrame:
     """(doc_id, shs ARRAY<STRING>, hs ARRAY<BIGINT>) — the per-doc distinct
     shingle set and its hashed form, computed ONCE as a narrow map (the
     shingle set is per-document data, so it never needs a shuffle; the md5
-    is hoisted so the 16 permutations below reuse one hash per shingle)."""
-    return d.select(
+    is hoisted so the 16 permutations below reuse one hash per shingle).
+
+    NULL texts are dropped up front: the explode-based formulation this
+    plan replaced skipped NULL-shingle docs row-wise, whereas array_min
+    over a NULL array would instead emit a doc with all-NULL signatures
+    whose band key degenerates to md5('') — every NULL doc would collide
+    into one spurious LSH bucket. Filtering keeps the two formulations
+    (and the SQL oracles, which carry the same predicate) identical."""
+    return d.where(F.col("text").isNotNull()).select(
         "doc_id", word_shingles(tokens(F.col("text")), 3).alias("shs")
     ).withColumn(
         "hs", F.transform("shs", lambda s: md5_long(s) % MERSENNE31)
     )
+
+
+def _signature_exprs() -> list:
+    """The 16 minhash permutation expressions over the ``hs`` column —
+    defined once so the standalone signature query and the LSH pair
+    pipeline can never drift apart on the permutation formula."""
+    return [
+        F.array_min(
+            F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31)
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
 
 
 def minhash_signatures(d: DataFrame) -> DataFrame:
@@ -115,16 +134,7 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     of the per-doc hashed-shingle array — a map-only stage at any scale
     (vs the naive explode + 16-way groupBy aggregation, which shuffles
     every (doc, shingle) pair; same values, the min over the same set)."""
-    base = _shingle_base(d)
-    sigs = [
-        F.array_min(
-            F.transform(
-                "hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
-            )
-        ).alias(f"s{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS)
-    ]
-    return base.select("doc_id", *sigs)
+    return _shingle_base(d).select("doc_id", *_signature_exprs())
 
 
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,56 +146,59 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands x 4 rows): candidate pairs sharing any band,
     verified with exact Jaccard.
 
-    Plan shape (3 shuffles total, vs ~8 in the naive formulation):
+    Plan shape:
       1. map-only: shingle set + 16 minhash mins + 4 band keys per doc
          (no explode/groupBy — see minhash_signatures)
-      2. band-bucket self-join on (band, bkey) — THE shuffle that makes
-         LSH scale: candidates come from equal 16-bit band signatures,
-         never an all-pairs product; exchange reuse covers both sides
-      3. candidate pairs join back the two per-doc shingle sets and the
-         verify is ``array_intersect`` on row-local arrays — no second
-         shingle explode, no 3-way join; per-doc arrays are bounded by
-         document length, the same regime word_shingles already assumes
+      2. band-bucket self-join on NARROW (band, bkey, doc_id) rows — THE
+         shuffle that makes LSH scale: candidates come from equal 16-bit
+         band signatures, never an all-pairs product, and the wide
+         shingle arrays stay OUT of the self-join shuffle (a doc's bands
+         would otherwise carry its whole shingle set 4x through the
+         exchange); exchange reuse covers both sides
+      3. only the SURVIVING candidate pairs join back the two per-doc
+         shingle sets (equi-join on doc_id; AQE broadcasts the bounded
+         side) and the verify is ``array_intersect`` on row-local
+         arrays — no second shingle explode; at 100 TB this is the step
+         that shuffles |candidates| rows, not |corpus| x 4
     """
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_SAMPLE_DOCS)
     base = _shingle_base(d)
-    sigs = [
-        F.array_min(
-            F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31)
-        ).alias(f"s{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS)
-    ]
-    sig = base.select("doc_id", F.size("shs").alias("n_sh"), "shs", *sigs)
+    sig = base.select("doc_id", *_signature_exprs())
     band_keys = F.array(
         *[
             F.md5(F.concat_ws(",", *[f"s{band * 4 + r}" for r in range(4)]))
             for band in range(4)
         ]
     )
-    bands = sig.select(
-        "doc_id", "n_sh", "shs", F.posexplode(band_keys).alias("band", "bkey")
-    )
-    a = bands.select(
-        F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"),
-        F.col("shs").alias("shs_a"), "band", "bkey",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"),
-        F.col("shs").alias("shs_b"), "band", "bkey",
-    )
+    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "bkey"))
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "bkey")
     cand = (
         a.join(b, ["band", "bkey"])
         .where(F.col("a_id") < F.col("b_id"))
-        # dropDuplicates on the pair key (not distinct on the whole row):
-        # a pair colliding in 2 bands must count once, and the dedup key
-        # should exclude the wide shingle arrays
+        # dropDuplicates on the pair key: a pair colliding in 2 bands
+        # must count once
         .dropDuplicates(["a_id", "b_id"])
+    )
+    sets = base.select("doc_id", F.size("shs").alias("n_sh"), "shs")
+    pairs = cand.join(
+        sets.select(
+            F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"),
+            F.col("shs").alias("shs_a"),
+        ),
+        "a_id",
+    ).join(
+        sets.select(
+            F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"),
+            F.col("shs").alias("shs_b"),
+        ),
+        "b_id",
     )
     # verify with exact jaccard on the row-local shingle sets (shingles
     # are distinct within a doc, so intersect size == common count)
     common = F.size(F.array_intersect("shs_a", "shs_b"))
     return (
-        cand.select(
+        pairs.select(
             "a_id",
             "b_id",
             F.round(

@@ -995,6 +995,16 @@ register("q_tpch_q14_shape", AN.q_tpch_q14_shape, AN.Q_TPCH_Q14_SQL)
 register("q_tpch_q16_shape", AN.q_tpch_q16_shape, AN.Q_TPCH_Q16_SQL)
 register("q_tpch_q19_shape", AN.q_tpch_q19_shape, AN.Q_TPCH_Q19_SQL)
 register("q_tpch_q18_shape", AN.q_tpch_q18_shape, AN.Q_TPCH_Q18_SQL)
+# round 4: the remaining TPC-H shapes — full 22-query suite coverage
+register("q_tpch_q8_shape", AN.q_tpch_q8_shape, AN.Q_TPCH_Q8_SQL)
+register("q_tpch_q9_shape", AN.q_tpch_q9_shape, AN.Q_TPCH_Q9_SQL)
+register("q_tpch_q11_shape", AN.q_tpch_q11_shape, AN.Q_TPCH_Q11_SQL)
+register("q_tpch_q12_shape", AN.q_tpch_q12_shape, AN.Q_TPCH_Q12_SQL)
+register("q_tpch_q13_shape", AN.q_tpch_q13_shape, AN.Q_TPCH_Q13_SQL)
+register("q_tpch_q17_shape", AN.q_tpch_q17_shape, AN.Q_TPCH_Q17_SQL)
+register("q_tpch_q20_shape", AN.q_tpch_q20_shape, AN.Q_TPCH_Q20_SQL)
+register("q_tpch_q21_shape", AN.q_tpch_q21_shape, AN.Q_TPCH_Q21_SQL)
+register("q_tpch_q22_shape", AN.q_tpch_q22_shape, AN.Q_TPCH_Q22_SQL)
 register("q_x_cube", AN.q_x_cube, AN.Q_X_CUBE_SQL)
 register("q_x_range_frame", AN.q_x_range_frame, AN.Q_X_RANGE_FRAME_SQL)
 
