@@ -48,27 +48,57 @@ def tokens(col: Column | str) -> Column:
     )
 
 
+def let_bound(expr: Column, body) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass the result to ``body``.
+
+    Spark has no let-binding in the expression language: composing
+    ``f(g(x))`` where ``f`` references its argument k times inlines the
+    whole ``g(x)`` subtree at every reference site, and inside a
+    higher-order function's lambda that means g(x) re-evaluates PER
+    ARRAY ELEMENT (measured 17x slowdown on word-shingling, where the
+    tokenizer re-split the document for every shingle). The standard
+    trick: wrap the value in a 1-element array and bind it through a
+    ``transform`` lambda variable — lambda variables are plain slot
+    reads, so every reference inside ``body`` is O(1)."""
+    return F.get(F.transform(F.array(expr), body), 0)
+
+
 def word_shingles(tok: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a token array."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - F.lit(n - 1), F.lit(1)))
-    # try_element_at: ANSI mode errors on out-of-range element_at; short
-    # docs (< n tokens) produce partial shingles via concat_ws null-skip,
-    # matching the DuckDB oracle's NULL list indexing + concat_ws
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(tok, (i + F.lit(j)).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(sh)
+    """Distinct word n-gram shingles of a token array.
+
+    ``tok`` may be an arbitrary composed expression (e.g.
+    ``tokens(col)``): it is let-bound, never re-evaluated per element."""
+
+    def body(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1)))
+        # try_element_at: ANSI mode errors on out-of-range element_at;
+        # short docs (< n tokens) produce partial shingles via concat_ws
+        # null-skip, matching the DuckDB oracle's NULL list indexing
+        sh = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.try_element_at(t, (i + F.lit(j)).cast("int")) for j in range(n)],
+            ),
+        )
+        return F.array_distinct(sh)
+
+    return let_bound(tok, body)
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:
-    """Character n-gram shingles (1-based substring positions)."""
-    idx = F.sequence(
-        F.lit(1), F.greatest(F.length(col) - F.lit(n - 1), F.lit(1))
-    )
-    return F.transform(idx, lambda i: F.substring(col, i, n))
+    """Character n-gram shingles (1-based substring positions).
+
+    ``col`` is let-bound: a composed input (e.g. ``normalize_text(x)``)
+    is evaluated once, not once per shingle position."""
+
+    def body(s: Column) -> Column:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.length(s) - F.lit(n - 1), F.lit(1))
+        )
+        return F.transform(idx, lambda i: F.substring(s, i, n))
+
+    return let_bound(col, body)
 
 
 def normalize_text(col: Column | str) -> Column:

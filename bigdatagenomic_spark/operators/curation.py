@@ -35,11 +35,25 @@ SAMPLE_KEEP = 7  # deterministic 70% sample
 
 
 def curate(docs: DataFrame) -> DataFrame:
-    """quality filter → exact dedup → hash sample, fully declarative."""
-    tok = tokens(F.col("text"))
-    n_tok = F.size(tok)
-    stop = F.size(F.filter(tok, lambda t: t.isin(STOPSETS["en"])))
-    alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    """quality filter → exact dedup → hash sample, fully declarative.
+
+    Tokenizer output and counts are bound to columns in staged
+    projections (see text.q_text_quality): a flat projection would
+    re-run the split for each of its ~5 textual references per row."""
+    s1 = docs.select(
+        "doc_id", "source", "text", tokens(F.col("text")).alias("tok")
+    )
+    s2 = s1.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("tok").alias("n_tok"),
+        F.size(F.filter(F.col("tok"), lambda t: t.isin(STOPSETS["en"]))).alias(
+            "stop"
+        ),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).alias("alpha"),
+    )
+    n_tok, stop, alpha = F.col("n_tok"), F.col("stop"), F.col("alpha")
     quality = (
         F.lit(0.5) * F.least(n_tok, F.lit(100)).cast("double") / 100.0
         + F.lit(0.3) * alpha.cast("double") / F.greatest(F.length("text"), F.lit(1))
@@ -48,7 +62,7 @@ def curate(docs: DataFrame) -> DataFrame:
             stop.cast("double") / F.greatest(n_tok, F.lit(1)) * 5.0, F.lit(1.0)
         )
     )
-    scored = docs.select(
+    scored = s2.select(
         "doc_id",
         "source",
         F.floor(quality * 10000 + F.lit(0.5)).cast("double").alias("q10k"),

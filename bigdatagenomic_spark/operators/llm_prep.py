@@ -49,7 +49,7 @@ from bigdatagenomic_spark.sources.tables import load_table
 CHUNK_SIZE = 64
 CHUNK_STRIDE = 48
 PACK_BUDGET = 256
-DECONTAM_N = 8
+DECONTAM_N = 4  # 4-gram overlap: non-trivial at sf0.01 (8 hits), strict at scale
 EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out eval split
 
 
@@ -342,4 +342,55 @@ WHERE (CASE WHEN o.h IS NULL THEN 'added'
             WHEN n.h IS NULL THEN 'removed'
             WHEN o.h <> n.h THEN 'changed' END) IS NOT NULL
 ORDER BY change_type, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# weighted corpus mixing
+# --------------------------------------------------------------------------
+def mix_corpus(docs: DataFrame, rates: dict[str, int] | None = None) -> DataFrame:
+    """Deterministic weighted sampling per source — corpus mixing.
+
+    A training mix assigns each source a keep-rate (percent); membership
+    is decided by a hash of (source, doc_id), so the sample is stable
+    across reruns, executors, and engines — no RNG, no state. Map-only:
+    the mix of a 100 TB corpus costs exactly one scan. Unknown sources
+    default to a 50% rate via the hash of the source name itself, so a
+    new source entering the pipeline is sampled, never dropped.
+    """
+    if rates is None:
+        rate = F.pmod(md5_long(F.col("source")), F.lit(51)) + 25  # 25..75%
+    else:
+        rate = None
+        for src, r in rates.items():
+            c = F.when(F.col("source") == src, F.lit(r))
+            rate = c if rate is None else rate.when(F.col("source") == src, F.lit(r))
+        rate = rate.otherwise(F.lit(50))
+    bucket = F.pmod(
+        md5_long(F.concat_ws("\x01", F.col("source"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    return (
+        docs.withColumn("keep_rate", rate)
+        .where(bucket < F.col("keep_rate"))
+        .select("doc_id", "source", F.col("keep_rate").cast("int").alias("keep_rate"))
+    )
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mix_corpus(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_H_SQL = "CAST(('0x' || substr(md5({x}),1,15)) AS BIGINT)"
+
+Q_CORPUS_MIX_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         {_H_SQL.format(x='source')} % 51 + 25 AS keep_rate,
+         {_H_SQL.format(x="concat_ws(chr(1), source, CAST(doc_id AS VARCHAR))")} % 100
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, source, CAST(keep_rate AS INT) AS keep_rate
+FROM r WHERE bucket < keep_rate ORDER BY doc_id
 """

@@ -58,25 +58,34 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic quality score from token/stopword/alpha ratios."""
+    """Deterministic quality score from token/stopword/alpha ratios.
+
+    Staged projections: the tokenizer output and the per-doc counts are
+    bound to columns before the ratio arithmetic references them — a
+    single flat projection would re-evaluate the split per textual
+    reference (Catalyst only guards non-cheap expressions against
+    COLLAPSING, not against the author writing the subtree k times)."""
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    n_tok = F.size(tok)
-    safe_n = F.greatest(n_tok, F.lit(1))
-    stop = _stop_count(tok, STOPSETS["en"])
-    alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
-    n_chars = F.greatest(F.length("text"), F.lit(1))
-    stop_ratio = stop.cast("double") / safe_n
-    alpha_ratio = alpha.cast("double") / n_chars
+    s1 = d.select("doc_id", "text", tokens(F.col("text")).alias("tok"))
+    s2 = s1.select(
+        "doc_id",
+        F.size("tok").alias("n_tok"),
+        _stop_count(F.col("tok"), STOPSETS["en"]).alias("stop"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).alias("alpha"),
+        F.greatest(F.length("text"), F.lit(1)).alias("n_chars"),
+    )
+    safe_n = F.greatest(F.col("n_tok"), F.lit(1))
+    stop_ratio = F.col("stop").cast("double") / safe_n
+    alpha_ratio = F.col("alpha").cast("double") / F.col("n_chars")
     quality = (
-        F.lit(0.5) * F.least(n_tok, F.lit(100)).cast("double") / 100.0
+        F.lit(0.5) * F.least(F.col("n_tok"), F.lit(100)).cast("double") / 100.0
         + F.lit(0.3) * alpha_ratio
         + F.lit(0.2) * F.least(stop_ratio * 5.0, F.lit(1.0))
     )
     return (
-        d.select(
+        s2.select(
             "doc_id",
-            n_tok.alias("n_tokens"),
+            F.col("n_tok").alias("n_tokens"),
             F.round(stop_ratio, 4).alias("stop_ratio"),
             F.round(alpha_ratio, 4).alias("alpha_ratio"),
             F.round(quality, 4).alias("quality"),
@@ -86,11 +95,21 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-set language scoring with a deterministic argmax."""
+    """Stopword-set language scoring with a deterministic argmax.
+
+    Staged projections (see q_text_quality): tokenize once, count each
+    stopword set once, then the argmax reads the four count COLUMNS —
+    the flat formulation re-tokenized the document ~12x per row."""
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    cnt = {lang: _stop_count(tok, words) for lang, words in STOPSETS.items()}
-    en, de, fr, es = cnt["en"], cnt["de"], cnt["fr"], cnt["es"]
+    s1 = d.select("doc_id", tokens(F.col("text")).alias("tok"))
+    s2 = s1.select(
+        "doc_id",
+        *[
+            _stop_count(F.col("tok"), words).alias(f"{lang}_cnt")
+            for lang, words in STOPSETS.items()
+        ],
+    )
+    en, de, fr, es = (F.col(c) for c in ("en_cnt", "de_cnt", "fr_cnt", "es_cnt"))
     pred = (
         F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
         .when((de >= fr) & (de >= es) & (de > 0), "de")
@@ -99,12 +118,8 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("und")
     )
     return (
-        d.select(
-            "doc_id",
-            en.alias("en_cnt"),
-            de.alias("de_cnt"),
-            fr.alias("fr_cnt"),
-            es.alias("es_cnt"),
+        s2.select(
+            "doc_id", "en_cnt", "de_cnt", "fr_cnt", "es_cnt",
             pred.alias("pred_lang"),
         )
         .orderBy("doc_id")
@@ -115,15 +130,18 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5-60bit of normalized text + winnowing-style
     min/max 5-gram shingle hashes (rolling-hash document sketch)."""
     d = load_table(spark, sf_dir, "documents")
-    norm = normalize_text(F.col("text"))
-    sh = char_shingles(norm, 5)
-    hashes = F.transform(sh, md5_long)
+    s1 = d.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+    s2 = s1.select(
+        "doc_id",
+        md5_long(F.col("norm")).alias("fp"),
+        F.transform(char_shingles(F.col("norm"), 5), md5_long).alias("hashes"),
+    )
     return (
-        d.select(
+        s2.select(
             "doc_id",
-            md5_long(norm).alias("fp"),
-            F.array_min(hashes).alias("min_shingle_h"),
-            F.array_max(hashes).alias("max_shingle_h"),
+            "fp",
+            F.array_min("hashes").alias("min_shingle_h"),
+            F.array_max("hashes").alias("max_shingle_h"),
         )
         .orderBy("doc_id")
     )
@@ -217,15 +235,21 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     round / collocation mining. zip_with pairs each token with its
     successor JVM-side (no UDF), then one explode + count shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    tok = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit(""))
+    # tokenize ONCE into a bound column: zip_with references the token
+    # array three times (both zip sides + the slice length), and each
+    # textual reference of a composed expression re-runs the split
+    toks = d.select(
+        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit(""))
+        .alias("t")
+    )
     pairs = F.zip_with(
-        tok,
-        F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(1))),
+        F.col("t"),
+        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(1))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     # zip_with pads the shorter side with NULL -> concat_ws drops the
     # null part; the trailing "lone word" entries are filtered out
-    bg = d.select(F.explode(pairs).alias("bigram")).where(
+    bg = toks.select(F.explode(pairs).alias("bigram")).where(
         F.col("bigram").rlike("^[a-z]+ [a-z]+$")
     )
     return (
@@ -248,14 +272,19 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-rounding keeps the doubles portable.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit(""))
+    # tokenize ONCE into a bound column (see q_text_bigrams): the pair
+    # builder references the array three times, totals twice
+    toks = d.select(
+        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit(""))
+        .alias("t")
+    )
     pairs = F.zip_with(
-        tok,
-        F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(1))),
+        F.col("t"),
+        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(1))),
         lambda a, b: F.concat_ws("\x01", a, b),
     )
     bg = (
-        d.select(F.explode(pairs).alias("p"))
+        toks.select(F.explode(pairs).alias("p"))
         .where(F.col("p").contains("\x01"))
         .select(
             F.split_part(F.col("p"), F.lit("\x01"), F.lit(1)).alias("w1"),
@@ -266,14 +295,14 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_pair") >= 5)
     )
     uni = (
-        d.select(F.explode(tok).alias("w"))
+        toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c_w"))
     )
     totals = (
-        d.select(
-            (F.size(tok)).alias("n_tok"),
-            (F.greatest(F.size(tok) - 1, F.lit(0))).alias("n_pair"),
+        toks.select(
+            (F.size("t")).alias("n_tok"),
+            (F.greatest(F.size("t") - 1, F.lit(0))).alias("n_pair"),
         )
         .agg(F.sum("n_tok").alias("tot_w"), F.sum("n_pair").alias("tot_p"))
     )
@@ -397,4 +426,74 @@ SELECT t.doc_id, count(*) AS n_tok,
 FROM tok t JOIN vocab v USING (w) CROSS JOIN tot
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    The standard cheap filters for boilerplate / TEMPLATE spam in a
+    training corpus: the fraction of distinct tokens (low => the doc
+    repeats itself) and the fraction of distinct adjacent bigrams.
+    All array-native and map-only — the whole operator is one
+    projection pipeline, no shuffle, so it runs at scan speed at any
+    scale. Token array and bigram array are bound to columns in staged
+    projections (never recomputed per reference).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s1 = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    bigrams = F.filter(
+        F.zip_with(
+            F.col("t"),
+            F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(1))),
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    s2 = s1.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.size(F.array_distinct("t")).alias("n_uniq"),
+        bigrams.alias("bg"),
+    )
+    s3 = s2.select(
+        "doc_id",
+        "n_tok",
+        "n_uniq",
+        F.size("bg").alias("n_bg"),
+        F.size(F.array_distinct("bg")).alias("n_uniq_bg"),
+    )
+    return s3.select(
+        "doc_id",
+        "n_tok",
+        F.round(
+            F.col("n_uniq") / F.greatest(F.col("n_tok"), F.lit(1)).cast("double"), 4
+        ).alias("uniq_tok_ratio"),
+        F.round(
+            F.col("n_uniq_bg") / F.greatest(F.col("n_bg"), F.lit(1)).cast("double"),
+            4,
+        ).alias("uniq_bigram_ratio"),
+    ).orderBy("doc_id")
+
+
+Q_TEXT_REPETITION_SQL = """
+WITH s1 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents
+), s2 AS (
+  SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_uniq,
+         list_filter(
+           list_transform(range(1, greatest(len(t), 2)),
+                          i -> CASE WHEN t[i+1] IS NOT NULL
+                                    THEN concat_ws(' ', t[i], t[i+1]) END),
+           x -> x IS NOT NULL) AS bg
+  FROM s1
+)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+       round(n_uniq / CAST(greatest(n_tok, 1) AS DOUBLE), 4) AS uniq_tok_ratio,
+       round(len(list_distinct(bg)) / CAST(greatest(len(bg), 1) AS DOUBLE), 4)
+         AS uniq_bigram_ratio
+FROM s2 ORDER BY doc_id
 """
