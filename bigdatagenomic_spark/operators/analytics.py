@@ -820,9 +820,12 @@ ORDER BY nation, o_year DESC
 # TPC-H Q11 shape: "important stock" — per-part value from one
 # nation's suppliers, kept only if above a fraction of the total.
 # partsupp-less adaptation: value = shipped l_extendedprice. The
-# total is the same aggregate reduced once more — a 1-row broadcast
-# reused via the scalar-subquery pattern of Q15, never a second
-# lineitem scan (ReusedExchange covers the shared groupBy subtree).
+# "fraction of total" scalar is an empty-frame window over the
+# per-part aggregate: the aggregate output (≤ |part| rows) flows
+# through ONE single-partition exchange and is filtered in place —
+# structurally one lineitem scan, where the self-join/scalar-subquery
+# formulation plans two when exchange reuse fails to canonicalize
+# (AQE replans each consumer stage independently here).
 def q_tpch_q11_shape(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
@@ -835,9 +838,9 @@ def q_tpch_q11_shape(spark, sf_dir):
     per_part = filtered.groupBy("l_partkey").agg(
         F.round(F.sum("l_extendedprice"), 2).alias("value")
     )
-    total = per_part.agg((F.sum("value") * F.lit(0.001)).alias("cut"))
+    cut = (F.sum("value").over(W.partitionBy()) * F.lit(0.001)).alias("cut")
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.withColumn("cut", cut)
         .where(F.col("value") > F.col("cut"))
         .select("l_partkey", "value")
         .orderBy(F.desc("value"), "l_partkey")
@@ -855,7 +858,7 @@ WITH per_part AS (
 )
 SELECT l_partkey, value
 FROM per_part
-WHERE value > (SELECT sum(value) * 0.001 FROM per_part)
+QUALIFY value > sum(value) OVER () * 0.001
 ORDER BY value DESC, l_partkey
 """
 

@@ -327,6 +327,61 @@ register(
 )
 
 
+def q_asm_kmer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-mer (k=5) spectrum over the derived read set — the classic
+    genomics counting kernel (coverage estimation, error detection,
+    de Bruijn graph construction all start here; the reference's
+    assembly consumes overlaps the k-mer spectrum would seed).
+
+    Plan: map-only char-shingle per read (bounded by read length), one
+    explode + one map-side-combined count shuffle on the k-mer key —
+    at any corpus scale the shuffle carries at most 4^k distinct keys
+    per partition after partial aggregation.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.functions import char_shingles
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    n, k = 60, 5
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < n)
+    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    reads = docs.select(
+        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content")
+    )
+    kmers = reads.select(
+        F.explode(
+            F.filter(char_shingles(F.col("content"), k), lambda s: F.length(s) == k)
+        ).alias("kmer")
+    )
+    return (
+        kmers.groupBy("kmer")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("kmer"))
+    )
+
+
+register(
+    "q_asm_kmer_counts",
+    q_asm_kmer_counts,
+    """
+    WITH r AS (
+      SELECT substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'), 17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    ), km AS (
+      SELECT unnest(list_transform(range(1, greatest(length(content) - 4, 1) + 1),
+                                   i -> substr(content, i, 5))) AS kmer
+      FROM r
+    )
+    SELECT kmer, count(*) AS c FROM km
+    WHERE length(kmer) = 5
+    GROUP BY kmer ORDER BY c DESC, kmer
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators: text analysis, dedup, similarity search
 # ---------------------------------------------------------------------------

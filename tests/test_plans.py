@@ -283,6 +283,7 @@ _BNLJ_ALLOWED = {
     "q_text_pmi",            # 1-row pair/word totals scalar
     "q_text_unigram_logprob", # 1-row token total scalar
     "q_x_quantile_bins",     # 1-row bounds array
+    "q_tpch_q22_shape",      # 1-row avg-acctbal cutoff scalar
 }
 
 
@@ -302,3 +303,77 @@ def test_no_cartesian_and_bnlj_only_where_intended(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
     assert not offenders, offenders
+
+
+def test_tokenizer_evaluated_once_per_row(spark):
+    """Single-tokenize pin (the 17x HOF regression guard).
+
+    Composing f(g(x)) in the expression language inlines g(x) at every
+    reference site — inside a HOF lambda that means per-ELEMENT
+    re-evaluation of the tokenizer. The fix (functions.let_bound +
+    staged projections) must keep exactly ONE split per optimized plan
+    branch for the shingle/token pipelines.
+    """
+    from bigdatagenomic_spark.operators.dedup import minhash_signatures
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    sig_plan = (
+        minhash_signatures(d)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert sig_plan.count("split(") == 1, sig_plan
+    # the hashed-shingle array must also be single-evaluation: one md5
+    # for the shingle hash family feed (the 16 permutations read the
+    # bound hs column, never re-hash)
+    assert sig_plan.count("md5(") == 1, sig_plan
+
+    for qname in ("q_text_quality", "q_text_langid", "q_text_repetition"):
+        plan = (
+            _QS[qname](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("split(") <= 2, (qname, plan)
+
+
+def test_tpch_q8_broadcasts_all_dims(spark):
+    """Q8's seven-way join: every dim side (part, customer-nation,
+    region, supplier-nation) must broadcast; the only sort-merge-or-
+    shuffle-hash edge allowed is lineitem ⋈ orders (the two fact
+    tables). Q8 also must push the part-type and order-date filters
+    into their scans."""
+    df = _df(spark, "q_tpch_q8_shape")
+    kinds = join_kinds(df)
+    assert kinds.count("BroadcastHashJoin") >= 4, kinds
+    pushed = " ".join(pushed_filters(df))
+    assert "p_type" in pushed and "o_orderdate" in pushed, pushed
+
+
+def test_tpch_q11_reuses_perpart_aggregate(spark):
+    """Q11's 'value > 0.001 * total' scalar must come from the per-part
+    aggregate itself (empty-frame window over the agg output), never
+    from a second scan of lineitem — exactly one parquet scan of
+    lineitem in the final adaptive plan."""
+    df = _df(spark, "q_tpch_q11_shape")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan.toString appends the pre-execution plan after
+    # the materialized one — count scans only in the executed section
+    final = plan.split("Initial Plan")[0].split("ResultQueryStage")[-1]
+    import re
+
+    li_scans = len(re.findall(r"Scan parquet[^\n]*lineitem", final))
+    assert li_scans == 1, plan
+
+
+def test_tpch_q22_anti_join_prunes_orders_scan(spark):
+    """Q22: the dormancy anti join must read only o_custkey+o_orderdate
+    from orders (column pruning), with the date filter pushed to the
+    scan."""
+    df = _df(spark, "q_tpch_q22_shape")
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed, pushed
+    schemas = scan_schemas(df)
+    o_schema = [s for s in schemas if "o_custkey" in s]
+    assert o_schema and all("o_totalprice" not in s for s in o_schema), schemas
