@@ -675,6 +675,9 @@ register(
        ORDER BY user_id, s_start""",
 )
 
+register("q_s06_enrich_shape", STR.q_s06_enrich_shape, STR.Q_S06_ENRICH_SQL)
+register("q_s07_clickview_shape", STR.q_s07_clickview_shape, STR.Q_S07_CLICKVIEW_SQL)
+
 
 # ---------------------------------------------------------------------------
 # multimodal columns (north star): binary payload + typed metadata

@@ -183,3 +183,59 @@ def stream_stream_click_view_join(
         "view_id",
         F.unix_timestamp("view_ts").alias("view_ts"),
     )
+
+
+def q_s06_enrich_shape(spark, sf_dir: str) -> DataFrame:
+    """S06 batch shape: the same stream-static enrich join, driver-
+    checkable (the unified Dataset contract means this IS the streaming
+    operator — `isStreaming` only toggles the watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        enrich_with_nation(ev, c, n)
+        .select(
+            "event_id",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+            "user_id",
+            "event_type",
+            "value",
+            "nation_name",
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_s07_clickview_shape(spark, sf_dir: str) -> DataFrame:
+    """S07 batch shape: the stream-stream interval join on the batch
+    events table (clicks matched to same-user views in the preceding
+    30 minutes)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    views = ev.where(F.col("event_type") == "view")
+    return stream_stream_click_view_join(clicks, views).orderBy(
+        "click_id", "view_id"
+    )
+
+
+Q_S06_ENRICH_SQL = """
+SELECT e.event_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch, e.user_id,
+       e.event_type, e.value, n.n_name AS nation_name
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY e.event_id
+"""
+
+Q_S07_CLICKVIEW_SQL = """
+SELECT c.event_id AS click_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts,
+       v.event_id AS view_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts
+FROM events c
+JOIN events v ON c.user_id = v.user_id
+            AND v.ts <= c.ts
+            AND v.ts >= c.ts - INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+ORDER BY click_id, view_id
+"""
