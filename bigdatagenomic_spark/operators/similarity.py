@@ -471,3 +471,38 @@ ORDER BY query_id, rn"""
 
 
 Q_SIM_IVF_TOPK_SQL = _ivf_oracle_sql()
+
+
+def label_centroids(vecs: DataFrame, label: str = "label") -> DataFrame:
+    """Per-class embedding centroid, long-form (label, pos, c).
+
+    The cross-row elementwise mean: posexplode each vector to
+    (label, pos, val) and average per (label, pos) — ONE shuffle with
+    map-side partial aggregation, carrying |labels| x dim rows out.
+    The collect_list-then-fold alternative buffers every vector of a
+    class in one aggregation state (OOM at class sizes a 100 TB corpus
+    reaches); the explode form's state is one running (sum, count) per
+    (label, pos) cell regardless of class size. Long-form output keeps
+    the result driver-hashable (array columns are not).
+    """
+    return (
+        vecs.select(label, F.posexplode("v").alias("pos", "val"))
+        .groupBy(label, "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+    )
+
+
+def q_x_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir).join(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
+    )
+    return label_centroids(e).orderBy("label", "pos")
+
+
+Q_X_EMB_CENTROIDS_SQL = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT label, CAST(i - 1 AS INT) AS pos, v[CAST(i AS INT)] AS val
+      FROM e, range(1, 65) r(i))
+SELECT label, pos, round(avg(val), 6) AS c
+FROM x GROUP BY label, pos ORDER BY label, pos
+"""

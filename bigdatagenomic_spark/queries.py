@@ -1002,6 +1002,8 @@ register(
        GROUP BY i ORDER BY dim""",
 )
 
+register("q_x_emb_centroids", S.q_x_emb_centroids, S.Q_X_EMB_CENTROIDS_SQL)
+
 
 register(
     "q_x_percent_rank",
