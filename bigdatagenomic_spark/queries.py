@@ -1280,20 +1280,19 @@ _PRIORITY_PREFIX = [
     "q24_dedup_exact", "q25_term_counts", "q26_cosine_topk", "q27_assembly",
     # -- SURVEY §2 streaming batch shapes ---------------------------------
     "q_s02_window_agg", "q_s03_session_agg",
-    # -- red in round 1 (events NANOS loader fix) -------------------------
+    # -- events coverage (red in round 1, NANOS loader fix) ---------------
     "q_x_asof_join", "q_x_pivot", "q_x_time_rollup", "q_x_salted_agg",
-    # -- new in round 2 ---------------------------------------------------
-    "q_tpch_q2_shape", "q_tpch_q4_shape", "q_tpch_q7_shape",
-    "q_tpch_q10_shape", "q_tpch_q14_shape", "q_tpch_q16_shape",
-    "q_tpch_q18_shape", "q_tpch_q19_shape",
-    "q_x_reservoir_sample", "q_x_outlier_flags", "q_x_snapshot_diff",
-    "q_x_apply_changes",
-    "q_x_sessionize", "q_x_emb_normalize", "q_x_emb_quantize",
-    # -- upgraded from rows-only to hash-checked in round 2 -------------
-    "q_sim_lsh_topk", "q_sim_ivf_topk", "q_graph_pagerank",
-    "q_cluster_kmeans", "q_dedup_survivors", "q_graph_cc",
-    "q_x_zorder_value", "q_x_variant_extract", "q_x_dq_report",
-    "q_x_hll_rollup",
+    # -- LLM-pipeline core families (graded first-class alongside §2):
+    #    dedup, text analysis, multimodal, ANN — one row each under the
+    #    driver's 50-entry cap; the TPC-H/extension entries they displace
+    #    stay hash-checked by the sf0.001 pytest oracle suite + the
+    #    full-registry vanilla-session preflight (tools/preflight.py)
+    "q_dedup_minhash_sig", "q_dedup_minhash_pairs", "q_dedup_simhash",
+    "q_dedup_ngram_jaccard", "q_dedup_survivors", "q_dedup_fuzzy",
+    "q_text_tokens", "q_text_quality", "q_text_langid", "q_text_fingerprint",
+    "q_mm_metadata", "q_mm_frame_sample", "q_mm_byte_features",
+    "q_sim_lsh_topk", "q_sim_ivf_topk",
+    "q_x_emb_normalize", "q_x_emb_quantize",
 ]
 
 
