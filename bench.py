@@ -9,7 +9,9 @@ no materialization cost). Each query shape runs once untimed first, so
 the reported number is steady-state execution — Janino codegen
 compilation (a one-time ~1-2s JVM cost per plan shape, amortized to
 nothing over a long-running cluster) is not billed to the query. The
-cold totals are also reported under "cold_queries" for transparency.
+steady-state number is the MEDIAN of 3 runs (the host is shared, so a
+single run can absorb an unrelated load spike); the cold first-run
+totals are also reported under "cold_queries" for transparency.
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -64,9 +67,12 @@ def main() -> int:
         t0 = time.time()
         force(qs[name](spark, sf_dir))  # untimed pass: codegen compile etc.
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        force(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            force(qs[name](spark, sf_dir))
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
