@@ -377,3 +377,32 @@ def test_tpch_q22_anti_join_prunes_orders_scan(spark):
     schemas = scan_schemas(df)
     o_schema = [s for s in schemas if "o_custkey" in s]
     assert o_schema and all("o_totalprice" not in s for s in o_schema), schemas
+
+
+def test_minhash_band_join_shuffles_narrow_rows(spark):
+    """The LSH band-bucket self-join must shuffle (doc_id, band, bkey)
+    rows ONLY — the wide shingle arrays join back to surviving
+    candidate pairs afterwards. An exchange that partitions on the band
+    key while carrying `shs` would multiply the shuffle payload by the
+    per-doc shingle-set width (ADVICE r3)."""
+    import re
+
+    # at the bounded test scale the planner broadcasts the band table —
+    # disable broadcast so the join plans as the shuffle it would be at
+    # corpus scale, then inspect the band-keyed exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _df(spark, "q_dedup_minhash_pairs")
+        plan = formatted_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    # formatted plan: each node is "(n) Exchange\nInput [k]: [cols...]\n
+    # Arguments: hashpartitioning(...)"; check every band-keyed exchange
+    sections = re.split(r"\n\(\d+\) ", plan)
+    band_exchanges = [
+        s for s in sections
+        if s.startswith("Exchange") and "hashpartitioning(band" in s
+    ]
+    assert band_exchanges, "expected a band-keyed exchange in:\n" + plan
+    for s in band_exchanges:
+        assert "shs" not in s, s
