@@ -369,3 +369,55 @@ WHERE a.k < b.k AND abs(a.ln - b.ln) <= {FUZZY_MAX_DIST}
   AND levenshtein(a.nm, b.nm) <= {FUZZY_MAX_DIST}
 ORDER BY a_id, b_id
 """
+
+
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_CHUNKS = 4  # 8-bit chunks of the 32-bit signature
+
+
+def simhash_pairs(
+    sigs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, with chunk blocking.
+
+    The pigeonhole trick that makes SimHash search scale: split the
+    32-bit signature into 4 byte chunks. d bit flips can touch at most
+    d chunks, so for d < 4 two signatures within Hamming distance d
+    MUST agree exactly on at least one chunk — candidates come from an
+    equi-join on (chunk_id, chunk_value), never an all-pairs scan, with
+    guaranteed recall at max_hamming <= 3 (wider radii need more/
+    overlapping chunks). The exact popcount(xor) verify runs only on
+    candidates. Same LSH-then-verify shape as the MinHash family.
+    """
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))
+            for i in range(SIMHASH_CHUNKS)
+        ]
+    )
+    b = sigs.select(
+        "doc_id", "simhash", F.posexplode(chunks).alias("chunk", "cval")
+    )
+    left = b.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("sig_a"),
+        "chunk", "cval",
+    )
+    right = b.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("sig_b"),
+        "chunk", "cval",
+    )
+    cand = (
+        left.join(right, ["chunk", "cval"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("a_id", "b_id", dist.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_SAMPLE_DOCS)
+    return simhash_pairs(simhash_signatures(d)).orderBy("a_id", "b_id")

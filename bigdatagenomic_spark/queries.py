@@ -588,6 +588,33 @@ register(
         FROM bs ORDER BY doc_id""",
 )
 
+_SIMHASH_CTE = f"""WITH tok AS (
+          SELECT doc_id, unnest({_TOK}) AS t
+          FROM documents WHERE doc_id < {D.PAIR_SAMPLE_DOCS}),
+        h AS (SELECT doc_id, {_H.format(x='t')} AS h FROM tok),
+        bs AS (SELECT doc_id, {_BITSUMS} FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash FROM bs)"""
+
+register(
+    "q_dedup_simhash_pairs",
+    D.q_dedup_simhash_pairs,
+    f"""{_SIMHASH_CTE},
+        chunks AS (
+          SELECT doc_id, simhash, c.chunk,
+                 (simhash >> (8 * c.chunk)) & 255 AS cval
+          FROM sig, (SELECT unnest(range(0, {D.SIMHASH_CHUNKS})) AS chunk) c),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                 a.simhash AS sig_a, b.simhash AS sig_b
+          FROM chunks a JOIN chunks b USING (chunk, cval)
+          WHERE a.doc_id < b.doc_id)
+        SELECT a_id, b_id,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= {D.SIMHASH_MAX_HAMMING}
+        ORDER BY a_id, b_id""",
+)
+
 register("q_dedup_fuzzy", D.q_dedup_fuzzy, D.Q_DEDUP_FUZZY_SQL)
 
 _COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
