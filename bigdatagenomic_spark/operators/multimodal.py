@@ -267,3 +267,64 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
 FROM c
 ORDER BY doc_id, chunk_id
 """
+
+
+# --------------------------------------------------------------------------
+# thumbnail resize (decode -> scale -> re-encode shape)
+# --------------------------------------------------------------------------
+THUMB_BOX = 32  # fit into a 32x32 box, aspect preserved
+
+
+def resize_images(mm: DataFrame, decoder=None, box: int = THUMB_BOX) -> DataFrame:
+    """Decode -> aspect-preserving integer resize -> fake re-encode.
+
+    The Spark-side plumbing is the real thing (Arrow-batched
+    ``mapInPandas`` over (doc_id, payload), narrow output schema, binary
+    column never shuffled); the codec is the injected boundary exactly
+    like :func:`decode_images`. Integer floor arithmetic keeps the
+    scaled dims bit-identical across engines; the "re-encoded" checksum
+    is a deterministic function of (pixel_checksum, out dims) standing
+    in for the bytes of a real thumbnail.
+    """
+    if decoder is None:
+        raise NotImplementedError(
+            "no image codec available in this environment; pass "
+            "decoder=fake_image_decoder (tests) or a PIL-backed callable"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"].astype("int64"), "width": [],
+                   "height": [], "out_w": [], "out_h": [], "thumb_checksum": []}
+            for p in pdf["payload"]:
+                w, h, csum = decoder(bytes(p))
+                m = max(w, h)
+                ow, oh = (w * box) // m, (h * box) // m
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["thumb_checksum"].append((csum * ow + oh) % 2147483647)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "out_w": pd.Series(out["out_w"], dtype="int32"),
+                    "out_h": pd.Series(out["out_h"], dtype="int32"),
+                    "thumb_checksum": pd.Series(
+                        out["thumb_checksum"], dtype="int64"
+                    ),
+                }
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        gen,
+        "doc_id BIGINT, width INT, height INT, out_w INT, out_h INT, "
+        "thumb_checksum BIGINT",
+    )
+
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = attach_payloads(load_table(spark, sf_dir, "documents"))
+    return resize_images(mm, decoder=fake_image_decoder).orderBy("doc_id")

@@ -759,6 +759,33 @@ register(
 )
 
 register(
+    "q_mm_resize",
+    MM.q_mm_resize,
+    # mirrors fake_image_decoder byte-for-byte: md5 digest bytes 0/1 give
+    # the fake dims, bytes 2..5 the pixel checksum; integer floor resize
+    f"""WITH d AS (
+          SELECT doc_id, md5(text) AS hx FROM documents
+        ), dims AS (
+          SELECT doc_id,
+                 16 + CAST(('0x' || substr(hx, 1, 2)) AS INT) % 16 AS width,
+                 16 + CAST(('0x' || substr(hx, 3, 2)) AS INT) % 16 AS height,
+                 CAST(('0x' || substr(hx, 5, 8)) AS BIGINT) AS csum
+          FROM d
+        ), r AS (
+          SELECT doc_id, width, height,
+                 (width * {MM.THUMB_BOX}) // greatest(width, height) AS out_w,
+                 (height * {MM.THUMB_BOX}) // greatest(width, height) AS out_h,
+                 csum
+          FROM dims
+        )
+        SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+               CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+               CAST((csum * out_w + out_h) % 2147483647 AS BIGINT)
+                 AS thumb_checksum
+        FROM r ORDER BY doc_id""",
+)
+
+register(
     "q_mm_chunked_payload", MM.q_mm_chunked_payload, MM.Q_MM_CHUNKED_PAYLOAD_SQL
 )
 
