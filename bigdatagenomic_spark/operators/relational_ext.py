@@ -1236,3 +1236,47 @@ FROM (SELECT unnest(generate_series(DATE '{CAL_START}', DATE '{CAL_END}',
                                     INTERVAL 1 DAY)) AS d)
 ORDER BY d
 """
+
+
+def q_x_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value).
+
+    Spark's built-in ``mode()`` picks an ARBITRARY value on ties — a
+    correctness trap for any pipeline that feeds the result into a
+    hash/join. The deterministic formulation is count + window argmax
+    with an explicit tie-break (count desc, value asc): two shuffles,
+    both map-side combined, the second over the already-tiny count
+    table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("c")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("c"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("c").alias("mode_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_X_MODE_PER_GROUP_SQL = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS c
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), r AS (
+  SELECT o_orderstatus, o_orderpriority, c,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY c DESC, o_orderpriority) AS rn
+  FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, c AS mode_count
+FROM r WHERE rn = 1 ORDER BY o_orderstatus
+"""
