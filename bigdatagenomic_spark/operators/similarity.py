@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from bigdatagenomic_spark.functions import cosine, md5_long
+from bigdatagenomic_spark.functions import cosine
 from bigdatagenomic_spark.sources.tables import load_table
 
 N_QUERIES = 8
