@@ -1280,3 +1280,38 @@ WITH c AS (
 SELECT o_orderstatus, o_orderpriority AS mode_priority, c AS mode_count
 FROM r WHERE rn = 1 ORDER BY o_orderstatus
 """
+
+
+def q_x_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: combine an old snapshot (no priority
+    column) with a new one (priority added) via ``unionByName(
+    allowMissingColumns=True)`` — the missing column nulls out instead
+    of failing or silently mis-aligning by position (positional UNION
+    is the classic schema-drift corruption bug). Map-only: the union is
+    a plan concatenation, no shuffle before the declared ORDER BY.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.to_timestamp(F.lit("2000-01-01"))
+    old = o.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("snapshot")
+    )
+    new = o.where(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority",
+        F.lit("v2").alias("snapshot"),
+    )
+    return (
+        old.unionByName(new, allowMissingColumns=True)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority", "snapshot")
+        .orderBy("o_orderkey")
+    )
+
+
+Q_X_UNION_EVOLVED_SQL = """
+SELECT o_orderkey, o_totalprice,
+       CAST(NULL AS VARCHAR) AS o_orderpriority, 'v1' AS snapshot
+FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS snapshot
+FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+ORDER BY o_orderkey
+"""
