@@ -497,3 +497,80 @@ SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
          AS uniq_bigram_ratio
 FROM s2 ORDER BY doc_id
 """
+
+
+def q_text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus sources: symmetric
+    Laplace-smoothed KL divergence over unigram distributions.
+
+    The standard monitor for "did this source's content shift" in a
+    training-data pipeline. Fully relational: one tokenize+explode
+    scan, per-source counts, FULL OUTER join on the joint vocabulary
+    (a token missing on one side gets the smoothing mass, which is why
+    the join must be outer), two broadcast totals, one final reduce.
+    Shuffles only on the token key; floor-rounding keeps the doubles
+    engine-portable.
+    """
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1")
+    )
+    tok = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    c0 = (
+        tok.where(F.col("source") == "src0")
+        .groupBy("w").agg(F.count("*").alias("c0"))
+    )
+    c1 = (
+        tok.where(F.col("source") == "src1")
+        .groupBy("w").agg(F.count("*").alias("c1"))
+    )
+    joint = (
+        c0.join(c1, "w", "full_outer")
+        .select(
+            "w",
+            F.coalesce("c0", F.lit(0)).alias("c0"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+        )
+    )
+    tot = joint.agg(
+        F.sum("c0").alias("t0"), F.sum("c1").alias("t1"),
+        F.count("*").alias("v"),
+    )
+    sm = joint.crossJoin(F.broadcast(tot)).select(
+        ((F.col("c0") + 1) / (F.col("t0") + F.col("v"))).alias("p"),
+        ((F.col("c1") + 1) / (F.col("t1") + F.col("v"))).alias("q"),
+        "v",
+    )
+    return sm.agg(
+        (F.floor(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))) * 1000000
+                 + F.lit(0.5)) / 1000000).alias("kl_01"),
+        (F.floor(F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))) * 1000000
+                 + F.lit(0.5)) / 1000000).alias("kl_10"),
+        F.max("v").cast("long").alias("n_vocab"),
+    )
+
+
+Q_TEXT_KL_DRIFT_SQL = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS w
+  FROM documents WHERE source IN ('src0', 'src1')
+), c0 AS (SELECT w, count(*) AS c0 FROM tok WHERE source = 'src0' GROUP BY w),
+c1 AS (SELECT w, count(*) AS c1 FROM tok WHERE source = 'src1' GROUP BY w),
+joint AS (
+  SELECT coalesce(c0.w, c1.w) AS w,
+         coalesce(c0, 0) AS c0, coalesce(c1, 0) AS c1
+  FROM c0 FULL OUTER JOIN c1 USING (w)
+), tot AS (SELECT sum(c0) AS t0, sum(c1) AS t1, count(*) AS v FROM joint),
+sm AS (
+  SELECT (c0 + 1) / CAST(t0 + v AS DOUBLE) AS p,
+         (c1 + 1) / CAST(t1 + v AS DOUBLE) AS q, v
+  FROM joint CROSS JOIN tot
+)
+SELECT floor(sum(p * ln(p / q)) * 1000000 + 0.5) / 1000000 AS kl_01,
+       floor(sum(q * ln(q / p)) * 1000000 + 0.5) / 1000000 AS kl_10,
+       CAST(max(v) AS BIGINT) AS n_vocab
+FROM sm
+"""
