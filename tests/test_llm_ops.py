@@ -272,3 +272,34 @@ def test_interval_follow_counts_match_python(spark):
             and (t2 - ts).total_seconds() <= 300
         )
     assert got == want
+
+
+def test_simhash_pairs_recall_guarantee(spark):
+    """Chunk blocking must find EVERY pair within the guaranteed radius:
+    4 byte chunks of a 32-bit signature, d <= 3 flips touch at most 3
+    chunks, so at least one chunk matches exactly. Brute-force all
+    pairwise Hamming distances on a doc sample and assert the blocked
+    operator returns the identical pair set."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        simhash_pairs,
+        simhash_signatures,
+    )
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents").where(
+        F.col("doc_id") < 120
+    )
+    sigs = simhash_signatures(d)
+    rows = {r.doc_id: r.simhash for r in sigs.collect()}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(rows), 2)
+        if bin(rows[a] ^ rows[b]).count("1") <= SIMHASH_MAX_HAMMING
+    }
+    got = {(r.a_id, r.b_id) for r in simhash_pairs(sigs).collect()}
+    assert got == want
