@@ -1315,3 +1315,51 @@ SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS snapshot
 FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
 ORDER BY o_orderkey
 """
+
+
+def q_x_pop_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue: monthly totals with absolute and
+    percent change vs the previous month (lag over an aggregated
+    series). The aggregate shrinks the data to |months| rows before
+    the window, so the lag's single-partition sort is over a tiny
+    series — the correct order of operations at any scale (windowing
+    the raw fact table first would sort 100 TB to produce 80 rows).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    # fixed-point cents: round each price once, sum as integers — the
+    # float sum's last ulp depends on accumulation order and can flip
+    # the 2-decimal rounding across engines (same fix as TPC-H Q9)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    monthly = (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.select(
+            "month",
+            "revenue",
+            F.round(F.col("revenue") - prev, 2).alias("abs_change"),
+            F.round(
+                F.try_divide(F.col("revenue") - prev, prev) * 100, 4
+            ).alias("pct_change"),
+        )
+        .orderBy("month")
+    )
+
+
+Q_X_POP_CHANGE_SQL = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS abs_change,
+       round((revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month) * 100, 4) AS pct_change
+FROM m ORDER BY month
+"""
