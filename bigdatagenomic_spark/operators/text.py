@@ -574,3 +574,51 @@ SELECT floor(sum(p * ln(p / q)) * 1000000 + 0.5) / 1000000 AS kl_01,
        CAST(max(v) AS BIGINT) AS n_vocab
 FROM sm
 """
+
+
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit: slope of ln(freq) vs ln(rank) over the term-frequency
+    table (natural language sits near -1; generated/templated corpora
+    deviate — a cheap corpus-health signal). Ranks are tie-broken
+    (count desc, term asc) so both engines see identical points; the
+    OLS slope comes from ``regr_slope``, computed over the |vocab|-row
+    aggregate, never the raw corpus.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("c"), F.asc("w")))
+    )
+    return ranked.agg(
+        (
+            F.floor(
+                F.regr_slope(F.log("c"), F.log("rank")) * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("zipf_slope"),
+        F.count("*").cast("long").alias("n_vocab"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+
+
+Q_TEXT_ZIPF_SQL = """
+WITH counts AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS w
+    FROM documents)
+  GROUP BY w
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank FROM counts
+)
+SELECT floor(regr_slope(ln(c), ln(rank)) * 10000 + 0.5) / 10000 AS zipf_slope,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(max(c) AS BIGINT) AS top_count
+FROM ranked
+"""
