@@ -44,6 +44,11 @@ HEADLINE = [
     "q_dedup_minhash_pairs",
     "q_x_sessionize",
     "q_x_emb_normalize",
+    # round 5: heavy multi-join (6-table TPC-H Q9 shape) and the
+    # iterative connected-components survivorship pipeline — the plan
+    # families where 100x-scale regressions would hide
+    "q_tpch_q9_shape",
+    "q_dedup_survivors",
 ]
 
 

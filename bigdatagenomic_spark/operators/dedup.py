@@ -210,17 +210,39 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(d: DataFrame, bits: int = 32) -> DataFrame:
-    """32-bit SimHash over token hashes (term-frequency weighted)."""
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    tok = tok.withColumn("h", md5_long("t"))
-    sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+    """32-bit SimHash over token hashes (term-frequency weighted).
+
+    MAP-ONLY, like :func:`minhash_signatures`: the per-doc token-hash
+    array is computed once (staged projection — CollapseProject keeps a
+    multiply-referenced non-cheap alias staged, so the tokenizer and
+    md5 run once per row), and each bit's ±1 vote total is a JVM
+    ``aggregate`` fold over that row-local array. The explode +
+    32-conditional-sum ``groupBy`` this replaces shuffled every
+    (doc, token) occurrence — at 100 TB that is a corpus-sized exchange
+    for what is per-document arithmetic. Same values: a sum over the
+    same token multiset. Docs with zero tokens (incl. NULL text) are
+    dropped up front, matching the explode formulation (no rows → no
+    group) and the SQL oracle (unnest emits nothing).
+    """
+    toks = tokens(F.col("text"))
+    # filter on the raw token array, not on hs: a predicate on hs gets
+    # pushed below the projection and re-runs the per-token md5 once
+    # per row just to check emptiness; size(tokens) re-runs only the
+    # cheap split (NULL text → size NULL → dropped, like unnest)
+    hs = d.where(F.size(toks) > 0).select(
+        "doc_id", F.transform(toks, md5_long).alias("hs")
+    )
+    bit_sums = [
+        F.aggregate(
+            "hs",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1)),
         ).alias(f"b{b}")
         for b in range(bits)
     ]
-    agg = tok.groupBy("doc_id").agg(*sums)
+    agg = hs.select("doc_id", *bit_sums)
     sig = None
     for b in range(bits):
         term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(

@@ -354,18 +354,20 @@ def mix_corpus(docs: DataFrame, rates: dict[str, int] | None = None) -> DataFram
     A training mix assigns each source a keep-rate (percent); membership
     is decided by a hash of (source, doc_id), so the sample is stable
     across reruns, executors, and engines — no RNG, no state. Map-only:
-    the mix of a 100 TB corpus costs exactly one scan. Unknown sources
-    default to a 50% rate via the hash of the source name itself, so a
-    new source entering the pipeline is sampled, never dropped.
+    the mix of a 100 TB corpus costs exactly one scan. With no rate
+    table (None or empty), every source gets a hash-derived 25–75%
+    rate; with rates given, sources missing from the table default to
+    50%, so a new source entering the pipeline is sampled, never
+    dropped.
     """
-    if rates is None:
+    if not rates:  # None or {} — no per-source table, use the hash rate
         rate = F.pmod(md5_long(F.col("source")), F.lit(51)) + 25  # 25..75%
     else:
-        rate = None
+        chain = None
         for src, r in rates.items():
-            c = F.when(F.col("source") == src, F.lit(r))
-            rate = c if rate is None else rate.when(F.col("source") == src, F.lit(r))
-        rate = rate.otherwise(F.lit(50))
+            cond = F.col("source") == src
+            chain = F.when(cond, F.lit(r)) if chain is None else chain.when(cond, F.lit(r))
+        rate = chain.otherwise(F.lit(50))
     bucket = F.pmod(
         md5_long(F.concat_ws("\x01", F.col("source"), F.col("doc_id").cast("string"))),
         F.lit(100),

@@ -71,7 +71,7 @@ def salted_agg(
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
     salt_on: str,
-    n_salt: int | None = 16,
+    n_salt: int | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
@@ -79,8 +79,11 @@ def salted_agg(
     count/sum/min/max. ``salt_on`` is any high-cardinality column used to
     derive a deterministic salt (rand() would break retry idempotency —
     a failed task re-running with different salts double-counts).
-    ``n_salt=None`` sizes the fan-out from the observed key skew via
-    :func:`suggest_salt_fanout` instead of a fixed constant.
+    ``n_salt=None`` (the DEFAULT) sizes the fan-out from the observed
+    key skew via :func:`suggest_salt_fanout` — one map-side-combined
+    probe aggregate, so a uniform key pays fan-out 1 (no second
+    shuffle) and a hot key gets exactly the sub-keys its share needs.
+    Pass a literal to skip the probe job (e.g. in explain-only paths).
     """
     if n_salt is None:
         n_salt = suggest_salt_fanout(df, keys[0])
@@ -113,6 +116,10 @@ def q_x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         aggs={"n_events": ("count", "event_id"), "sum_value": ("sum", "value")},
         salt_on="event_id",
+        # pinned fan-out: registry sweeps construct every query
+        # explain-only; the auto (n_salt=None) probe would run a real
+        # job per construction. Auto-sizing is covered in test_scale.
+        n_salt=16,
     )
     return out.select(
         "event_type",
@@ -126,7 +133,7 @@ def salted_join(
     dim: DataFrame,
     key: str,
     salt_on: str,
-    n_salt: int | None = 8,
+    n_salt: int | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the fact side, replicate the dim side.
 
@@ -142,9 +149,10 @@ def salted_join(
 
     Returns fact ⋈ dim with the salt column dropped; value-identical to
     ``fact.join(dim, key)`` (hash-checked by q_x_salted_join).
-    ``n_salt=None`` sizes the fan-out from the fact side's observed key
-    skew via :func:`suggest_salt_fanout` (dim-side replication cost then
-    tracks actual skew instead of a guess).
+    ``n_salt=None`` (the DEFAULT) sizes the fan-out from the fact
+    side's observed key skew via :func:`suggest_salt_fanout` (dim-side
+    replication cost then tracks actual skew instead of a guess); pass
+    a literal to skip the probe job.
     """
     if n_salt is None:
         n_salt = suggest_salt_fanout(fact, key)
@@ -167,7 +175,9 @@ def q_x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "c_custkey"
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = salted_join(o, c, key="c_custkey", salt_on="o_orderkey")
+    # pinned fan-out (see q_x_salted_agg): keep registry construction
+    # explain-only; auto-sizing is covered in test_scale.
+    joined = salted_join(o, c, key="c_custkey", salt_on="o_orderkey", n_salt=8)
     return (
         joined.groupBy("c_mktsegment")
         .agg(

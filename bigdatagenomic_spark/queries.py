@@ -501,7 +501,8 @@ register(
 # shared oracle fragments for shingle-based dedup (doc_id < sample bound)
 _SHINGLES_CTE = f"""
   tok AS (SELECT doc_id, {_TOK} AS t
-          FROM documents WHERE doc_id < {D.PAIR_SAMPLE_DOCS}),
+          FROM documents
+          WHERE doc_id < {D.PAIR_SAMPLE_DOCS} AND text IS NOT NULL),
   sh AS (
     SELECT doc_id, unnest(list_distinct(
         list_transform(range(1, greatest(len(t) - 2, 1) + 1),

@@ -35,9 +35,11 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     so every conf a query's *result* depends on must be (re)applied here —
     both are runtime-settable SQL confs, so ``conf.set`` is sufficient:
 
-    * ``nanosAsLong`` — the driver's ``events.parquet`` stores its ``ts``
-      column as INT64 TIMESTAMP(NANOS), which the Spark parquet reader
-      rejects outright without this flag.
+    * ``nanosAsLong`` — belt-and-braces for *older* driver testdata whose
+      ``events.parquet`` stored ``ts`` as INT64 TIMESTAMP(NANOS), which the
+      Spark parquet reader rejects outright without this flag. (Current
+      testdata stores TIMESTAMP(MICROS, isAdjustedToUTC=false); the flag is
+      then inert.)
     * ``session.timeZone=UTC`` — timestamp formatting/extraction must agree
       with the DuckDB oracle regardless of host timezone.
     """
@@ -49,15 +51,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as BIGINT
-        # nanoseconds — convert to a real timestamp (integer division, no
-        # double round-trip: epoch-nanos exceed 2^53).
+        # Invariant: events.ts loads as TimestampNTZType. The current
+        # driver testdata stores ts as parquet TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false), which Spark 4 reads directly as NTZ —
+        # naive wall-clock, matching DuckDB's naive TIMESTAMP, and (key
+        # property) every derived value (hour, date_trunc, unix_micros)
+        # is independent of spark.sql.session.timeZone.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            # Belt-and-braces for older testdata: TIMESTAMP(NANOS) +
+            # nanosAsLong arrives as BIGINT epoch nanos — integer
+            # division (epoch nanos exceed 2^53, so no double
+            # round-trip), then drop the TZ; the session TZ was just
+            # healed to UTC above, so the NTZ cast is deterministic.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts DIV 1000")).cast(TimestampNTZType()),
+            )
     return df
 
 

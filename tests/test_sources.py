@@ -95,12 +95,14 @@ def test_json_corrupt_record_capture(spark, tmp_path):
 
 
 def test_events_load_on_vanilla_session_confs(spark):
-    """Regression for the round-1 driver failure: the correctness harness
-    builds its own vanilla SparkSession (no ``get_spark`` confs), so
-    ``load_table`` must itself (re)apply every conf the result depends on
-    — ``nanosAsLong`` (events.ts is parquet TIMESTAMP(NANOS)) and the UTC
-    session timezone. Simulate a vanilla session by clearing both, then
-    verify load_table self-heals."""
+    """Regression for the round-1 driver failure, updated for the
+    regenerated testdata: the correctness harness builds its own vanilla
+    SparkSession (no ``get_spark`` confs), so ``load_table`` must itself
+    (re)apply every conf the result depends on. events.ts now arrives as
+    parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType
+    (the NANOS→long conversion branch is belt-and-braces for old data).
+    Pin the new invariant: ts is NTZ, the confs self-heal, and a derived
+    value is independent of the session timezone."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -109,12 +111,21 @@ def test_events_load_on_vanilla_session_confs(spark):
         spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         ev = load_table(spark, SF_DIR, "events")
-        assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+        assert isinstance(ev.schema["ts"].dataType, T.TimestampNTZType)
         assert ev.count() > 0
         assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
-        # a timestamp-derived value is stable (UTC) after the heal
-        assert ev.select(F.min(F.hour("ts")).alias("h")).collect()[0].h is not None
+        # NTZ derived values ignore the session TZ entirely: the same
+        # extraction under two TZ confs must agree (this is exactly the
+        # property that keeps the DuckDB oracle in hash-parity).
+        def min_hour():
+            return ev.select(F.min(F.hour("ts")).alias("h")).collect()[0].h
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        h_utc = min_hour()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        h_ny = min_hour()
+        assert h_utc is not None and h_utc == h_ny
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", saved_tz)
@@ -165,3 +176,31 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # plain read still works and serves the common columns
     plain = spark.read.parquet(str(tmp_path / "evo"))
     assert plain.select("n_nationkey", "n_name").count() == 2 * base.count()
+
+
+def test_events_queries_are_session_tz_independent(spark):
+    """Repo-wide NTZ pin (VERDICT r4 item 8). events.ts is
+    TimestampNTZType, so hour/date_trunc ignore the session timezone —
+    but ``unix_timestamp`` on NTZ converts *through* the session TZ, so
+    epoch-deriving queries (asof join, date arith, window-agg shapes)
+    are only TZ-conf-independent because ``load_table`` self-heals the
+    session to UTC on every call. Pin that end-to-end: each query must
+    return byte-identical rows whether the caller's session started in
+    UTC or America/New_York."""
+    from bigdatagenomic_spark import queries as Q
+
+    qs = Q.queries()
+    names = ["q18_date_funcs", "q_x_date_arith", "q_x_asof_join", "q_s02_window_agg"]
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        results = {}
+        for tz in ("UTC", "America/New_York"):
+            for name in names:
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                rows = sorted(map(str, qs[name](spark, SF_DIR).collect()))
+                results.setdefault(name, []).append(rows)
+        for name, (utc_rows, ny_rows) in results.items():
+            assert utc_rows == ny_rows, f"{name} diverges across session TZ"
+            assert utc_rows  # non-empty: the comparison actually tested data
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved_tz)

@@ -7,8 +7,12 @@ Any query whose correctness silently depends on a ``get_spark``-only conf
 (UTC timezone, nanosAsLong, ANSI mode, ...) fails here before it fails in
 the driver's gate.
 
-Usage: python tools/preflight.py [sf_dir]  (default /root/testdata/sf0.01)
-Writes one line per query and a final JSON summary to stdout.
+Usage: python tools/preflight.py [sf_dir] [--out FILE]
+(default sf_dir /root/testdata/sf0.01). Writes one line per query and a
+final JSON summary to stdout; with --out (or $PREFLIGHT_OUT), also
+writes the full per-query result map to FILE — commit that artifact
+per round (preflight_rN.json) so the full-registry check is auditable
+evidence, not just a test log (VERDICT r4 item 5).
 """
 
 from __future__ import annotations
@@ -25,7 +29,13 @@ from pyspark.sql import SparkSession
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    out_path = os.environ.get("PREFLIGHT_OUT")
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     # Vanilla on purpose: only perf knobs (master, parallelism, driver
     # memory) — no timezone, no nanosAsLong, no ANSI override.
     spark = (
@@ -63,17 +73,19 @@ def main() -> int:
         print(f"{name:36s} {time.time() - t:6.2f}s  {status}", flush=True)
 
     bad = {k: v for k, v in results.items() if not v.startswith("ok")}
-    print(
-        json.dumps(
-            {
-                "total": len(results),
-                "ok": len(results) - len(bad),
-                "bad": bad,
-                "elapsed_sec": round(time.time() - t0, 1),
-            }
-        ),
-        flush=True,
-    )
+    summary = {
+        "total": len(results),
+        "ok": len(results) - len(bad),
+        "bad": bad,
+        "elapsed_sec": round(time.time() - t0, 1),
+    }
+    print(json.dumps(summary), flush=True)
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, **summary, "queries": results}, fh, indent=1
+            )
+            fh.write("\n")
     spark.stop()
     return 1 if bad else 0
 
