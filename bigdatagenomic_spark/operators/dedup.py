@@ -326,6 +326,34 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_survivors(d.select("doc_id"), pairs).orderBy("doc_id")
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup QA view.
+
+    Before committing to a dedup pass on a training corpus you want the
+    collapse profile: how many clusters of size 2, 3, ... the verified
+    pair graph induces (a heavy tail here usually means boilerplate or
+    templated spam, not true near-duplicates). Reuses the verified-pair
+    → connected-component path of :func:`near_dup_survivors`; the
+    histogram itself is two bounded aggregates (|paired docs| →
+    |clusters| → |distinct sizes|), so the result is tiny at any corpus
+    scale. Hash-checked against the same recursive-CTE closure oracle
+    as q_dedup_survivors.
+    """
+    from bigdatagenomic_spark.operators.graph import connected_components
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).where(
+        F.col("jacc") >= JACCARD_THRESHOLD
+    )
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # fuzzy (edit-distance) dedup with blocking
 # ---------------------------------------------------------------------------

@@ -382,6 +382,86 @@ register(
 )
 
 
+def q_asm_n50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contig-length statistics with N50 over the derived read set —
+    the standard assembly-quality summary (the reference's `result`
+    file is one assembled contig; a real assembler reports N50 over
+    many: the largest length L such that contigs of length >= L hold
+    at least half of all assembled bases).
+
+    Scale shape: the contig set reduces to its LENGTH HISTOGRAM first
+    (one map-side-combined shuffle on the length key), and the
+    cumulative window runs over that histogram — distinct contig
+    lengths are a bounded domain (max contig length), so the
+    unpartitioned window sorts a bounded aggregate, the same
+    documented class as q_x_ratio_to_report's 25-row window, never
+    the contig set itself.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    reads = docs.select(
+        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content")
+    )
+    hist = (
+        reads.select(F.length("content").alias("len"))
+        .groupBy("len")
+        .agg(F.count("*").alias("n_at_len"))
+    )
+    desc = W.orderBy(F.desc("len"))
+    running = desc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    whole = desc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    bases = F.col("len") * F.col("n_at_len")
+    cum = hist.select(
+        "len",
+        F.sum(bases).over(running).alias("cum_bases"),
+        F.sum(bases).over(whole).alias("total_bases"),
+        F.sum("n_at_len").over(whole).alias("total_contigs"),
+        F.max("len").over(whole).alias("max_len"),
+    )
+    # N50 = the LARGEST length whose cumulative (desc) share reaches half
+    return cum.where(F.col("cum_bases") * 2 >= F.col("total_bases")).agg(
+        F.max("len").cast("int").alias("n50"),
+        F.max("total_bases").cast("long").alias("total_bases"),
+        F.max("total_contigs").cast("long").alias("n_contigs"),
+        F.max("max_len").cast("int").alias("max_len"),
+    )
+
+
+register(
+    "q_asm_n50",
+    q_asm_n50,
+    """
+    WITH r AS (
+      SELECT substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'), 17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    ), hist AS (
+      SELECT length(content) AS len, count(*) AS n_at_len
+      FROM r GROUP BY len
+    ), cum AS (
+      SELECT len,
+             sum(len * n_at_len) OVER (ORDER BY len DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bases,
+             sum(len * n_at_len) OVER () AS total_bases,
+             sum(n_at_len) OVER () AS total_contigs,
+             max(len) OVER () AS max_len
+      FROM hist
+    )
+    SELECT CAST(max(len) AS INT) AS n50,
+           CAST(max(total_bases) AS BIGINT) AS total_bases,
+           CAST(max(total_contigs) AS BIGINT) AS n_contigs,
+           CAST(max(max_len) AS INT) AS max_len
+    FROM cum WHERE cum_bases * 2 >= total_bases
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators: text analysis, dedup, similarity search
 # ---------------------------------------------------------------------------
@@ -984,6 +1064,17 @@ WHERE doc_id NOT IN (SELECT id FROM dropped)
 ORDER BY doc_id"""
 
 register("q_dedup_survivors", D.q_dedup_survivors, _SURVIVORS_SQL)
+
+# same closure CTEs as _SURVIVORS_SQL, aggregated into the collapse profile
+_CLUSTER_SIZES_SQL = (
+    _SURVIVORS_SQL.split("  dropped AS (")[0]
+    + """  szs AS (SELECT component, count(*) AS cluster_size
+           FROM comp GROUP BY component)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM szs GROUP BY cluster_size ORDER BY cluster_size"""
+)
+
+register("q_dedup_cluster_sizes", D.q_dedup_cluster_sizes, _CLUSTER_SIZES_SQL)
 
 
 def _q_s08_interval_join(spark, sf_dir):
