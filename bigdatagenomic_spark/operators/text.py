@@ -94,6 +94,107 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile quality gate — the production form of a
+    quality heuristic. Absolute score thresholds don't transfer across
+    sources (each has its own score distribution), so the pipeline form
+    drops the bottom decile PER SOURCE: percent_rank over a window
+    partitioned by source, tie-broken (quality, doc_id) so the kept set
+    is total-ordered and deterministic. The window partitions on
+    source — bounded per-source slices at corpus scale, never a global
+    sort. Quality formula is q_text_quality's (both oracle-pinned);
+    the rank is floor-rounded at 1e-6 before thresholding so both
+    engines gate on the identical value.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    s1 = d.select("doc_id", "source", "text", tokens(F.col("text")).alias("tok"))
+    s2 = s1.select(
+        "doc_id",
+        "source",
+        F.size("tok").alias("n_tok"),
+        _stop_count(F.col("tok"), STOPSETS["en"]).alias("stop"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).alias("alpha"),
+        F.greatest(F.length("text"), F.lit(1)).alias("n_chars"),
+    )
+    safe_n = F.greatest(F.col("n_tok"), F.lit(1))
+    stop_ratio = F.col("stop").cast("double") / safe_n
+    alpha_ratio = F.col("alpha").cast("double") / F.col("n_chars")
+    quality = (
+        F.lit(0.5) * F.least(F.col("n_tok"), F.lit(100)).cast("double") / 100.0
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.2) * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    scored = s2.select(
+        "doc_id", "source", F.round(quality, 4).alias("quality")
+    )
+    pr = F.percent_rank().over(
+        W.partitionBy("source").orderBy(F.asc("quality"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn(
+            "q_pct", F.floor(pr * 1000000 + F.lit(0.5)) / 1000000
+        )
+        .where(F.col("q_pct") >= 0.1)
+        .orderBy("doc_id")
+    )
+
+
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean add-1-smoothed bigram conditional log-probability —
+    the next rung up from q_text_unigram_logprob on the quality-filter
+    ladder (a real fluency proxy: P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V)).
+
+    Scale shape: bigram extraction is MAP-ONLY per doc (zip_with over
+    the bound token array — no positional self-join, no explode before
+    the count), the corpus bigram/unigram tables shuffle once each on
+    their keys, and the per-doc score joins candidates back on those
+    keys (broadcast at test scale, key-shuffle at corpus scale). The
+    vocabulary-size scalar V is a broadcast 1-row crossJoin (the
+    allowlisted BNLJ pattern of q_text_unigram_logprob/tfidf). Docs
+    with fewer than two tokens have no bigrams and drop out in both
+    engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit(""))
+        .alias("t"),
+    )
+    pairs = F.zip_with(
+        F.col("t"),
+        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(1))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = toks.select("doc_id", F.explode(pairs).alias("bigram")).where(
+        F.col("bigram").rlike("^[a-z]+ [a-z]+$")
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    c_w = uni.groupBy("w").agg(F.count("*").alias("c_w"))
+    v = uni.agg(F.count_distinct("w").alias("v"))
+    c_bg = bg.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    scored = (
+        bg.join(F.broadcast(c_bg), "bigram")
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(F.broadcast(c_w), F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.floor(
+                    F.avg(F.log((F.col("c_bg") + 1) / (F.col("c_w") + F.col("v"))))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("avg_logp"),
+        )
+    )
+    return scored.orderBy("doc_id")
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-set language scoring with a deterministic argmax.
 

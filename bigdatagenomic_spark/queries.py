@@ -534,6 +534,66 @@ register(
         FROM r ORDER BY doc_id""",
 )
 
+register(
+    "q_text_quality_filter",
+    T.q_text_quality_filter,
+    f"""WITH s AS (
+          SELECT doc_id, source,
+                 {_TOK} AS tok,
+                 length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+                 greatest(length(text), 1) AS nch
+          FROM documents
+        ), r AS (
+          SELECT doc_id, source,
+                 CAST(len(tok) AS INT) AS n_tokens,
+                 len(list_filter(tok, x -> list_contains(
+                     ['the','a','of','and','to','is','in','it'], x))) AS stop_cnt,
+                 greatest(len(tok), 1) AS safe_n, alpha, nch
+          FROM s
+        ), q AS (
+          SELECT doc_id, source,
+                 round(0.5 * least(n_tokens, 100) / 100.0
+                       + 0.3 * (alpha / CAST(nch AS DOUBLE))
+                       + 0.2 * least((stop_cnt / CAST(safe_n AS DOUBLE)) * 5.0, 1.0),
+                       4) AS quality
+          FROM r
+        ), p AS (
+          SELECT doc_id, source, quality,
+                 floor(percent_rank() OVER (PARTITION BY source
+                       ORDER BY quality, doc_id) * 1000000 + 0.5) / 1000000 AS q_pct
+          FROM q
+        )
+        SELECT doc_id, source, quality, q_pct
+        FROM p WHERE q_pct >= 0.1 ORDER BY doc_id""",
+)
+
+register(
+    "q_text_bigram_logprob",
+    T.q_text_bigram_logprob,
+    """WITH tok AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            x -> x <> '') AS t
+         FROM documents
+       ), uni AS (SELECT unnest(t) AS w FROM tok),
+       cw AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+       v AS (SELECT count(DISTINCT w) AS v FROM uni),
+       bg AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                              i -> t[i] || ' ' || t[i+1])) AS bigram
+         FROM tok WHERE len(t) >= 2
+       ),
+       cbg AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY bigram)
+       SELECT b.doc_id, count(*) AS n_bigrams,
+              floor(avg(ln((c.c_bg + 1) / CAST(u.c_w + v.v AS DOUBLE)))
+                    * 1000000 + 0.5) / 1000000 AS avg_logp
+       FROM bg b
+       JOIN cbg c USING (bigram)
+       JOIN cw u ON u.w = split_part(b.bigram, ' ', 1)
+       CROSS JOIN v
+       GROUP BY b.doc_id ORDER BY b.doc_id""",
+)
+
 _LANGSETS_SQL = {
     "en": "['the','a','of','and','to','is','in','it']",
     "de": "['der','die','das','und','ist','ein']",
