@@ -506,3 +506,35 @@ x AS (SELECT label, CAST(i - 1 AS INT) AS pos, v[CAST(i AS INT)] AS val
 SELECT label, pos, round(avg(val), 6) AS c
 FROM x GROUP BY label, pos ORDER BY label, pos
 """
+
+
+def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH index against the exact brute-force top-k —
+    the quality gauge an ANN deployment actually monitors (an index
+    with silent recall collapse is worse than no index). Both sides
+    are deterministic pipelines, so the MEASUREMENT hash-checks too:
+    the oracle replays exact and LSH top-k as CTEs and joins them the
+    same way. Scale shape: two neighbor tables joined on
+    (query_id, vec_id) — an equi-join whose size is queries x k, tiny
+    relative to the corpus at any scale.
+    """
+    exact = q26_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    ann = q_sim_lsh_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        exact.join(ann, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("int").alias("n_exact"),
+            F.coalesce("n_hit", F.lit(0)).cast("int").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -195,6 +195,56 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy("doc_id")
 
 
+PII_EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}"
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training corpus runs:
+    count and redact email addresses and international-format phone
+    numbers. MAP-ONLY (two regex extracts + two replaces per row; no
+    shuffle but the declared ORDER BY), so it costs one scan at any
+    corpus scale. The synthetic corpus carries no PII, so a
+    deterministic seeding step plants an email on every 7th doc and a
+    phone on every 11th (mirrored in the oracle — same derived-input
+    pattern as q_asm_kmer_counts' reads); the regexes are kept to the
+    RE2/Java common dialect so both engines match identical spans. The
+    redacted text is reported as an md5 fingerprint, not the text
+    itself, keeping the result narrow.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(" call +1 555 123 4567")
+        ).otherwise(F.lit("")),
+    )
+    s1 = d.select("doc_id", seeded.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("t", PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return s1.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("t", F.lit(PII_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(redacted).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-set language scoring with a deterministic argmax.
 

@@ -594,6 +594,33 @@ register(
        GROUP BY b.doc_id ORDER BY b.doc_id""",
 )
 
+register(
+    "q_text_pii_redact",
+    T.q_text_pii_redact,
+    """WITH s AS (
+         SELECT doc_id,
+                coalesce(text, '')
+                || CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com' ELSE '' END
+                || CASE WHEN doc_id % 11 = 0
+                        THEN ' call +1 555 123 4567' ELSE '' END AS t
+         FROM documents
+       )
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(t,
+                   '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', 0)) AS INT)
+                AS n_emails,
+              CAST(len(regexp_extract_all(t,
+                   '\\+\\d{1,2}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}', 0)) AS INT)
+                AS n_phones,
+              md5(regexp_replace(regexp_replace(t,
+                   '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                   '\\+\\d{1,2}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}', '<PHONE>', 'g'))
+                AS redacted_fp
+       FROM s ORDER BY doc_id""",
+)
+
 _LANGSETS_SQL = {
     "en": "['the','a','of','and','to','is','in','it']",
     "de": "['der','die','das','und','ist','ein']",
@@ -773,9 +800,7 @@ register(
         ORDER BY a_id, b_id""",
 )
 
-register(
-    "q26_cosine_topk",
-    S.q26_cosine_topk,
+_Q26_COSINE_TOPK_SQL = (
     f"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM s WHERE vec_id < {S.N_QUERIES}),
         sims AS (
@@ -786,14 +811,40 @@ register(
                                         ORDER BY sim DESC, vec_id) AS rn
               FROM sims)
         SELECT query_id, vec_id, sim, CAST(rn AS INT) AS rn
-        FROM r WHERE rn <= {S.TOP_K} ORDER BY query_id, rn""",
+        FROM r WHERE rn <= {S.TOP_K} ORDER BY query_id, rn"""
 )
+
+register("q26_cosine_topk", S.q26_cosine_topk, _Q26_COSINE_TOPK_SQL)
 
 # approximate by contract: LSH bucketing changes the candidate set; checked
 # rows-only by the driver, recall-vs-exact in tests
 # approximate vs exact top-k, but deterministically computed (md5-derived
 # hyperplanes embedded as literals in the oracle) -> full hash check
 register("q_sim_lsh_topk", S.q_sim_lsh_topk, S.Q_SIM_LSH_TOPK_SQL)
+
+# recall@k of the LSH index vs the exact top-k: both sides replayed as
+# CTE subqueries (DuckDB supports WITH inside a parenthesized subquery),
+# joined exactly like the Spark measurement
+register(
+    "q_sim_lsh_recall",
+    S.q_sim_lsh_recall,
+    f"""WITH exact AS (SELECT query_id, vec_id FROM ({_Q26_COSINE_TOPK_SQL}) ex),
+        ann AS (SELECT query_id, vec_id FROM ({S.Q_SIM_LSH_TOPK_SQL}) an),
+        hits AS (
+          SELECT e.query_id, count(*) AS n_hit
+          FROM exact e JOIN ann a
+            ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+          GROUP BY e.query_id),
+        base AS (SELECT query_id, count(*) AS n_exact
+                 FROM exact GROUP BY query_id)
+        SELECT b.query_id,
+               CAST(b.n_exact AS INT) AS n_exact,
+               CAST(coalesce(h.n_hit, 0) AS INT) AS n_hit,
+               round(coalesce(h.n_hit, 0) / CAST(b.n_exact AS DOUBLE), 4)
+                 AS recall
+        FROM base b LEFT JOIN hits h USING (query_id)
+        ORDER BY b.query_id""",
+)
 
 
 # ---------------------------------------------------------------------------

@@ -286,6 +286,7 @@ _BNLJ_ALLOWED = {
     "q_tpch_q22_shape",      # 1-row avg-acctbal cutoff scalar
     "q_text_kl_drift",       # 1-row smoothing-totals scalar (same pattern as tfidf/pmi)
     "q_text_bigram_logprob", # 1-row vocabulary-size scalar (same pattern as unigram)
+    "q_sim_lsh_recall",      # inherits q26's bounded broadcast-query-set crossJoin
 }
 
 
