@@ -303,3 +303,33 @@ def test_simhash_pairs_recall_guarantee(spark):
     }
     got = {(r.a_id, r.b_id) for r in simhash_pairs(sigs).collect()}
     assert got == want
+
+
+def test_mix_corpus_rate_table_edge_cases(spark):
+    """mix_corpus's three rate paths agree with its contract: None and
+    {} both take the hash-derived 25-75% path (an empty table used to
+    crash on rate.otherwise), a listed source gets its literal rate,
+    and an unlisted source falls back to 50%."""
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.operators.llm_prep import mix_corpus
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    hash_mix = mix_corpus(docs, None)
+    empty_mix = mix_corpus(docs, {})
+    assert sorted(map(tuple, hash_mix.collect())) == sorted(
+        map(tuple, empty_mix.collect())
+    )
+    rates = hash_mix.select("keep_rate").distinct().collect()
+    assert all(25 <= r.keep_rate <= 75 for r in rates)
+
+    src = docs.select("source").first().source
+    tabled = mix_corpus(docs, {src: 100})
+    kept = tabled.select("source", "keep_rate").distinct().collect()
+    by_src = {r.source: r.keep_rate for r in kept}
+    assert by_src[src] == 100
+    assert all(v == 50 for s, v in by_src.items() if s != src)
+    # rate 100 keeps every doc of that source
+    n_src = docs.where(F.col("source") == src).count()
+    assert tabled.where(F.col("source") == src).count() == n_src
