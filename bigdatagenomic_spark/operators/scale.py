@@ -28,6 +28,74 @@ from pyspark.sql import functions as F
 _COMBINE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
 
 
+def two_phase_rank(
+    df: DataFrame,
+    order_cols: list,
+    group_cols: list[str] | None = None,
+    n_parts: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact dense row-number rank WITHOUT a single-partition sort.
+
+    Spark executes an unpartitioned ``row_number()`` window in ONE
+    partition — an OOM/straggler the moment the ranked set is unbounded
+    (a 100 TB corpus's vocabulary, its per-source doc sets, ...). The
+    scalable equivalent is two-phase: (1) ``repartitionByRange`` on
+    (group_cols + order_cols), so each partition holds a contiguous
+    slice of the target order, with ``localCheckpoint`` pinning the
+    partition assignment (the offsets job and the final job must see
+    identical pids); (2) a per-(partition, group) ``row_number`` over
+    bounded slices plus broadcast-joined offsets, where the offset
+    table is one bounded driver fetch (≤ n_parts × |groups| rows —
+    same class as the 1-row stats reads elsewhere in this module).
+    Because the range boundaries respect the total order, offset +
+    local rank reproduces the global (or per-group) rank EXACTLY,
+    wherever the boundaries land; order_cols must therefore be a total
+    order (add a unique tiebreaker column).
+
+    ``group_cols=None``/``[]`` ranks globally; otherwise ranks restart
+    per group (the scalable form of
+    ``row_number() OVER (PARTITION BY g ORDER BY ...)`` when single
+    groups are too big for one task).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    group_cols = list(group_cols or [])
+    parts = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in group_cols], *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = (
+        parts.groupBy("_pid", *group_cols).agg(F.count("*").alias("_n")).collect()
+    )
+    per_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in counts:
+        g = tuple(r[c] for c in group_cols)
+        per_group.setdefault(g, []).append((r["_pid"], r["_n"]))
+    off_rows = []
+    for g, lst in per_group.items():
+        acc = 0
+        for pid, n in sorted(lst):
+            off_rows.append((pid, *g, acc))
+            acc += n
+    schema = StructType(
+        [StructField("_pid", IntegerType())]
+        + [parts.schema[c] for c in group_cols]
+        + [StructField("_off", LongType())]
+    )
+    off_df = df.sparkSession.createDataFrame(off_rows, schema)
+    local = F.row_number().over(
+        W.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    )
+    return (
+        parts.join(F.broadcast(off_df), ["_pid", *group_cols], "left")
+        .withColumn(rank_col, F.coalesce("_off", F.lit(0)) + local)
+        .drop("_pid", "_off")
+    )
+
+
 def suggest_salt_fanout(
     df: DataFrame,
     key: str,
@@ -185,6 +253,42 @@ def q_x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             round2_portable(F.sum("o_totalprice")).alias("sum_price"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+N_BUDGET_PER_SOURCE = 40
+
+
+def q_x_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum budget sampling: the first N docs per source in
+    deterministic hash order — the op behind "exactly 40M docs from each
+    source in the mix" (rate-based sampling, q_corpus_mix, can't hit an
+    exact budget). Semantically
+    ``row_number() OVER (PARTITION BY source ORDER BY hash) <= N``, but
+    executed with :func:`two_phase_rank`: at corpus scale a single
+    source can be half the data, so the per-source window partition is
+    itself the straggler — the grouped two-phase rank bounds every
+    sort to a range slice. Hash order (not doc_id order) makes the kept
+    set a uniform, rerun-stable sample, and doc_id tie-breaks to a
+    total order.
+    """
+    from bigdatagenomic_spark.functions import md5_long
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = d.withColumn(
+        "h",
+        md5_long(
+            F.concat_ws("\x01", F.col("source"), F.col("doc_id").cast("string"))
+        ),
+    )
+    ranked = two_phase_rank(
+        keyed, [F.asc("h"), F.asc("doc_id")], group_cols=["source"], rank_col="rk"
+    )
+    return (
+        ranked.where(F.col("rk") <= N_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+        .orderBy("source", "doc_id")
     )
 
 

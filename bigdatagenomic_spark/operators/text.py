@@ -735,21 +735,14 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     OLS slope comes from ``regr_slope``, computed over the |vocab|-row
     aggregate, never the raw corpus.
 
-    Rank is a TWO-PHASE exact rank, not a global ``row_number()``
-    window: Spark executes an unpartitioned window in ONE partition,
-    and the unigram vocabulary of a 100 TB corpus is 1e8–1e9 rows — an
-    OOM/straggler. Instead: (1) range-repartition the vocab on the rank
-    order, so partition *i* holds a contiguous rank slice (and
-    ``localCheckpoint`` pins the partition assignment, so the offsets
-    job and the final job see identical pids); (2) per-partition
-    ``row_number`` over bounded slices, plus broadcast per-partition
-    row-count offsets (a bounded ``n_parts``-row driver fetch, same
-    class as scale.py's stats reads). (c desc, w asc) is a total order
-    — w is unique post-aggregate — so offset + local rank reproduces
-    the global rank exactly, independent of where the range boundaries
-    land.
+    Rank comes from :func:`bigdatagenomic_spark.operators.scale.
+    two_phase_rank`, not a global ``row_number()`` window: Spark
+    executes an unpartitioned window in ONE partition, and the unigram
+    vocabulary of a 100 TB corpus is 1e8–1e9 rows — an OOM/straggler.
+    (c desc, w asc) is a total order — w is unique post-aggregate — so
+    the two-phase rank reproduces the global rank exactly.
     """
-    from pyspark.sql import Window as W
+    from bigdatagenomic_spark.operators.scale import two_phase_rank
 
     d = load_table(spark, sf_dir, "documents")
     counts = (
@@ -757,32 +750,9 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
-    n_parts = 32
-    parts = (
-        counts.repartitionByRange(n_parts, F.desc("c"), F.asc("w"))
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    sizes = {
-        r["pid"]: r["n"]
-        for r in parts.groupBy("pid").agg(F.count("*").alias("n")).collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for p in sorted(sizes):  # range partition 0 holds the highest counts
-        offsets[p] = acc
-        acc += sizes[p]
-    if offsets:
-        off_map = F.create_map(
-            *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
-        )
-        off = F.coalesce(F.try_element_at(off_map, F.col("pid")), F.lit(0))
-    else:
-        off = F.lit(0)
-    local = F.row_number().over(
-        W.partitionBy("pid").orderBy(F.desc("c"), F.asc("w"))
-    )
-    ranked = parts.withColumn("rank", (off + local).cast("int"))
+    ranked = two_phase_rank(
+        counts, [F.desc("c"), F.asc("w")], rank_col="rank"
+    ).withColumn("rank", F.col("rank").cast("int"))
     return ranked.agg(
         (
             F.floor(

@@ -1391,6 +1391,25 @@ register("q_cluster_kmeans", CL.q_cluster_kmeans, CL.Q_CLUSTER_KMEANS_SQL)
 register("q_x_interval_join", SC.q_x_interval_join, SC.Q_X_INTERVAL_JOIN_SQL)
 register("q_x_zorder_value", SC.q_x_zorder_value, SC.Q_X_ZORDER_VALUE_SQL)
 
+register(
+    "q_x_budget_sample",
+    SC.q_x_budget_sample,
+    f"""WITH k AS (
+          SELECT doc_id, source,
+                 CAST('0x' || substr(md5(concat_ws(chr(1), source,
+                      CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT) AS h
+          FROM documents
+        ), r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY h, doc_id) AS rk
+          FROM k
+        )
+        SELECT doc_id, source, CAST(rk AS INT) AS rk
+        FROM r WHERE rk <= {SC.N_BUDGET_PER_SOURCE}
+        ORDER BY source, doc_id""",
+)
+
 
 register(
     "q_x_skew_report",

@@ -420,7 +420,7 @@ def test_zipf_rank_window_is_partitioned(spark):
     with the sort column)."""
     df = _df(spark, "q_text_zipf")
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "windowspecdefinition(pid" in opt, opt
+    assert "windowspecdefinition(_pid" in opt, opt
     assert opt.count("windowspecdefinition") == 1, opt
 
 

@@ -223,3 +223,45 @@ def test_write_zordered_clusters_both_columns(spark, tmp_path):
         # random layout: every file spans ~the full range (sum = n*full);
         # z-order: each dimension's extents shrink by ~sqrt(n_files)
         assert sum(exts) < 0.75 * len(exts) * full[c], (c, exts, full[c])
+
+
+def test_two_phase_rank_matches_window_row_number(spark):
+    """two_phase_rank must reproduce row_number() exactly — global and
+    per-group — for any range-boundary placement (n_parts larger than
+    the data forces empty/tiny partitions, the degenerate layouts)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.operators.scale import two_phase_rank
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+
+    got_global = {
+        r.doc_id: r.rk
+        for r in two_phase_rank(d, order, n_parts=7, rank_col="rk").collect()
+    }
+    want_global = {
+        r.doc_id: r.rk
+        for r in d.withColumn(
+            "rk", F.row_number().over(W.orderBy(*order))
+        ).collect()
+    }
+    assert got_global == want_global
+
+    got_grouped = {
+        (r.source, r.doc_id): r.rk
+        for r in two_phase_rank(
+            d, order, group_cols=["source"], n_parts=5, rank_col="rk"
+        ).collect()
+    }
+    want_grouped = {
+        (r.source, r.doc_id): r.rk
+        for r in d.withColumn(
+            "rk", F.row_number().over(W.partitionBy("source").orderBy(*order))
+        ).collect()
+    }
+    assert got_grouped == want_grouped
