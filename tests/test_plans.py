@@ -439,3 +439,17 @@ def test_simhash_signatures_are_map_only(spark):
     # the per-token md5 (the expensive leg) must evaluate exactly once
     assert opt.count("split(") <= 2, opt
     assert opt.count("md5(") == 1, opt
+
+
+def test_tpch_q9_broadcasts_dims_and_pushes_part_filter(spark):
+    """Q9 (now a bench headline): the part name filter must reach the
+    part scan, the two dim sides (filtered part, nation) must broadcast,
+    and lineitem's scan must prune to the 6 columns the profit
+    expression needs."""
+    df = _df(spark, "q_tpch_q9_shape")
+    pushed = " ".join(pushed_filters(df))
+    assert "p_name" in pushed, pushed
+    kinds = join_kinds(df)
+    assert kinds.count("BroadcastHashJoin") >= 2, kinds
+    li = [s for s in scan_schemas(df) if "l_extendedprice" in s]
+    assert li and all("l_comment" not in s for s in li), li
