@@ -116,3 +116,13 @@ def test_pagerank_matches_python_power_iteration(spark):
         assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
     # mass conservation: dangling redistribution keeps sum(rank) == n
     assert abs(sum(got.values()) - n) < 1e-9
+
+
+def test_cc_chain_and_islands(spark):
+    """Longer chain + islands + self-loop: pointer jumping must still
+    converge to min-reachable-id labels."""
+    e = _edges(
+        spark, [(1, 2), (2, 3), (3, 4), (5, 1), (10, 11), (12, 11), (20, 20)]
+    )
+    got = {(r.id, r.component) for r in connected_components(e).collect()}
+    assert {(1, 1), (4, 1), (5, 1), (11, 10), (12, 10), (20, 20)} <= got
