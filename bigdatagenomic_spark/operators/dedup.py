@@ -326,6 +326,50 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_survivors(d.select("doc_id"), pairs).orderBy("doc_id")
 
 
+def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair, the
+    signature-agreement estimate of Jaccard (fraction of the 16
+    permutations that agree — the unbiased MinHash estimator) next to
+    the exact Jaccard and the absolute error. This is the measurement
+    that says whether 16 permutations are enough for the configured
+    threshold before committing a 100 TB dedup run to it. Scale shape:
+    the bounded candidate-pair set equi-joins back to the signature
+    table twice on doc_id — the corpus itself is never touched again.
+    Agreement is a multiple of 1/16 (exact in binary), so the estimate
+    hash-checks across engines.
+    """
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < PAIR_SAMPLE_DOCS
+    )
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    sig = minhash_signatures(d)
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(16)],
+    )
+    agree = None
+    for i in range(16):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    est = agree / F.lit(16.0)
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "jacc",
+            F.round(est, 4).alias("est"),
+            F.round(F.abs(est - F.col("jacc")), 4).alias("err"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size histogram — the dedup QA view.
 

@@ -1176,6 +1176,37 @@ ORDER BY doc_id"""
 
 register("q_dedup_survivors", D.q_dedup_survivors, _SURVIVORS_SQL)
 
+_MH_AGREE = " + ".join(
+    f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+
+register(
+    "q_dedup_minhash_est",
+    D.q_dedup_minhash_est,
+    f"""WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        bands AS ({_BANDS_SQL}),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM bands a JOIN bands b USING (band, bkey)
+                 WHERE a.doc_id < b.doc_id),
+        pj AS (
+          SELECT c.a_id, c.b_id,
+                 round(coalesce(cm.n_common, 0)
+                       / CAST(sa.n_sh + sb.n_sh - coalesce(cm.n_common, 0)
+                              AS DOUBLE), 4) AS jacc
+          FROM cand c
+          LEFT JOIN common cm ON c.a_id = cm.a_id AND c.b_id = cm.b_id
+          JOIN sizes sa ON c.a_id = sa.doc_id
+          JOIN sizes sb ON c.b_id = sb.doc_id),
+        ag AS (
+          SELECT p.a_id, p.b_id, p.jacc, ({_MH_AGREE}) / 16.0 AS est
+          FROM pj p
+          JOIN sig a ON p.a_id = a.doc_id
+          JOIN sig b ON p.b_id = b.doc_id)
+        SELECT a_id, b_id, jacc, round(est, 4) AS est,
+               round(abs(est - jacc), 4) AS err
+        FROM ag ORDER BY a_id, b_id""",
+)
+
 # same closure CTEs as _SURVIVORS_SQL, aggregated into the collapse profile
 _CLUSTER_SIZES_SQL = (
     _SURVIVORS_SQL.split("  dropped AS (")[0]
