@@ -453,3 +453,45 @@ def test_tpch_q9_broadcasts_dims_and_pushes_part_filter(spark):
     assert kinds.count("BroadcastHashJoin") >= 2, kinds
     li = [s for s in scan_schemas(df) if "l_extendedprice" in s]
     assert li and all("l_comment" not in s for s in li), li
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketing both sides of a repeat join on the same key + bucket
+    count persists the partitioning into the table layout: the join
+    plans as a SortMergeJoin over the bucketed scans with ZERO shuffle
+    exchanges. This is the amortize-the-ingress answer to the
+    reference's per-run re-partition (assembly_final.cpp:656-668)."""
+    from bigdatagenomic_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path}'")
+    saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(
+            orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            "bktest.orders_b", keys=["o_orderkey"], n_buckets=4,
+            sort_by=["o_orderkey"],
+        )
+        write_bucketed(
+            lineitem.select(
+                lineitem.l_orderkey.alias("o_orderkey"), "l_quantity"
+            ),
+            "bktest.lineitem_b", keys=["o_orderkey"], n_buckets=4,
+            sort_by=["o_orderkey"],
+        )
+        # force the join path that would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(
+            spark, "bktest.orders_b", "bktest.lineitem_b", on=["o_orderkey"]
+        )
+        assert exchange_count(joined) == 0, formatted_plan(joined)
+        assert "SortMergeJoin" in join_kinds(joined), join_kinds(joined)
+        # same bucketing kills the aggregation exchange too
+        agg = spark.table("bktest.lineitem_b").groupBy("o_orderkey").count()
+        assert exchange_count(agg) == 0, formatted_plan(agg)
+        # sanity: the join is not just planned, it computes
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+        spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
