@@ -1363,3 +1363,144 @@ SELECT month, revenue,
              / lag(revenue) OVER (ORDER BY month) * 100, 4) AS pct_change
 FROM m ORDER BY month
 """
+
+
+# --------------------------------------------------------------------------
+# market-basket pair counts (co-occurrence mining)
+# --------------------------------------------------------------------------
+BASKET_MIN_SUPPORT = 2
+BASKET_TOP_K = 100
+
+
+def q_x_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased part pairs: frequent-itemset mining's pair pass
+    (the support-counting core of Apriori / FP-growth's first level).
+
+    Shape at scale: a SELF equi-join of the (order, part) item list on
+    the order key — never an all-pairs cross product. Per-basket cost is
+    k² in basket size, which TPC-H bounds at 7 items; real retail
+    baskets are bounded by policy (cap items per basket before the join
+    when k can run hot, the same guard as the LSH band-bucket caps).
+    The `<` predicate canonicalizes the pair so each co-occurrence
+    counts once. Aggregation is a single (part_a, part_b) shuffle with
+    map-side partials; top-k goes through TakeOrdered, never a global
+    sort (same contract as q15, pinned there).
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= BASKET_MIN_SUPPORT)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )
+
+
+Q_X_BASKET_PAIRS_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM items a
+JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {BASKET_MIN_SUPPORT}
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {BASKET_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (quartile scores without a global window)
+# --------------------------------------------------------------------------
+def q_x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer RFM segmentation: quartile-score each customer on
+    Recency / Frequency / Monetary, then count customers per segment.
+
+    The textbook formulation is three ``ntile(4)`` global windows — a
+    single-partition sort per score, the exact scale-killer class
+    test_plans.py bans. Here each score comes from
+    ``scale.two_phase_rank`` (range-repartition + per-partition
+    row_number + broadcast offsets), so ranking a 10⁹-customer table
+    spreads across the cluster. Score = floor((rank-1)·4/n)+1, which is
+    reproduced verbatim in the oracle instead of ntile (ntile pads the
+    FIRST buckets on non-divisible n; this formula is
+    boundary-agnostic and identical on both engines).
+
+    Monetary ranks on exact integer cents (the module's portable-sum
+    trick) — ranking on a float sum would let association-order noise
+    flip quartile boundaries between engines.
+    """
+    from bigdatagenomic_spark.operators.scale import two_phase_rank
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(cents).alias("monetary_cents"),
+        )
+    )
+    n = per.count()  # one scalar off a distributed count — bounded
+    ranked = two_phase_rank(
+        per, [F.desc("last_order"), F.asc("o_custkey")], rank_col="r_rank"
+    )
+    ranked = two_phase_rank(
+        ranked, [F.desc("frequency"), F.asc("o_custkey")], rank_col="f_rank"
+    )
+    ranked = two_phase_rank(
+        ranked, [F.desc("monetary_cents"), F.asc("o_custkey")], rank_col="m_rank"
+    )
+
+    def score(rank_col: str):
+        return (F.floor((F.col(rank_col) - 1) * 4 / F.lit(n)) + 1).cast("int")
+
+    return (
+        ranked.select(
+            score("r_rank").alias("r_score"),
+            score("f_rank").alias("f_score"),
+            score("m_rank").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+Q_X_RFM_SEGMENTS_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT o_custkey,
+         row_number() OVER (ORDER BY last_order DESC, o_custkey) AS r_rank,
+         row_number() OVER (ORDER BY frequency DESC, o_custkey) AS f_rank,
+         row_number() OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_rank,
+         count(*) OVER () AS n
+  FROM per
+)
+SELECT CAST(floor((r_rank - 1) * 4 / n) + 1 AS INT) AS r_score,
+       CAST(floor((f_rank - 1) * 4 / n) + 1 AS INT) AS f_score,
+       CAST(floor((m_rank - 1) * 4 / n) + 1 AS INT) AS m_score,
+       count(*) AS n_customers
+FROM ranked
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

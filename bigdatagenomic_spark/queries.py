@@ -1567,6 +1567,8 @@ register("q_x_calendar_dim", RX.q_x_calendar_dim, RX.Q_X_CALENDAR_DIM_SQL)
 register("q_x_mode_per_group", RX.q_x_mode_per_group, RX.Q_X_MODE_PER_GROUP_SQL)
 register("q_x_union_evolved", RX.q_x_union_evolved, RX.Q_X_UNION_EVOLVED_SQL)
 register("q_x_pop_change", RX.q_x_pop_change, RX.Q_X_POP_CHANGE_SQL)
+register("q_x_basket_pairs", RX.q_x_basket_pairs, RX.Q_X_BASKET_PAIRS_SQL)
+register("q_x_rfm_segments", RX.q_x_rfm_segments, RX.Q_X_RFM_SEGMENTS_SQL)
 
 
 # ---------------------------------------------------------------------------
