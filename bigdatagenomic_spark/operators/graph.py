@@ -12,7 +12,8 @@ co-purchase components).
 Scale notes: every superstep is one shuffle on vertex id. The driver
 loop localCheckpoints each round — iterative lineage otherwise grows
 unboundedly and re-executes from the scan on every action. Convergence
-is checked with a changed-row count per round (one extra cheap job);
+is checked per round by carrying the round-start label alongside the
+new one (a filter + isEmpty on the checkpointed frame — no extra join);
 hash-min propagation needs O(component diameter) rounds, which is small
 for the short-diameter graphs entity resolution produces — for
 adversarial long-path graphs, extract_path-style pointer doubling
@@ -105,6 +106,7 @@ def connected_components(
         )
         stepped = labels.join(neighbor_min, "id", "left").select(
             "id",
+            F.col("component").alias("_old"),
             F.least(
                 F.col("component"), F.coalesce("msg_agg", F.col("component"))
             ).alias("component"),
@@ -120,20 +122,20 @@ def connected_components(
             stepped.join(parents, "component", "left")
             .select(
                 "id",
+                "_old",
                 F.least(
                     F.col("component"), F.coalesce("_parent", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # convergence check: the round-start label rides along as _old,
+        # so "anything changed?" is a filter on the frame just
+        # checkpointed — no per-round (new ⋈ old) shuffle join, and
+        # isEmpty short-circuits at the first changed row
+        converged = new_labels.where(F.col("component") != F.col("_old")).isEmpty()
+        labels = new_labels.select("id", "component")
+        if converged:
             break
     return labels
 
