@@ -820,12 +820,17 @@ ORDER BY nation, o_year DESC
 # TPC-H Q11 shape: "important stock" — per-part value from one
 # nation's suppliers, kept only if above a fraction of the total.
 # partsupp-less adaptation: value = shipped l_extendedprice. The
-# "fraction of total" scalar is an empty-frame window over the
-# per-part aggregate: the aggregate output (≤ |part| rows) flows
-# through ONE single-partition exchange and is filtered in place —
-# structurally one lineitem scan, where the self-join/scalar-subquery
-# formulation plans two when exchange reuse fails to canonicalize
-# (AQE replans each consumer stage independently here).
+# "fraction of total" scalar needs the per-part aggregate TWICE (once
+# summed to one row, once filtered). The naive scalar-subquery plans
+# two lineitem scans (AQE replans each consumer stage independently,
+# so exchange reuse fails to canonicalize here); the earlier empty-
+# frame-window form scanned once but funneled the whole ≤|part|-row
+# aggregate through a single-partition exchange — ~3 GB into one task
+# at 100 TB part cardinality. The scale-safe shape is a LAZY
+# localCheckpoint on the aggregate: one lineitem scan materializes it
+# distributed, the 1-row total is broadcast back over it, and the
+# filter stays map-side (BNLJ allowlisted as a 1-row scalar,
+# tests/test_plans.py).
 def q_tpch_q11_shape(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
@@ -835,13 +840,15 @@ def q_tpch_q11_shape(spark, sf_dir):
     filtered = li.join(s, li["l_suppkey"] == s["s_suppkey"]).join(
         F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
     )
-    per_part = filtered.groupBy("l_partkey").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("value")
+    per_part = (
+        filtered.groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("value"))
+        .localCheckpoint(eager=False)
     )
-    cut = (F.sum("value").over(W.partitionBy()) * F.lit(0.001)).alias("cut")
+    total = per_part.agg(F.sum("value").alias("_total"))
     return (
-        per_part.withColumn("cut", cut)
-        .where(F.col("value") > F.col("cut"))
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("_total") * F.lit(0.001))
         .select("l_partkey", "value")
         .orderBy(F.desc("value"), "l_partkey")
     )

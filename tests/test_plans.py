@@ -287,6 +287,7 @@ _BNLJ_ALLOWED = {
     "q_text_kl_drift",       # 1-row smoothing-totals scalar (same pattern as tfidf/pmi)
     "q_text_bigram_logprob", # 1-row vocabulary-size scalar (same pattern as unigram)
     "q_sim_lsh_recall",      # inherits q26's bounded broadcast-query-set crossJoin
+    "q_tpch_q11_shape",      # 1-row value-total scalar over the checkpointed agg
 }
 
 
@@ -355,19 +356,32 @@ def test_tpch_q8_broadcasts_all_dims(spark):
 
 def test_tpch_q11_reuses_perpart_aggregate(spark):
     """Q11's 'value > 0.001 * total' scalar must come from the per-part
-    aggregate itself (empty-frame window over the agg output), never
-    from a second scan of lineitem — exactly one parquet scan of
-    lineitem in the final adaptive plan."""
+    aggregate itself, never from a second scan of lineitem, and the
+    aggregate must NOT funnel through a single-partition exchange. The
+    lazy-localCheckpoint form shows both consumers (1-row total and the
+    filter) reading the checkpointed RDD: zero lineitem scans in the
+    final plan, no 'Exchange SinglePartition' over the aggregate (the
+    only single-partition step left is the 1-row broadcast build)."""
     df = _df(spark, "q_tpch_q11_shape")
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # AdaptiveSparkPlan.toString appends the pre-execution plan after
-    # the materialized one — count scans only in the executed section
-    final = plan.split("Initial Plan")[0].split("ResultQueryStage")[-1]
+    # Whole plan string (final + initial sections): the checkpoint
+    # means NO lineitem scan appears anywhere in this query's plan —
+    # the one scan ran in the checkpoint job. (At sf0.1 the fixed
+    # 0.001 fraction filters everything — TPC-H proper scales the
+    # fraction by 1/SF — so AQE collapses the final section to
+    # EmptyRelation; the initial section still pins the shape.)
     import re
 
-    li_scans = len(re.findall(r"Scan parquet[^\n]*lineitem", final))
-    assert li_scans == 1, plan
+    assert not re.search(r"Scan parquet[^\n]*lineitem", plan), plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # exactly one single-partition exchange: the 1-row total's final
+    # aggregation (per-partition partial sums), never the full per-part
+    # aggregate output
+    singles = plan.count("Exchange SinglePartition")
+    assert singles == 1, plan
+    assert "partial_sum" in plan.split("Exchange SinglePartition")[1], plan
 
 
 def test_tpch_q22_anti_join_prunes_orders_scan(spark):
