@@ -309,3 +309,106 @@ def q_graph_pagerank(spark, sf_dir: str) -> DataFrame:
     return pr.select(
         "id", (F.floor(F.col("rank") * 10000 + F.lit(0.5)) / 10000).alias("rank")
     ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-oriented node-iterator)
+# ---------------------------------------------------------------------------
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """1-row (n_wedges, n_triangles) over an undirected simple graph.
+
+    The naive formulation joins the edge list with itself twice — on a
+    power-law graph the hub vertices make the wedge join quadratic in
+    the max degree. The standard distributed fix (node-iterator++ /
+    Suri-Vassilvitskii MapReduce triangle counting) ORIENTS each edge
+    from its lower-(degree, id) endpoint to the higher one: every
+    vertex's out-degree is then O(sqrt(m)), so the wedge join is
+    sum(out_deg²) ≤ m^1.5 total work regardless of skew, and each
+    triangle {x<y<z} is generated exactly once as the wedge (x→y, x→z)
+    closed by the oriented edge y→z. All three steps are equi-joins on
+    vertex keys — no cross products.
+    """
+    a, b = F.col("src"), F.col("dst")
+    und = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.struct("deg", F.col("id")).alias("ka"))
+    db = deg.select(F.col("id").alias("b"), F.struct("deg", F.col("id")).alias("kb"))
+    keyed = und.join(da, "a").join(db, "b")
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("dst_key"),
+    )
+    w1 = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y"), F.col("dst_key").alias("ky")
+    )
+    w2 = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("z"), F.col("dst_key").alias("kz")
+    )
+    wedges = w1.join(w2, "x").where(F.col("ky") < F.col("kz")).select("y", "z")
+    closing = oriented.select(
+        F.col("src").alias("y"), F.col("dst").alias("z"), F.lit(1).alias("_closed")
+    )
+    # one pass for both counts: oriented edges are distinct, so the left
+    # join cannot multiply wedge rows — count(*) is the wedge census and
+    # count(_closed) the triangles
+    return wedges.join(closing, ["y", "z"], "left").agg(
+        F.count("*").alias("n_wedges"), F.count("_closed").alias("n_triangles")
+    )
+
+
+def q_graph_triangles(spark, sf_dir: str) -> DataFrame:
+    """Triangle census of the bounded co-purchase graph (orders sharing
+    a part, same slice as q_graph_cc): a clustering-coefficient-style
+    corpus/graph health signal. Oracle: the same orientation replayed
+    in SQL with row-value comparisons."""
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    o1 = items.select(F.col("l_orderkey").alias("src"), "l_partkey")
+    o2 = items.select(F.col("l_orderkey").alias("dst"), "l_partkey")
+    edges = (
+        o1.join(o2, "l_partkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+Q_GRAPH_TRIANGLES_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 200
+), und AS (
+  SELECT DISTINCT i.l_orderkey AS a, j.l_orderkey AS b
+  FROM items i JOIN items j
+    ON i.l_partkey = j.l_partkey AND i.l_orderkey < j.l_orderkey
+), deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY id
+), oriented AS (
+  SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS src,
+         CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS dst,
+         CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN db.deg ELSE da.deg END AS ddeg
+  FROM und u JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id
+), wedges AS (
+  SELECT w1.dst AS y, w2.dst AS z
+  FROM oriented w1 JOIN oriented w2
+    ON w1.src = w2.src AND (w1.ddeg, w1.dst) < (w2.ddeg, w2.dst)
+)
+SELECT count(*) AS n_wedges, count(o.src) AS n_triangles
+FROM wedges w
+LEFT JOIN oriented o ON w.y = o.src AND w.z = o.dst
+"""

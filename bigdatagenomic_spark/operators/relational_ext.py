@@ -1504,3 +1504,55 @@ FROM ranked
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# --------------------------------------------------------------------------
+def q_x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for every
+    (prev → next) adjacent pair in each user's timeline, the count and
+    the row-normalized probability.
+
+    The sequence window partitions by user_id — per-user slices are
+    bounded, so no single-partition sort. Ordering is (ts, event_id):
+    ts alone is NOT a total order (same-timestamp events would make the
+    adjacent-pair multiset nondeterministic and break oracle parity).
+    The normalizing window runs on the AGGREGATED matrix — at most
+    |event_types|² rows by construction — not on the event log.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("next"),
+    )
+    counts = (
+        ev.where(F.col("next").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count("*").alias("n"))
+    )
+    total = F.sum("n").over(W.partitionBy("prev"))
+    return (
+        counts.select(
+            "prev", "next", "n", F.round(F.col("n") / total, 6).alias("p")
+        )
+        .orderBy("prev", "next")
+    )
+
+
+Q_X_MARKOV_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS prev,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next
+  FROM events
+), counts AS (
+  SELECT prev, next, count(*) AS n FROM seq
+  WHERE next IS NOT NULL GROUP BY prev, next
+)
+SELECT prev, next, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY prev), 6) AS p
+FROM counts
+ORDER BY prev, next
+"""

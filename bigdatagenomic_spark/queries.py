@@ -1417,6 +1417,10 @@ register("q_graph_pagerank", _q_pr, Q_GRAPH_PAGERANK_SQL)
 # fixed-iteration Lloyd's: loop-unrolled into chained CTEs -> full hash
 # check (was rows-only); distances share the same left-to-right fold
 register("q_cluster_kmeans", CL.q_cluster_kmeans, CL.Q_CLUSTER_KMEANS_SQL)
+from bigdatagenomic_spark.operators.graph import Q_GRAPH_TRIANGLES_SQL, q_graph_triangles
+
+# degree-oriented wedge closure: pure joins, replayed verbatim in SQL
+register("q_graph_triangles", q_graph_triangles, Q_GRAPH_TRIANGLES_SQL)
 
 
 register("q_x_interval_join", SC.q_x_interval_join, SC.Q_X_INTERVAL_JOIN_SQL)
@@ -1569,6 +1573,7 @@ register("q_x_union_evolved", RX.q_x_union_evolved, RX.Q_X_UNION_EVOLVED_SQL)
 register("q_x_pop_change", RX.q_x_pop_change, RX.Q_X_POP_CHANGE_SQL)
 register("q_x_basket_pairs", RX.q_x_basket_pairs, RX.Q_X_BASKET_PAIRS_SQL)
 register("q_x_rfm_segments", RX.q_x_rfm_segments, RX.Q_X_RFM_SEGMENTS_SQL)
+register("q_x_markov_transitions", RX.q_x_markov_transitions, RX.Q_X_MARKOV_TRANSITIONS_SQL)
 
 
 # ---------------------------------------------------------------------------
