@@ -780,3 +780,86 @@ SELECT floor(regr_slope(ln(c), ln(rank)) * 10000 + 0.5) / 10000 AS zipf_slope,
        CAST(max(c) AS BIGINT) AS top_count
 FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary pruning (rare-token scrub)
+# ---------------------------------------------------------------------------
+VOCAB_PRUNE_FRACTION = 0.01  # keep tokens with >= 1% of all corpus tokens
+
+
+def q_text_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite each document keeping only tokens whose CORPUS frequency
+    is at least ``VOCAB_PRUNE_FRACTION`` of all tokens — the rare-token
+    scrub (OCR noise, mojibake, hapax junk) of an LLM cleaning pipeline.
+
+    The threshold is a fraction of the corpus token count, not an
+    absolute count, so the semantics are scale-invariant. Shape at
+    100 TB: posexplode -> token-frequency aggregate -> equi-join back on
+    the token -> per-doc positional reassembly (collect_list of
+    (pos, token) structs, array_sort, join). Every join is on a key
+    (token / doc_id); the 1-row token-total crossJoin is the same
+    allowlisted broadcast-scalar pattern as q_text_tfidf. Per-doc state
+    is bounded by document length, never by corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    flat = d.where(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    )
+    freq = flat.groupBy("t").agg(F.count("*").alias("cnt"))
+    total = flat.agg(F.count("*").alias("_total"))
+    keep = (
+        freq.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.col("_total") * F.lit(VOCAB_PRUNE_FRACTION))
+        .select("t")
+    )
+    rebuilt = (
+        flat.join(keep, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias("pruned_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pruned_text", F.lit("")).alias("pruned_text"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_VOCAB_PRUNE_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), flat AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks FROM docs
+), tok AS (
+  SELECT doc_id, pos, toks[pos] AS t FROM flat
+), keep AS (
+  SELECT t FROM tok GROUP BY t
+  HAVING count(*) >= (SELECT count(*) FROM tok) * 0.01
+), rebuilt AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS pruned_text,
+         count(*) AS n_kept
+  FROM tok JOIN keep USING (t) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.pruned_text, '') AS pruned_text,
+       coalesce(r.n_kept, 0) AS n_kept
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -288,6 +288,7 @@ _BNLJ_ALLOWED = {
     "q_text_bigram_logprob", # 1-row vocabulary-size scalar (same pattern as unigram)
     "q_sim_lsh_recall",      # inherits q26's bounded broadcast-query-set crossJoin
     "q_tpch_q11_shape",      # 1-row value-total scalar over the checkpointed agg
+    "q_text_vocab_prune",    # 1-row token-total scalar (same pattern as tfidf)
 }
 
 
