@@ -462,6 +462,114 @@ register(
 )
 
 
+def q_asm_error_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-mer-spectrum read error correction kernel: every WEAK k-mer
+    (count < 3 — likely a sequencing error) is mapped to its best
+    Hamming-1 STRONG neighbor (count >= 3), the substitution a
+    spectral corrector (Quake/BFC-style) would apply. The reference
+    consumes pre-overlapped reads (assembly_final.cpp:73-145); real
+    pipelines run exactly this correction pass first.
+
+    Scale shape: the spectrum aggregate is the only corpus-sized
+    shuffle; the variant fan-out is a bounded 3k-per-weak-kmer explode
+    (k=5 -> 15), the strong-neighbor lookup is an equi-join on the
+    variant string, and the per-kmer argmax is a window over <= 3k
+    candidate rows. Weak k-mers with no strong neighbor are dropped
+    (uncorrectable at this coverage). Ties break (count desc, variant
+    asc), replayed verbatim in the oracle.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.functions import char_shingles
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    n, k, min_count = 60, 5, 3
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < n)
+    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    reads = docs.select(
+        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content")
+    )
+    spec = (
+        reads.select(
+            F.explode(
+                F.filter(char_shingles(F.col("content"), k), lambda s: F.length(s) == k)
+            ).alias("kmer")
+        )
+        .groupBy("kmer")
+        .agg(F.count("*").alias("c"))
+    )
+    weak = spec.where(F.col("c") < min_count)
+    strong = spec.where(F.col("c") >= min_count).select(
+        F.col("kmer").alias("vkmer"), F.col("c").alias("vc")
+    )
+    var = (
+        weak.select("kmer", "c", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("p"))
+        .select(
+            "kmer", "c", "p",
+            F.explode(F.array([F.lit(b) for b in "ACGT"])).alias("b"),
+        )
+        .where(F.expr("substring(kmer, p, 1)") != F.col("b"))
+        .select(
+            "kmer", "c",
+            F.expr("concat(substring(kmer, 1, p - 1), b, substring(kmer, p + 1))")
+            .alias("variant"),
+        )
+    )
+    cand = var.join(strong, var["variant"] == strong["vkmer"])
+    rn = F.row_number().over(
+        W.partitionBy("kmer").orderBy(F.desc("vc"), F.asc("vkmer"))
+    )
+    return (
+        cand.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "kmer", "c",
+            F.col("vkmer").alias("corrected"),
+            F.col("vc").alias("corrected_c"),
+        )
+        .orderBy("kmer")
+    )
+
+
+register(
+    "q_asm_error_correct",
+    q_asm_error_correct,
+    """
+    WITH r AS (
+      SELECT substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'), 17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    ), km AS (
+      SELECT unnest(list_transform(range(1, greatest(length(content) - 4, 1) + 1),
+                                   i -> substr(content, i, 5))) AS kmer
+      FROM r
+    ), spec AS (
+      SELECT kmer, count(*) AS c FROM km WHERE length(kmer) = 5 GROUP BY kmer
+    ), weak AS (
+      SELECT kmer, c FROM spec WHERE c < 3
+    ), strong AS (
+      SELECT kmer AS vkmer, c AS vc FROM spec WHERE c >= 3
+    ), var AS (
+      SELECT w.kmer, w.c,
+             substr(w.kmer, 1, CAST(t.p AS INT) - 1) || u.b
+               || substr(w.kmer, CAST(t.p AS INT) + 1) AS variant
+      FROM weak w
+      CROSS JOIN range(1, 6) AS t(p)
+      CROSS JOIN (SELECT unnest(['A','C','G','T']) AS b) u
+      WHERE substr(w.kmer, CAST(t.p AS INT), 1) <> u.b
+    ), cand AS (
+      SELECT v.kmer, v.c, s.vkmer AS corrected, s.vc AS corrected_c,
+             row_number() OVER (PARTITION BY v.kmer
+                                ORDER BY s.vc DESC, s.vkmer) AS rn
+      FROM var v JOIN strong s ON v.variant = s.vkmer
+    )
+    SELECT kmer, c, corrected, corrected_c FROM cand WHERE rn = 1 ORDER BY kmer
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators: text analysis, dedup, similarity search
 # ---------------------------------------------------------------------------
