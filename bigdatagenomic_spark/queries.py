@@ -1721,6 +1721,9 @@ _PRIORITY_PREFIX = [
     "q_mm_metadata", "q_mm_frame_sample", "q_mm_byte_features",
     "q_sim_lsh_topk", "q_sim_ivf_topk",
     "q_x_emb_normalize", "q_x_emb_quantize",
+    # -- round-5 families: genomics counting kernel + the two-phase-rank
+    #    scale machinery (slots 49-50 of the driver's cap)
+    "q_asm_kmer_counts", "q_x_rfm_segments",
 ]
 
 
