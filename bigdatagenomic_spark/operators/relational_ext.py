@@ -1556,3 +1556,55 @@ SELECT prev, next, n,
 FROM counts
 ORDER BY prev, next
 """
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis order stat)
+# --------------------------------------------------------------------------
+WEIGHTED_SAMPLE_K = 200
+
+
+def q_x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement: top-k orders by
+    the Efraimidis-Spirakis key ln(u)/w (equivalent order to u^(1/w)),
+    with u a deterministic content-hash uniform — the reproducible
+    engine-portable form of weighted sampling, same rationale as
+    reservoir_per_key's hash ranks. Training-data use: sample documents
+    proportional to a quality weight when building a mixture.
+
+    Scale shape: map-only key computation + TakeOrdered top-k; no
+    global sort, no shuffle beyond the k-row reduction. The key is a
+    transcendental over an md5 uniform, so Spark/DuckDB agree to ~1 ulp
+    — adjacent keys are md5-spaced (>> 1 ulp), making the top-k set
+    boundary deterministic; the reported key is rounded.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    hv = md5_long(F.col("o_orderkey").cast("string"))
+    u = (F.pmod(hv, F.lit(1000000000)) + 1) / F.lit(1000000001.0)
+    key = F.log(u) / F.col("o_totalprice")
+    top = (
+        o.select("o_orderkey", "o_totalprice", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), "o_orderkey")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+    return top.select(
+        "o_orderkey", "o_totalprice", F.round("es_key", 9).alias("es_key")
+    ).orderBy("o_orderkey")
+
+
+Q_X_WEIGHTED_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv
+  FROM orders
+), keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         ln(((hv % 1000000000) + 1) / 1000000001.0) / o_totalprice AS es_key
+  FROM h
+), top AS (
+  SELECT * FROM keyed ORDER BY es_key DESC, o_orderkey LIMIT {WEIGHTED_SAMPLE_K}
+)
+SELECT o_orderkey, o_totalprice, round(es_key, 9) AS es_key
+FROM top ORDER BY o_orderkey
+"""
