@@ -1608,3 +1608,68 @@ WITH h AS (
 SELECT o_orderkey, o_totalprice, round(es_key, 9) AS es_key
 FROM top ORDER BY o_orderkey
 """
+
+
+# --------------------------------------------------------------------------
+# incremental aggregate maintenance (materialized-view upkeep)
+# --------------------------------------------------------------------------
+INCR_CUTOFF = "2024-07-01"
+
+
+def q_x_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: a per-(user, event_type) running
+    aggregate kept current by merging only the DELTA — never rescanning
+    history. The prior state is the aggregate of events before a
+    cutoff; the delta is everything after; merge = full-outer join on
+    the group key + null-safe sums. The ORACLE aggregates the whole
+    table in one pass, so the parity check proves the incremental
+    merge is exactly equivalent to recomputation — the invariant that
+    lets a 100 TB pipeline maintain daily aggregates at delta cost.
+
+    Scale shape: state and delta aggregate independently (map-side
+    partials), the merge joins on the SAME key both sides are already
+    partitioned by, so AQE can reuse the delta's exchange; counts and
+    cent-sums are associative, the condition for any merge-maintained
+    view.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cut = F.lit(INCR_CUTOFF).cast("timestamp_ntz")
+
+    def agg(part: DataFrame) -> DataFrame:
+        return part.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n"), F.sum(cents).alias("cents")
+        )
+
+    # null ts routes to the delta (a malformed late row must never be
+    # silently dropped from the view); group keys join null-safe so a
+    # null-keyed group merges instead of splitting into two output rows
+    state = agg(ev.where(F.col("ts") < cut))
+    delta = agg(ev.where(F.col("ts").isNull() | (F.col("ts") >= cut)))
+    s, d = state.alias("s"), delta.alias("d")
+    merged = s.join(
+        d,
+        F.col("s.user_id").eqNullSafe(F.col("d.user_id"))
+        & F.col("s.event_type").eqNullSafe(F.col("d.event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce("s.user_id", "d.user_id").alias("user_id"),
+        F.coalesce("s.event_type", "d.event_type").alias("event_type"),
+        (F.coalesce("s.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))).alias("n"),
+        (
+            F.coalesce("s.cents", F.lit(0)) + F.coalesce("d.cents", F.lit(0))
+        ).alias("cents"),
+    )
+    return merged.select(
+        "user_id", "event_type", "n",
+        (F.col("cents") / 100.0).alias("sum_value"),
+    ).orderBy("user_id", "event_type")
+
+
+Q_X_INCREMENTAL_AGG_SQL = """
+SELECT user_id, event_type, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""

@@ -1684,6 +1684,7 @@ register("q_x_basket_pairs", RX.q_x_basket_pairs, RX.Q_X_BASKET_PAIRS_SQL)
 register("q_x_rfm_segments", RX.q_x_rfm_segments, RX.Q_X_RFM_SEGMENTS_SQL)
 register("q_x_markov_transitions", RX.q_x_markov_transitions, RX.Q_X_MARKOV_TRANSITIONS_SQL)
 register("q_x_weighted_sample", RX.q_x_weighted_sample, RX.Q_X_WEIGHTED_SAMPLE_SQL)
+register("q_x_incremental_agg", RX.q_x_incremental_agg, RX.Q_X_INCREMENTAL_AGG_SQL)
 
 
 # ---------------------------------------------------------------------------
