@@ -515,3 +515,43 @@ def simhash_pairs(
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_SAMPLE_DOCS)
     return simhash_pairs(simhash_signatures(d)).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# asymmetric n-gram containment (doc-in-doc detection)
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.02
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT |A∩B| / |A| over the bounded doc
+    sample — the doc-in-doc signal Jaccard misses: a page quoting a
+    whole smaller page scores low Jaccard (union is big) but high
+    containment from the smaller side. Decontamination and boilerplate
+    detection key on this, not on symmetric similarity.
+
+    Same machinery as q_dedup_ngram_jaccard (distinct word-3-gram
+    shingles, shingle-key equi-join — candidate generation is never
+    all-pairs), but pairs keep BOTH directions (a!=b) and normalize by
+    the left doc's shingle count only.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_SAMPLE_DOCS)
+    sh = _doc_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    b = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    cont = common.join(sa, "a_id").select(
+        "a_id",
+        "b_id",
+        F.round(F.col("n_common") / F.col("n_a"), 4).alias("containment"),
+    )
+    return cont.where(
+        F.col("containment") >= CONTAINMENT_THRESHOLD
+    ).orderBy("a_id", "b_id")

@@ -804,6 +804,24 @@ register(
         ORDER BY a_id, b_id""",
 )
 
+register(
+    "q_dedup_containment",
+    D.q_dedup_containment,
+    # reuses the shingle CTEs but repairs with a!=b (both directions —
+    # containment is asymmetric) and normalizes by the LEFT size only
+    f"""WITH {_SHINGLES_CTE},
+        common2 AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT a_id, b_id,
+               round(n_common / CAST(sa.n_sh AS DOUBLE), 4) AS containment
+        FROM common2 c JOIN sizes sa ON c.a_id = sa.doc_id
+        WHERE round(n_common / CAST(sa.n_sh AS DOUBLE), 4)
+              >= {D.CONTAINMENT_THRESHOLD}
+        ORDER BY a_id, b_id""",
+)
+
 _SIG_EXPRS = ",\n".join(
     f"min(({a} * h + {b}) % 2147483647) AS s{i}" for i, (a, b) in enumerate(_MH)
 )
