@@ -412,3 +412,50 @@ SELECT count(*) AS n_wedges, count(o.src) AS n_triangles
 FROM wedges w
 LEFT JOIN oriented o ON w.y = o.src AND w.z = o.dst
 """
+
+
+def q_graph_degree_hist(spark, sf_dir: str) -> DataFrame:
+    """Degree distribution of the bounded co-purchase graph — the
+    first-look graph health check (hubs, skew, disconnected mass) and
+    the input to the orientation argument triangle_count relies on.
+    Two map-side-combined shuffles: degree per vertex, then vertices
+    per degree; the histogram domain is bounded by the max degree."""
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    o1 = items.select(F.col("l_orderkey").alias("src"), "l_partkey")
+    o2 = items.select(F.col("l_orderkey").alias("dst"), "l_partkey")
+    und = (
+        o1.join(o2, "l_partkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("src").alias("id"))
+        .unionByName(und.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+        .orderBy("degree")
+    )
+
+
+Q_GRAPH_DEGREE_HIST_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 200
+), und AS (
+  SELECT DISTINCT i.l_orderkey AS a, j.l_orderkey AS b
+  FROM items i JOIN items j
+    ON i.l_partkey = j.l_partkey AND i.l_orderkey < j.l_orderkey
+), deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY id
+)
+SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree ORDER BY degree
+"""

@@ -1547,6 +1547,9 @@ from bigdatagenomic_spark.operators.graph import Q_GRAPH_TRIANGLES_SQL, q_graph_
 
 # degree-oriented wedge closure: pure joins, replayed verbatim in SQL
 register("q_graph_triangles", q_graph_triangles, Q_GRAPH_TRIANGLES_SQL)
+from bigdatagenomic_spark.operators.graph import Q_GRAPH_DEGREE_HIST_SQL, q_graph_degree_hist
+
+register("q_graph_degree_hist", q_graph_degree_hist, Q_GRAPH_DEGREE_HIST_SQL)
 
 
 register("q_x_interval_join", SC.q_x_interval_join, SC.Q_X_INTERVAL_JOIN_SQL)
