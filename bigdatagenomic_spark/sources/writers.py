@@ -45,3 +45,34 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_rebalanced(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 128,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet write with AQE-sized output files (the small-files fix).
+
+    A write inherits whatever partitioning the plan ends with: 1000
+    shuffle partitions -> 1000 files per partition-dir, a compaction
+    tax every downstream scan pays in open/footer costs. The REBALANCE
+    hint inserts an AQE-managed exchange that coalesces AND splits to
+    ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` — unlike a
+    fixed ``repartition(n)``, it needs no row-count probe, handles
+    skewed output partitions (splits oversized ones), and adapts as
+    the data grows. The conf is set only for this write and restored.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(target_mb * 1024 * 1024))
+        writer = df.hint("rebalance").write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+    finally:
+        spark.conf.set(key, saved)

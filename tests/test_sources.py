@@ -204,3 +204,34 @@ def test_events_queries_are_session_tz_independent(spark):
             assert utc_rows  # non-empty: the comparison actually tested data
     finally:
         spark.conf.set("spark.sql.session.timeZone", saved_tz)
+
+
+def test_write_rebalanced_coalesces_small_files(spark, tmp_path):
+    """A 32-shuffle-partition aggregate written naively emits one file
+    per partition; write_rebalanced must merge them toward the size
+    target (here: everything fits one advisory partition -> 1 file),
+    while producing identical data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.sources.writers import write_rebalanced
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+
+    naive_dir, reb_dir = str(tmp_path / "naive"), str(tmp_path / "reb")
+    agg.write.mode("overwrite").parquet(naive_dir)
+    write_rebalanced(agg, reb_dir, target_mb=32)
+
+    def parquet_files(d):
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(parquet_files(reb_dir)) == 1, parquet_files(reb_dir)
+    assert len(parquet_files(reb_dir)) < max(2, len(parquet_files(naive_dir)))
+    back = spark.read.parquet(reb_dir)
+    assert back.count() == agg.count()
+    # conf restored after the write
+    assert spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ) != str(32 * 1024 * 1024)
