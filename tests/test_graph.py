@@ -126,3 +126,33 @@ def test_cc_chain_and_islands(spark):
     )
     got = {(r.id, r.component) for r in connected_components(e).collect()}
     assert {(1, 1), (4, 1), (5, 1), (11, 10), (12, 10), (20, 20)} <= got
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-oriented wedge closure == brute-force triple enumeration
+    on seeded random graphs (including multi-edge/self-loop noise,
+    which the operator must canonicalize away)."""
+    import itertools
+    import random
+
+    from bigdatagenomic_spark.operators.graph import triangle_count
+
+    for seed, n, p in [(7, 8, 0.5), (11, 12, 0.35), (13, 10, 0.6)]:
+        rng = random.Random(seed)
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(n)
+            if a != b and rng.random() < p
+        ]
+        edges += [(0, 0), (1, 1)]  # self loops: must be ignored
+        und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        expect = sum(
+            1
+            for x, y, z in itertools.combinations(range(n), 3)
+            if (x, y) in und and (x, z) in und and (y, z) in und
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = triangle_count(df).collect()[0]
+        assert got.n_triangles == expect, (seed, got, expect)
+        assert got.n_wedges >= got.n_triangles
