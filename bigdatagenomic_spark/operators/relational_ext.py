@@ -1673,3 +1673,76 @@ FROM events
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type
 """
+
+
+# --------------------------------------------------------------------------
+# point-in-time (temporal) join against an SCD2 dimension
+# --------------------------------------------------------------------------
+TEMPORAL_SPLIT = "2024-07-01"
+
+
+def q_x_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event joins the dimension version
+    that was valid AT ITS EVENT TIME — the temporal-correctness join
+    every feature store / fact-to-SCD2 pipeline needs (joining the
+    CURRENT version leaks the future into training data).
+
+    The dimension: every customer starts in tier 'basic'; customers
+    with custkey % 3 == 0 upgrade to 'premium' at the split timestamp,
+    producing two versions with touching validity intervals. The join
+    is an EQUI join on the user key with the interval predicate as a
+    residual filter — per-key version counts are tiny (here <= 2, in
+    real SCD2 bounded by change frequency), so the key join carries the
+    scale and the residual never explodes. Versions partition time, so
+    exactly one version matches any event.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    split = F.lit(TEMPORAL_SPLIT).cast("timestamp_ntz")
+    upgraded = F.col("c_custkey") % 3 == 0
+    v1 = cust.select(
+        "c_custkey",
+        F.lit("basic").alias("tier"),
+        F.lit("1900-01-01").cast("timestamp_ntz").alias("valid_from"),
+        F.when(upgraded, split).alias("valid_to"),
+    )
+    v2 = cust.where(upgraded).select(
+        "c_custkey",
+        F.lit("premium").alias("tier"),
+        split.alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    joined = ev.join(
+        dim,
+        (ev["user_id"] == dim["c_custkey"])
+        & (ev["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (ev["ts"] < dim["valid_to"])),
+    )
+    return (
+        joined.groupBy("tier", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("tier", "event_type")
+    )
+
+
+Q_X_TEMPORAL_JOIN_SQL = f"""
+WITH dim AS (
+  SELECT c_custkey, 'basic' AS tier,
+         TIMESTAMP '1900-01-01' AS valid_from,
+         CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '{TEMPORAL_SPLIT}' END
+           AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'premium', TIMESTAMP '{TEMPORAL_SPLIT}', NULL
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT d.tier, e.event_type, count(*) AS n
+FROM events e
+JOIN dim d
+  ON e.user_id = d.c_custkey
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+GROUP BY d.tier, e.event_type
+ORDER BY d.tier, e.event_type
+"""

@@ -1706,6 +1706,7 @@ register("q_x_rfm_segments", RX.q_x_rfm_segments, RX.Q_X_RFM_SEGMENTS_SQL)
 register("q_x_markov_transitions", RX.q_x_markov_transitions, RX.Q_X_MARKOV_TRANSITIONS_SQL)
 register("q_x_weighted_sample", RX.q_x_weighted_sample, RX.Q_X_WEIGHTED_SAMPLE_SQL)
 register("q_x_incremental_agg", RX.q_x_incremental_agg, RX.Q_X_INCREMENTAL_AGG_SQL)
+register("q_x_temporal_join", RX.q_x_temporal_join, RX.Q_X_TEMPORAL_JOIN_SQL)
 
 
 # ---------------------------------------------------------------------------
