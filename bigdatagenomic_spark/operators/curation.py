@@ -87,13 +87,24 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curated-corpus stats per source: survivors + mean quality."""
     docs = load_table(spark, sf_dir, "documents")
     out = curate(docs)
+    # mean_quality = round-half-up(avg(q10k)) — computed in EXACT integer
+    # arithmetic: q10k is a whole number, so floor(sum/n + 0.5) ==
+    # (2*sum + n) div (2*n). Averaging the doubles instead lets Spark's
+    # partial-sum association order land a hair's breadth across a
+    # .xxxx5 boundary that DuckDB's sequential sum doesn't (caught by
+    # preflight as a 1-ulp mean_quality flip at sf0.01).
     return (
         out.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            (F.floor(F.avg(F.col("q10k") / 10000) * 10000 + F.lit(0.5)).cast(
-                "double"
-            ) / 10000).alias("mean_quality"),
+            F.sum(F.col("q10k").cast("long")).alias("_sq"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.expr("(2 * _sq + n_docs) div (2 * n_docs)") / F.lit(10000.0)
+            ).alias("mean_quality"),
         )
         .orderBy("source")
     )
@@ -136,6 +147,7 @@ WITH s AS (
         % 10 < 7
 )
 SELECT source, count(*) AS n_docs,
-       floor(avg(q10k / 10000) * 10000 + 0.5) / 10000 AS mean_quality
+       ((2 * CAST(sum(q10k) AS BIGINT) + count(*)) // (2 * count(*)))
+         / 10000.0 AS mean_quality
 FROM sampled GROUP BY source ORDER BY source
 """
