@@ -142,6 +142,18 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(d).orderBy("doc_id")
 
 
+def _band_keys():
+    """The 4x4 LSH band-key array expression over signature columns
+    s0..s15 — shared by the full pair pass and the incremental index
+    update so the banding formula can never drift between them."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws(",", *[f"s{band * 4 + r}" for r in range(4)]))
+            for band in range(4)
+        ]
+    )
+
+
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands x 4 rows): candidate pairs sharing any band,
     verified with exact Jaccard.
@@ -164,13 +176,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_SAMPLE_DOCS)
     base = _shingle_base(d)
     sig = base.select("doc_id", *_signature_exprs())
-    band_keys = F.array(
-        *[
-            F.md5(F.concat_ws(",", *[f"s{band * 4 + r}" for r in range(4)]))
-            for band in range(4)
-        ]
-    )
-    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "bkey"))
+    bands = sig.select("doc_id", F.posexplode(_band_keys()).alias("band", "bkey"))
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "bkey")
     cand = (
@@ -555,3 +561,66 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cont.where(
         F.col("containment") >= CONTAINMENT_THRESHOLD
     ).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# incremental LSH index maintenance (delta-vs-index candidate generation)
+# ---------------------------------------------------------------------------
+LSH_INCR_SPLIT = 300
+
+
+def q_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs for a NEW document batch against an existing LSH
+    index — the daily-crawl shape: signatures and band keys are
+    computed for the delta only, and candidate generation joins
+    delta-bands against index-bands (new x all), never re-pairing the
+    existing corpus with itself (old x old pairs were already emitted
+    when those docs arrived). At 100 TB the index side is a STORED
+    band table (bucketed on (band, bkey) — see sources/bucketing) and
+    this query's shuffle carries only the delta.
+
+    Docs below LSH_INCR_SPLIT play the indexed corpus; [split,
+    PAIR_SAMPLE_DOCS) is the incoming batch. The oracle replays the
+    FULL-corpus LSH banding and keeps pairs whose higher id is new —
+    parity proves delta-maintenance emits exactly the pairs a full
+    rebuild would add.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_SAMPLE_DOCS)
+    base = _shingle_base(d)
+    sig = base.select("doc_id", *_signature_exprs())
+    bands = sig.select("doc_id", F.posexplode(_band_keys()).alias("band", "bkey"))
+    # the delta: only new docs explode fresh band keys; `bands` stands
+    # in for the stored index table
+    new_bands = bands.where(F.col("doc_id") >= LSH_INCR_SPLIT)
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bkey")
+    b = new_bands.select(F.col("doc_id").alias("b_id"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sets = base.select("doc_id", F.size("shs").alias("n_sh"), "shs")
+    pairs = cand.join(
+        sets.select(
+            F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"),
+            F.col("shs").alias("shs_a"),
+        ),
+        "a_id",
+    ).join(
+        sets.select(
+            F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"),
+            F.col("shs").alias("shs_b"),
+        ),
+        "b_id",
+    )
+    common = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            F.round(
+                common / (F.col("n_a") + F.col("n_b") - common), 4
+            ).alias("jacc"),
+        )
+        .orderBy("a_id", "b_id")
+    )

@@ -863,6 +863,29 @@ register(
         ORDER BY c.a_id, c.b_id""",
 )
 
+register(
+    "q_dedup_lsh_incremental",
+    D.q_dedup_lsh_incremental,
+    # full-corpus banding with the "higher id is new" filter: the pairs
+    # a delta update must add == the full rebuild's pairs touching the
+    # new batch (new ids are all above the split)
+    f"""WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        bands AS ({_BANDS_SQL}),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM bands a JOIN bands b USING (band, bkey)
+                 WHERE a.doc_id < b.doc_id
+                   AND b.doc_id >= {D.LSH_INCR_SPLIT})
+        SELECT c.a_id, c.b_id,
+               round(coalesce(cm.n_common, 0)
+                     / CAST(sa.n_sh + sb.n_sh - coalesce(cm.n_common, 0) AS DOUBLE),
+                     4) AS jacc
+        FROM cand c
+        LEFT JOIN common cm ON c.a_id = cm.a_id AND c.b_id = cm.b_id
+        JOIN sizes sa ON c.a_id = sa.doc_id
+        JOIN sizes sb ON c.b_id = sb.doc_id
+        ORDER BY c.a_id, c.b_id""",
+)
+
 _BITSUMS = ",\n".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32)
 )
