@@ -397,11 +397,18 @@ def test_tpch_q22_anti_join_prunes_orders_scan(spark):
     assert o_schema and all("o_totalprice" not in s for s in o_schema), schemas
 
 
-def test_minhash_band_join_shuffles_narrow_rows(spark):
-    """The LSH band-bucket self-join must shuffle (doc_id, band, bkey)
-    rows ONLY — the wide shingle arrays join back to surviving
-    candidate pairs afterwards. An exchange that partitions on the band
-    key while carrying `shs` would multiply the shuffle payload by the
+import pytest
+
+
+@pytest.mark.parametrize(
+    "qname", ["q_dedup_minhash_pairs", "q_dedup_lsh_incremental"]
+)
+def test_minhash_band_join_shuffles_narrow_rows(spark, qname):
+    """The LSH band-bucket join (full self-join AND the incremental
+    delta-vs-index variant) must shuffle (doc_id, band, bkey) rows
+    ONLY — the wide shingle arrays join back to surviving candidate
+    pairs afterwards. An exchange that partitions on the band key
+    while carrying `shs` would multiply the shuffle payload by the
     per-doc shingle-set width (ADVICE r3)."""
     import re
 
@@ -410,7 +417,7 @@ def test_minhash_band_join_shuffles_narrow_rows(spark):
     # corpus scale, then inspect the band-keyed exchanges
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        df = _df(spark, "q_dedup_minhash_pairs")
+        df = _df(spark, qname)
         plan = formatted_plan(df)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
