@@ -265,3 +265,46 @@ def test_two_phase_rank_matches_window_row_number(spark):
         ).collect()
     }
     assert got_grouped == want_grouped
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Evidence that the AQE skew-join safety net fires: a fact table
+    with one hot key (explode fan-out) sort-merge-joined to a dim must
+    show skew-split partitions in the final adaptive plan when the
+    skew thresholds are scaled down to test size. This is the runtime
+    complement to the explicit salting operators in operators/scale.py
+    — moderate skew is AQE's job, salting is for the pathological
+    tail."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 1 hot key with 400k rows + 1k uniform keys with 10 rows each
+        hot = spark.range(1).select(
+            F.explode(F.sequence(F.lit(1), F.lit(400_000))).alias("payload")
+        ).select(F.lit(0).alias("k"), "payload")
+        uniform = spark.range(1_000).select(
+            (F.col("id") + 1).alias("k"),
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("payload"),
+        )
+        fact = hot.unionByName(uniform)
+        dim = spark.range(1_001).select(
+            F.col("id").alias("k"), F.lit("d").alias("attr")
+        )
+        joined = fact.join(dim, "k").select(F.sum("payload").alias("s"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert "SortMergeJoin(skew=true)" in final, final
+        assert "skewed" in final, final  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
