@@ -1746,3 +1746,48 @@ JOIN dim d
 GROUP BY d.tier, e.event_type
 ORDER BY d.tier, e.event_type
 """
+
+
+# --------------------------------------------------------------------------
+# cumulative distinct users (growth-curve analytics)
+# --------------------------------------------------------------------------
+def q_x_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique users by day — the growth curve. A naive
+    running COUNT(DISTINCT) window rescans every prefix (quadratic);
+    the scalable identity is: a user joins the cumulative count only
+    on their FIRST day. One shuffle for the per-user min(ts), one
+    bounded aggregate on the day key, and the running sum windows over
+    the DAY DOMAIN (thousands of rows at any corpus size — the same
+    documented bounded-window class as q_asm_n50's length histogram).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = W.orderBy("first_day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per_day.select(
+            F.col("first_day").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+        .orderBy("day")
+    )
+
+
+Q_X_CUMULATIVE_USERS_SQL = """
+WITH first_seen AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT first_day, count(*) AS new_users FROM first_seen GROUP BY first_day
+)
+SELECT first_day AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY first_day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM per_day ORDER BY day
+"""
