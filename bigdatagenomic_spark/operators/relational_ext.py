@@ -1791,3 +1791,80 @@ SELECT first_day AS day, new_users,
                                  AND CURRENT ROW) AS BIGINT) AS cum_users
 FROM per_day ORDER BY day
 """
+
+
+# --------------------------------------------------------------------------
+# sequence-gap detection (missing-id ranges)
+# --------------------------------------------------------------------------
+def q_x_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing ranges in what should be a dense id sequence — the
+    completeness probe run on ingestion feeds (dropped files, failed
+    partitions leave id holes). A single unpartitioned lag window here
+    would sort the whole distinct-id set in ONE task (the q_text_zipf
+    scale-killer class), so the plan is two-phase like
+    scale.two_phase_rank: range-repartition the distinct ids, lag
+    INSIDE each partition (a partitioned window over contiguous
+    slices), and reconcile the n_parts-1 partition seams from a
+    bounded per-partition min/max collect — range boundaries respect
+    the id order, so seam gaps are exactly (prev partition's max,
+    next partition's min). Sampling every 7th and 11th order key makes
+    the result non-degenerate on the dense TPC-H keys.
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 11 == 0)
+    )
+    ids = o.select("o_orderkey").distinct()
+    parts = (
+        ids.repartitionByRange(16, "o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = W.partitionBy("_pid").orderBy("o_orderkey")
+    local = parts.select(
+        F.lag("o_orderkey").over(w).alias("gap_after"),
+        F.col("o_orderkey").alias("next_present"),
+    ).where(
+        F.col("gap_after").isNotNull()
+        & (F.col("next_present") - F.col("gap_after") > 1)
+    )
+    # seams: one (min, max) pair per non-empty partition — bounded by
+    # the partition count, same class as two_phase_rank's offset fetch
+    stats = sorted(
+        parts.groupBy("_pid")
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .collect(),
+        key=lambda r: r.lo,
+    )
+    seams = [
+        (prev.hi, nxt.lo)
+        for prev, nxt in zip(stats, stats[1:])
+        if nxt.lo - prev.hi > 1
+    ]
+    spark_seams = spark.createDataFrame(
+        seams, "gap_after LONG, next_present LONG"
+    ) if seams else spark.createDataFrame([], "gap_after LONG, next_present LONG")
+    return (
+        local.unionByName(spark_seams)
+        .select(
+            "gap_after",
+            "next_present",
+            (F.col("next_present") - F.col("gap_after") - 1).alias("n_missing"),
+        )
+        .orderBy("gap_after")
+    )
+
+
+Q_X_SEQUENCE_GAPS_SQL = """
+WITH ids AS (
+  SELECT DISTINCT o_orderkey FROM orders
+  WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0
+), lagged AS (
+  SELECT lag(o_orderkey) OVER (ORDER BY o_orderkey) AS gap_after,
+         o_orderkey AS next_present
+  FROM ids
+)
+SELECT gap_after, next_present, next_present - gap_after - 1 AS n_missing
+FROM lagged
+WHERE gap_after IS NOT NULL AND next_present - gap_after > 1
+ORDER BY gap_after
+"""

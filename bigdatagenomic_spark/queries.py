@@ -1731,6 +1731,7 @@ register("q_x_weighted_sample", RX.q_x_weighted_sample, RX.Q_X_WEIGHTED_SAMPLE_S
 register("q_x_incremental_agg", RX.q_x_incremental_agg, RX.Q_X_INCREMENTAL_AGG_SQL)
 register("q_x_temporal_join", RX.q_x_temporal_join, RX.Q_X_TEMPORAL_JOIN_SQL)
 register("q_x_cumulative_users", RX.q_x_cumulative_users, RX.Q_X_CUMULATIVE_USERS_SQL)
+register("q_x_sequence_gaps", RX.q_x_sequence_gaps, RX.Q_X_SEQUENCE_GAPS_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -517,3 +517,13 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
         spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+
+
+def test_sequence_gaps_window_is_partitioned(spark):
+    """q_x_sequence_gaps must never lag over the whole distinct-id set
+    in one partition: the lag window is per range-partition (pid) with
+    seams reconciled from bounded per-partition stats."""
+    df = _df(spark, "q_x_sequence_gaps")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(_pid" in opt, opt
+    assert opt.count("windowspecdefinition") == 1, opt
