@@ -280,11 +280,12 @@ def q27_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dst"),
         )
     )
-    # materialize the argmax result once: extract_path reads it twice
-    # (count + collect) and the merge fold once more — without this the
-    # join+window subtree recomputes three times
-    with_next = asm.with_next_id(reads, edges).localCheckpoint(eager=True)
-    path = asm.extract_path(with_next, source=0)
+    # n is a static upper bound on the successor count, so the hint
+    # skips extract_path's sizing job, the driver-walk branch collects
+    # the argmax subtree in ONE job, and with only one consumer left
+    # the eager checkpoint job is pure overhead — three jobs become one
+    with_next = asm.with_next_id(reads, edges)
+    path = asm.extract_path(with_next, source=0, n_rows_hint=n)
     merged = asm.merge_path(path, reads)
     return merged.select(
         F.col("offset").cast("int").alias("offset"),
