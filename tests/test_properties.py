@@ -267,3 +267,91 @@ def test_sessionize_gap_invariants(spark):
     u1 = sorted([(s, tss) for (u, s), tss in sessions.items() if u == 1])
     for (s1, t1), (s2, t2) in zip(u1, u1[1:]):
         assert (t2[0] - t1[-1]).total_seconds() > 30 * 60
+
+
+# ---------------------------------------------------------------------------
+# round-5 semantic invariants (beyond oracle equality)
+# ---------------------------------------------------------------------------
+_SF = "/root/testdata/sf0.001"
+
+
+def test_rfm_scores_are_balanced_quartiles(spark):
+    """Every RFM score is in 1..4, segment counts sum to the customer
+    population, and each dimension's quartile sizes differ by at most
+    one (the floor((rank-1)*4/n)+1 split guarantee)."""
+    from collections import Counter
+
+    from bigdatagenomic_spark import queries as reg
+
+    rows = reg.queries()["q_x_rfm_segments"](spark, _SF).collect()
+    n_customers = (
+        spark.read.parquet(f"{_SF}/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_customers
+    for dim in ("r_score", "f_score", "m_score"):
+        per_quartile = Counter()
+        for r in rows:
+            score = getattr(r, dim)
+            assert 1 <= score <= 4, r
+            per_quartile[score] += r.n_customers
+        sizes = [per_quartile[q] for q in (1, 2, 3, 4)]
+        assert max(sizes) - min(sizes) <= 1, (dim, sizes)
+
+
+def test_containment_dominates_jaccard(spark):
+    """For any doc pair, max(containment(a->b), containment(b->a)) >=
+    jaccard(a,b): the intersection over the SMALLER side's size can
+    only exceed intersection over the union. Checked across the two
+    operators' real outputs."""
+    from bigdatagenomic_spark import queries as reg
+
+    qs = reg.queries()
+    jacc = {
+        (r.a_id, r.b_id): r.jacc
+        for r in qs["q_dedup_ngram_jaccard"](spark, _SF).collect()
+    }
+    cont = {}
+    for r in qs["q_dedup_containment"](spark, _SF).collect():
+        key = (min(r.a_id, r.b_id), max(r.a_id, r.b_id))
+        cont[key] = max(cont.get(key, 0.0), r.containment)
+    checked = 0
+    for pair, j in jacc.items():
+        if pair in cont:
+            assert cont[pair] >= j - 1e-9, (pair, cont[pair], j)
+            checked += 1
+    assert checked > 0  # the thresholds must leave an overlap to compare
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """The Efraimidis-Spirakis top-k set must equal an INDEPENDENT
+    python implementation of the same key (hashlib md5 -> uniform ->
+    ln(u)/w) — cross-implementation parity, not just DuckDB SQL
+    parity."""
+    import hashlib
+    import math
+
+    from bigdatagenomic_spark import queries as reg
+    from bigdatagenomic_spark.operators.relational_ext import WEIGHTED_SAMPLE_K
+
+    orders = spark.read.parquet(f"{_SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+
+    def es_key(okey, w):
+        hv = int(hashlib.md5(str(okey).encode()).hexdigest()[:15], 16)
+        u = (hv % 1000000000 + 1) / 1000000001.0
+        return math.log(u) / w
+
+    expect = {
+        okey
+        for okey, _ in sorted(
+            ((r.o_orderkey, es_key(r.o_orderkey, r.o_totalprice)) for r in orders),
+            key=lambda t: (-t[1], t[0]),
+        )[:WEIGHTED_SAMPLE_K]
+    }
+    got = {
+        r.o_orderkey
+        for r in reg.queries()["q_x_weighted_sample"](spark, _SF).collect()
+    }
+    assert got == expect
