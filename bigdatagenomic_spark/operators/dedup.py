@@ -35,6 +35,7 @@ from bigdatagenomic_spark.functions import (
     MINHASH_COEFFS,
     cosine,
     md5_long,
+    normalize_text,
     tokens,
     word_shingles,
 )
@@ -624,3 +625,41 @@ def q_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+def dedup_rate_report(docs: DataFrame) -> DataFrame:
+    """Per-source exact-duplicate rate — the dedup QA dashboard row:
+    how much of each source is redundant BEFORE spending on the
+    near-dup pass (a source with a high exact-dup rate usually has a
+    crawler/ingest bug). One md5 fingerprint projection and two
+    map-side-combined aggregates; rate in exact integer basis points
+    (no float division anywhere — the grid-average lesson from the
+    curation mean_quality fix). Expects (source, text) columns.
+    """
+    fp = docs.where(F.col("text").isNotNull()).select(
+        "source", md5_long(normalize_text(F.col("text"))).alias("fp")
+    )
+    per_group = fp.groupBy("source", "fp").agg(F.count("*").alias("n"))
+    return (
+        per_group.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            (F.sum("n") - F.count("*")).alias("n_dups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dups",
+            F.expr("(2 * n_dups * 10000 + n_docs) div (2 * n_docs)").alias(
+                "dup_bps"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry over the documents table (which happens to carry
+    zero exact dups — the report correctly says so; the positive-rate
+    behavior is pinned on a synthetic corpus in tests/test_llm_ops.py)."""
+    return dedup_rate_report(load_table(spark, sf_dir, "documents"))

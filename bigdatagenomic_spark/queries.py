@@ -887,6 +887,26 @@ register(
         ORDER BY c.a_id, c.b_id""",
 )
 
+register(
+    "q_dedup_rate_report",
+    D.q_dedup_rate_report,
+    """WITH fp AS (
+         SELECT source,
+                CAST('0x' || substr(md5(trim(regexp_replace(lower(text),
+                     '\\s+', ' ', 'g'))), 1, 15) AS BIGINT) AS fp
+         FROM documents WHERE text IS NOT NULL
+       ), per_group AS (
+         SELECT source, fp, count(*) AS n FROM fp GROUP BY source, fp
+       )
+       SELECT source,
+              CAST(sum(n) AS BIGINT) AS n_docs,
+              CAST(sum(n) - count(*) AS BIGINT) AS n_dups,
+              (2 * (CAST(sum(n) AS BIGINT) - count(*)) * 10000
+               + CAST(sum(n) AS BIGINT)) // (2 * CAST(sum(n) AS BIGINT))
+                AS dup_bps
+       FROM per_group GROUP BY source ORDER BY source""",
+)
+
 _BITSUMS = ",\n".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32)
 )

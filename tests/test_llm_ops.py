@@ -333,3 +333,26 @@ def test_mix_corpus_rate_table_edge_cases(spark):
     # rate 100 keeps every doc of that source
     n_src = docs.where(F.col("source") == src).count()
     assert tabled.where(F.col("source") == src).count() == n_src
+
+
+def test_dedup_rate_report_counts_dups(spark):
+    """Synthetic corpus with known duplication: src_a has 4 docs, 2 of
+    them byte-identical after normalization (1 dup -> 2500 bps);
+    src_b is dup-free; whitespace-only variants collapse."""
+    from bigdatagenomic_spark.operators.dedup import dedup_rate_report
+
+    rows = [
+        ("src_a", "hello world"),
+        ("src_a", "  hello   world "),  # normalizes to the same text
+        ("src_a", "unique one"),
+        ("src_a", "unique two"),
+        ("src_b", "alpha"),
+        ("src_b", "beta"),
+        ("src_b", None),  # null text must be ignored
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r for r in dedup_rate_report(df).collect()}
+    assert got["src_a"].n_docs == 4 and got["src_a"].n_dups == 1
+    assert got["src_a"].dup_bps == 2500
+    assert got["src_b"].n_docs == 2 and got["src_b"].n_dups == 0
+    assert got["src_b"].dup_bps == 0

@@ -527,3 +527,13 @@ def test_sequence_gaps_window_is_partitioned(spark):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "windowspecdefinition(_pid" in opt, opt
     assert opt.count("windowspecdefinition") == 1, opt
+
+
+def test_basket_pairs_topk_and_no_cartesian(spark):
+    """The pair pass must stay an equi self-join on the order key
+    (never a cross product) and take its top-k via TakeOrdered, not a
+    global sort."""
+    df = _df(spark, "q_x_basket_pairs")
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds and "BroadcastNestedLoopJoin" not in kinds, kinds
+    assert has_operator(df, "TakeOrderedAndProject"), formatted_plan(df)
