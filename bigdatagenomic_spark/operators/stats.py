@@ -655,3 +655,88 @@ SELECT bin, count(*) AS n_rows,
        floor(max(l_extendedprice) * 100 + 0.5) / 100 AS hi
 FROM binned GROUP BY bin ORDER BY bin
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen (fraud / synthetic-data detector)
+# ---------------------------------------------------------------------------
+def q_x_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order values vs the
+    Benford expectation — the classic anomaly screen for fabricated or
+    truncated numeric feeds. The digit comes from the DECIMAL string
+    form (cast double -> DECIMAL(18,2) -> string), not from
+    log10/pow float math whose boundary behavior differs between
+    engines at exact powers of ten. Share is reported in exact integer
+    basis points (grid-average lesson); the Benford reference column
+    is a constant expression, rounded identically on both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    per_digit = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    total = per_digit.agg(F.sum("n").alias("_t"))
+    return (
+        per_digit.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("(2 * n * 10000 + _t) div (2 * _t)").alias("share_bps"),
+            (
+                F.floor(
+                    F.log10((F.col("digit") + 1) / F.col("digit")) * 10000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("benford_bps"),
+        )
+        .orderBy("digit")
+    )
+
+
+Q_X_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders
+), per_digit AS (
+  SELECT digit, count(*) AS n FROM d GROUP BY digit
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS _t FROM per_digit)
+SELECT digit, n,
+       (2 * n * 10000 + _t) // (2 * _t) AS share_bps,
+       CAST(floor(log10((digit + 1.0) / digit) * 10000 + 0.5) AS BIGINT)
+         AS benford_bps
+FROM per_digit, t
+ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# day-of-week x hour activity heatmap (NTZ-stable calendar profile)
+# ---------------------------------------------------------------------------
+def q_x_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume by (ISO day-of-week, hour) — the load-profile
+    heatmap behind capacity planning and bot detection. Runs on the
+    NTZ event time, so the bucketing is wall-clock stable regardless
+    of the session timezone (pinned repo-wide by the NTZ invariant
+    tests). One map-side-combined shuffle over a 7x24-bounded domain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count("*").alias("n"))
+        .orderBy("dow", "hour")
+    )
+
+
+Q_X_DOW_HOUR_HEATMAP_SQL = """
+SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour, count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hour
+"""
