@@ -1868,3 +1868,136 @@ FROM lagged
 WHERE gap_after IS NOT NULL AND next_present - gap_after > 1
 ORDER BY gap_after
 """
+
+
+# --------------------------------------------------------------------------
+# funnel conversion rates (stage-to-stage, integer bps)
+# --------------------------------------------------------------------------
+def q_x_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_x_funnel's stage counts annotated with stage-to-stage and
+    overall conversion in exact integer basis points. The lag window
+    runs over the 3-row funnel output — a bounded domain by
+    construction (stage count is fixed), the documented safe-window
+    class. first_value supplies the stage-1 denominator without a
+    second pass.
+    """
+    counts = funnel_counts(load_table(spark, sf_dir, "events"))
+    w = W.orderBy("stage")
+    prev = F.lag("n_users").over(w)
+    first = F.first("n_users").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        counts.withColumn("prev", prev)
+        .withColumn("first", first)
+        .select(
+            "stage",
+            "step",
+            "n_users",
+            F.when(F.col("prev").isNull(), F.lit(10000).cast("long"))
+            .otherwise(
+                F.expr("(2 * n_users * 10000 + prev) div (2 * prev)")
+            )
+            .alias("step_bps"),
+            F.expr("(2 * n_users * 10000 + first) div (2 * first)").alias(
+                "overall_bps"
+            ),
+        )
+        .orderBy("stage")
+    )
+
+
+Q_X_FUNNEL_RATES_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t0
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t1
+  GROUP BY e.user_id
+), counts AS (
+  SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+), lagged AS (
+  SELECT stage, step, n_users,
+         lag(n_users) OVER (ORDER BY stage) AS prev,
+         first_value(n_users) OVER (ORDER BY stage) AS first
+  FROM counts
+)
+SELECT stage, step, n_users,
+       CASE WHEN prev IS NULL THEN CAST(10000 AS BIGINT)
+            ELSE (2 * n_users * 10000 + prev) // (2 * prev) END AS step_bps,
+       (2 * n_users * 10000 + first) // (2 * first) AS overall_bps
+FROM lagged ORDER BY stage
+"""
+
+
+# --------------------------------------------------------------------------
+# revenue concentration by customer decile (Pareto curve)
+# --------------------------------------------------------------------------
+def q_x_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 curve: customers ranked by lifetime revenue, split
+    into deciles with each decile's share of total revenue in exact
+    integer basis points. Rank comes from scale.two_phase_rank (no
+    single-partition window over the customer table); revenue sums in
+    integer cents end to end, so shares are association-order-proof;
+    the 1-row total is the allowlisted broadcast-scalar pattern.
+    """
+    from bigdatagenomic_spark.operators.scale import two_phase_rank
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    n = per_cust.count()
+    ranked = two_phase_rank(
+        per_cust, [F.desc("cents"), F.asc("o_custkey")], rank_col="rk"
+    )
+    decile = (F.floor((F.col("rk") - 1) * 10 / F.lit(n)) + 1).cast("int")
+    per_decile = ranked.select(decile.alias("decile"), "cents").groupBy(
+        "decile"
+    ).agg(F.count("*").alias("n_customers"), F.sum("cents").alias("rev_cents"))
+    total = per_decile.agg(F.sum("rev_cents").alias("_t"))
+    return (
+        per_decile.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            F.expr("(2 * rev_cents * 10000 + _t) div (2 * _t)").alias(
+                "share_bps"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+Q_X_REVENUE_DECILES_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+         count(*) OVER () AS n
+  FROM per_cust
+), per_decile AS (
+  SELECT CAST(floor((rk - 1) * 10 / n) + 1 AS INT) AS decile,
+         count(*) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS rev_cents
+  FROM ranked GROUP BY 1
+), t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS _t FROM per_decile)
+SELECT decile, n_customers, rev_cents / 100.0 AS revenue,
+       (2 * rev_cents * 10000 + _t) // (2 * _t) AS share_bps
+FROM per_decile, t
+ORDER BY decile
+"""

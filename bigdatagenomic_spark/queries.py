@@ -1755,6 +1755,8 @@ register("q_x_incremental_agg", RX.q_x_incremental_agg, RX.Q_X_INCREMENTAL_AGG_S
 register("q_x_temporal_join", RX.q_x_temporal_join, RX.Q_X_TEMPORAL_JOIN_SQL)
 register("q_x_cumulative_users", RX.q_x_cumulative_users, RX.Q_X_CUMULATIVE_USERS_SQL)
 register("q_x_sequence_gaps", RX.q_x_sequence_gaps, RX.Q_X_SEQUENCE_GAPS_SQL)
+register("q_x_funnel_rates", RX.q_x_funnel_rates, RX.Q_X_FUNNEL_RATES_SQL)
+register("q_x_revenue_deciles", RX.q_x_revenue_deciles, RX.Q_X_REVENUE_DECILES_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -290,6 +290,7 @@ _BNLJ_ALLOWED = {
     "q_tpch_q11_shape",      # 1-row value-total scalar over the checkpointed agg
     "q_text_vocab_prune",    # 1-row token-total scalar (same pattern as tfidf)
     "q_x_benford",           # 1-row digit-total scalar (same pattern as skew_report)
+    "q_x_revenue_deciles",   # 1-row revenue-total scalar (same pattern as benford)
 }
 
 
