@@ -538,3 +538,130 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# product-quantization ANN (PQ + asymmetric distance computation)
+# --------------------------------------------------------------------------
+PQ_M = 4        # subspaces
+PQ_SUBDIM = 16  # dims per subspace (PQ_M * PQ_SUBDIM = 64 = embedding width)
+PQ_K = 16       # codes per subspace codebook
+
+
+def _pq_sq_fold(sub, code_lits):
+    """Sequential squared-L2 fold — the exact zip_with/aggregate order
+    the kmeans oracle proved bit-compatible with DuckDB's
+    list_sum(list_transform(...))."""
+    return F.aggregate(
+        F.zip_with(sub, code_lits, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: encode every candidate as PQ_M 4-bit-ish
+    codes (argmin sub-distance to a per-subspace codebook), then answer
+    queries with Asymmetric Distance Computation — per query, one
+    PQ_K-entry distance table per subspace, and each candidate's
+    approximate distance is PQ_M table LOOKUPS instead of a 64-dim
+    fold. The memory story at 100 TB: candidates shrink from 64 floats
+    to PQ_M bytes (here kept as ints for clarity); the scan side of the
+    top-k reads codes only.
+
+    Deterministic "training": codebook[m] = the m-th subvectors of the
+    PQ_K lowest-id vectors (production swaps in per-subspace k-means —
+    operators/clustering.py — without changing this plan). Encoding and
+    table building are map-only against the broadcast/literal codebook;
+    ranking ties break (distance, cand_id); the oracle replays the
+    whole construction with the bit-compatible list folds.
+    """
+    vecs = _vecs(spark, sf_dir)
+    cb_rows = vecs.orderBy("vec_id").limit(PQ_K).collect()  # bounded: K rows
+    cb = [
+        [list(r.v[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]) for r in cb_rows]
+        for m in range(PQ_M)
+    ]
+
+    def lit_arr(xs):
+        return F.array(*[F.lit(float(x)) for x in xs])
+
+    def dist_arr(m):
+        sub = F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        return F.array(*[_pq_sq_fold(sub, lit_arr(cb[m][k])) for k in range(PQ_K)])
+
+    enc = vecs.select(
+        F.col("vec_id").alias("cand_id"),
+        *[
+            F.array_position(dist_arr(m), F.array_min(dist_arr(m)))
+            .cast("int")
+            .alias(f"c{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    qtabs = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[dist_arr(m).alias(f"t{m}") for m in range(PQ_M)],
+    )
+    approx = None
+    for m in range(PQ_M):
+        term = F.element_at(F.col(f"t{m}"), F.col(f"c{m}"))
+        approx = term if approx is None else approx + term
+    scored = enc.crossJoin(F.broadcast(qtabs)).select(
+        "query_id", "cand_id", approx.alias("approx")
+    )
+    w = W.partitionBy("query_id").orderBy("approx", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            "rank",
+            (F.floor(F.col("approx") * 10000 + F.lit(0.5)) / 10000).alias(
+                "approx_d2"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _pq_oracle_sql() -> str:
+    """PQ/ADC oracle: the same codebook, encode, table, lookup, rank —
+    with the list-fold distance the kmeans oracle established as
+    bit-compatible with the Spark zip_with/aggregate fold."""
+    slices = ", ".join(
+        f"list(e[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] ORDER BY vec_id) AS k{m}"
+        for m in range(PQ_M)
+    )
+    def d_expr(m, src):
+        return (
+            f"list_transform(k{m}, c -> list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+            f"i -> ({src}.e[{m * PQ_SUBDIM}+i] - c[i]) * ({src}.e[{m * PQ_SUBDIM}+i] - c[i]))))"
+        )
+    enc_cols = ", ".join(
+        f"list_position({d_expr(m, 'v')}, list_min({d_expr(m, 'v')})) AS c{m}"
+        for m in range(PQ_M)
+    )
+    tab_cols = ", ".join(f"{d_expr(m, 'v')} AS t{m}" for m in range(PQ_M))
+    approx = " + ".join(f"q.t{m}[e.c{m}]" for m in range(PQ_M))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cbv AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {PQ_K}),
+cb AS (SELECT {slices} FROM cbv),
+enc AS (SELECT v.vec_id AS cand_id, {enc_cols} FROM v CROSS JOIN cb),
+qt AS (SELECT v.vec_id AS query_id, {tab_cols}
+       FROM v CROSS JOIN cb WHERE v.vec_id < {N_QUERIES}),
+adc AS (SELECT q.query_id, e.cand_id, {approx} AS approx
+        FROM enc e CROSS JOIN qt q),
+ranked AS (SELECT query_id, cand_id, approx,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx, cand_id) AS rank
+           FROM adc)
+SELECT query_id, cand_id, rank,
+       floor(approx * 10000 + 0.5) / 10000 AS approx_d2
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank"""
+
+
+Q_SIM_PQ_TOPK_SQL = _pq_oracle_sql()

@@ -1156,6 +1156,7 @@ register(
 # deterministic IVF pipeline (fixed centroids, single-bucket assignment)
 # -> full hash check; the numpy rerank's 4-dec rounding is the contract
 register("q_sim_ivf_topk", S.q_sim_ivf_topk, S.Q_SIM_IVF_TOPK_SQL)
+register("q_sim_pq_topk", S.q_sim_pq_topk, S.Q_SIM_PQ_TOPK_SQL)
 register("q_x_emb_normalize", S.q_x_emb_normalize, S.Q_X_EMB_NORMALIZE_SQL)
 register("q_x_emb_quantize", S.q_x_emb_quantize, S.Q_X_EMB_QUANTIZE_SQL)
 
