@@ -34,11 +34,12 @@ queries.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from bigdatagenomic_spark.functions import (
+    let_bound,
     md5_long,
     normalize_text,
     tokens,
@@ -395,4 +396,176 @@ WITH r AS (
 )
 SELECT doc_id, source, CAST(keep_rate AS INT) AS keep_rate
 FROM r WHERE bucket < keep_rate ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# boilerplate scrub (segment-level cross-document dedup)
+# --------------------------------------------------------------------------
+SEG_W = 3  # words per segment
+BOILER_MAX_DOCS = 4  # a segment in > this many distinct docs is boilerplate
+
+
+def word_segments(tok: Column, w: int = SEG_W) -> Column:
+    """Non-overlapping w-word segments of a token array, in order.
+
+    Segment i covers tokens [i*w+1, i*w+w] (1-based slice); the tail
+    segment may be short. The input expression is let-bound so a
+    composed tokenizer is evaluated once per row, not once per segment.
+    """
+
+    def body(t: Column) -> Column:
+        idx = F.sequence(
+            F.lit(0), F.floor((F.size(t) - 1) / F.lit(float(w))).cast("int")
+        )
+        return F.transform(
+            idx, lambda i: F.array_join(F.slice(t, i * w + 1, F.lit(w)), " ")
+        )
+
+    return let_bound(tok, body)
+
+
+def boilerplate_scrub(
+    docs: DataFrame, w: int = SEG_W, max_docs: int = BOILER_MAX_DOCS
+) -> DataFrame:
+    """C4/RefinedWeb-style cross-document boilerplate removal: drop every
+    w-word segment that appears verbatim in more than ``max_docs``
+    distinct documents (nav bars, cookie banners, license footers), then
+    reassemble each document from its surviving segments in order.
+
+    100 TB shape: the corpus-wide frequency pass shuffles only
+    (doc_id, seg_id, seg_hash) — 24-byte rows, never segment text. The
+    boilerplate set is identified by an aggregate on the 60-bit segment
+    hash; survivors fold back to a per-doc sorted seg_id list, and the
+    final join against the original documents re-derives segment text
+    locally from the token array (no text ever crosses a shuffle
+    boundary twice). Both joins are key-equi; no cartesian anywhere.
+    """
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).where(F.size("t") > 0)
+    seg = toks.select(
+        "doc_id",
+        F.posexplode(word_segments(F.col("t"), w)).alias("seg_id", "seg"),
+    ).select("doc_id", "seg_id", md5_long(F.col("seg")).alias("seg_hash"))
+    boiler = (
+        seg.groupBy("seg_hash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > max_docs)
+        .select("seg_hash")
+    )
+    kept = (
+        seg.join(boiler, "seg_hash", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("seg_id")).alias("keep_ids"),
+            F.count("*").cast("long").alias("n_kept"),
+        )
+    )
+    n_seg = (F.floor((F.size("t") - 1) / F.lit(float(w))) + 1).cast("long")
+    rebuild = F.array_join(
+        F.transform(
+            F.coalesce(F.col("keep_ids"), F.array().cast("array<int>")),
+            lambda i: F.array_join(F.slice(F.col("t"), i * w + 1, F.lit(w)), " "),
+        ),
+        " ",
+    )
+    return toks.join(kept, "doc_id", "left").select(
+        "doc_id",
+        n_seg.alias("n_seg"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        rebuild.alias("clean_text"),
+    )
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_scrub(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+Q_TEXT_BOILERPLATE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL),
+seg AS (
+  SELECT doc_id, CAST(i AS INT) AS seg_id,
+         array_to_string(t[(i*{SEG_W}+1):(i*{SEG_W}+{SEG_W})], ' ') AS seg
+  FROM tok, unnest(range(0, CAST(floor((len(t)-1)/{SEG_W}.0) AS BIGINT) + 1))
+         AS u(i)
+  WHERE len(t) > 0),
+boiler AS (
+  SELECT seg FROM seg GROUP BY seg
+  HAVING count(DISTINCT doc_id) > {BOILER_MAX_DOCS}),
+kept AS (
+  SELECT doc_id, list_sort(list(seg_id)) AS keep_ids,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM seg WHERE seg NOT IN (SELECT seg FROM boiler)
+  GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(floor((len(t.t)-1)/{SEG_W}.0) + 1 AS BIGINT) AS n_seg,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(array_to_string(
+         list_transform(k.keep_ids,
+           i -> array_to_string(t.t[(i*{SEG_W}+1):(i*{SEG_W}+{SEG_W})], ' ')),
+         ' '), '') AS clean_text
+FROM tok t LEFT JOIN kept k USING (doc_id)
+WHERE len(t.t) > 0
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic training-shard assignment (global shuffle for training order)
+# --------------------------------------------------------------------------
+N_SHARDS = 8
+SHARD_SEED = "r5"
+
+
+def assign_shards(
+    docs: DataFrame, n_shards: int = N_SHARDS, seed: str = SHARD_SEED
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training.
+
+    Training wants documents in a pseudo-random order, reproducible
+    across reruns and resumable mid-epoch — so the order is a HASH, not
+    an RNG: ``order_key = h(seed, doc_id)``, ``shard = order_key mod
+    n_shards``, ``pos`` = rank within the shard. Changing the seed
+    reshuffles the epoch; changing nothing replays it byte-identically.
+
+    100 TB shape: the hash and shard columns are map-only; the only
+    shuffle is the per-shard rank window, which parallelizes across
+    shards (n_shards partitions — pick n_shards ≈ number of trainer
+    data-loader workers, thousands at scale, so no partition is hot).
+    """
+    key = md5_long(
+        F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    base = docs.select(
+        "doc_id",
+        key.alias("order_key"),
+        F.pmod(key, F.lit(n_shards)).cast("long").alias("shard"),
+    )
+    win = W.partitionBy("shard").orderBy("order_key", "doc_id")
+    return base.withColumn(
+        "pos", (F.row_number().over(win) - 1).cast("long")
+    )
+
+
+def q_x_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assign_shards(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+Q_X_TRAIN_SHARDS_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('{SHARD_SEED}:' || CAST(doc_id AS VARCHAR)),
+               1, 15)) AS BIGINT) AS order_key
+  FROM documents)
+SELECT doc_id, order_key,
+       order_key % {N_SHARDS} AS shard,
+       CAST(row_number() OVER (PARTITION BY order_key % {N_SHARDS}
+                               ORDER BY order_key, doc_id) - 1
+            AS BIGINT) AS pos
+FROM k ORDER BY doc_id
 """

@@ -1758,6 +1758,8 @@ register("q_x_cumulative_users", RX.q_x_cumulative_users, RX.Q_X_CUMULATIVE_USER
 register("q_x_sequence_gaps", RX.q_x_sequence_gaps, RX.Q_X_SEQUENCE_GAPS_SQL)
 register("q_x_funnel_rates", RX.q_x_funnel_rates, RX.Q_X_FUNNEL_RATES_SQL)
 register("q_x_revenue_deciles", RX.q_x_revenue_deciles, RX.Q_X_REVENUE_DECILES_SQL)
+register("q_text_boilerplate", LP.q_text_boilerplate, LP.Q_TEXT_BOILERPLATE_SQL)
+register("q_x_train_shards", LP.q_x_train_shards, LP.Q_X_TRAIN_SHARDS_SQL)
 
 
 # ---------------------------------------------------------------------------

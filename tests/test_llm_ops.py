@@ -386,3 +386,51 @@ def test_pq_topk_recall_vs_exact_l2(spark):
         recalls.append(len(overlap) / S.TOP_K)
     assert min(recalls) >= 0.2, recalls
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_boilerplate_scrub_drops_repeated_segments(spark):
+    from bigdatagenomic_spark.operators.llm_prep import boilerplate_scrub
+
+    footer = "all rights reserved forever"  # 4 tokens -> 2 segments at w=2
+    rows = [(i, f"unique{i} content{i} " + footer) for i in range(6)]
+    rows.append((99, "totally fresh text here"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_scrub(docs, w=2, max_docs=3).collect()
+    }
+    # the footer segments appear in 6 docs > max_docs=3 -> scrubbed;
+    # each doc keeps only its unique leading segment
+    for i in range(6):
+        assert out[i].n_seg == 3 and out[i].n_kept == 1
+        assert out[i].clean_text == f"unique{i} content{i}"
+        assert footer not in out[i].clean_text
+    # the singleton doc is untouched (its segments are unique)
+    assert out[99].n_kept == out[99].n_seg == 2
+    assert out[99].clean_text == "totally fresh text here"
+
+
+def test_assign_shards_is_deterministic_partition(spark):
+    from bigdatagenomic_spark.operators.llm_prep import assign_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id LONG, text STRING"
+    )
+    a = assign_shards(docs, n_shards=4, seed="s1").collect()
+    b = assign_shards(docs, n_shards=4, seed="s1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # replayable
+    by_shard: dict[int, list] = {}
+    for r in a:
+        assert 0 <= r.shard < 4
+        by_shard.setdefault(r.shard, []).append(r)
+    # every shard's positions are exactly 0..n-1 with order following order_key
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(len(rows)))
+        keys = [(r.order_key, r.doc_id) for r in rows]
+        assert keys == sorted(keys)
+    # a different seed produces a different permutation
+    c = assign_shards(docs, n_shards=4, seed="s2").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in c} != {
+        (r.doc_id, r.shard, r.pos) for r in a
+    }
