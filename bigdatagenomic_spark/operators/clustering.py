@@ -63,9 +63,24 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def kmeans(vectors: DataFrame, k: int = 8, n_iter: int = 5) -> tuple[DataFrame, DataFrame]:
+def kmeans(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    round_decimals: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """Returns (assignments(vec_id, cluster, dist), centroids(cluster,
-    centroid)). Deterministic init from the k lowest vec_ids."""
+    centroid)). Deterministic init from the k lowest vec_ids.
+
+    ``round_decimals`` quantizes each updated centroid component with
+    half-up ``floor(x*10^d + 0.5)/10^d``. Consumers that re-embed the
+    trained centroids as plan literals AND replay training in a second
+    engine (the PQ codebook oracle, operators/similarity.py) need this:
+    the per-dim ``avg`` is the one place the two engines can diverge in
+    summation order at the last ulp, and quantizing after every update
+    stops that ulp from compounding into a flipped argmin downstream.
+    ``None`` (default) keeps raw doubles.
+    """
     emb_d = F.transform("embedding", lambda x: x.cast("double"))
     centroids = (
         vectors.orderBy("vec_id")
@@ -75,6 +90,10 @@ def kmeans(vectors: DataFrame, k: int = 8, n_iter: int = 5) -> tuple[DataFrame, 
             emb_d.alias("centroid"),
         )
     )
+    mean_expr = F.avg("val")
+    if round_decimals is not None:
+        scale = 10 ** round_decimals
+        mean_expr = F.floor(mean_expr * scale + F.lit(0.5)) / scale
     assigned = None
     for _ in range(n_iter):
         assigned = assign_clusters(vectors, centroids)
@@ -82,7 +101,7 @@ def kmeans(vectors: DataFrame, k: int = 8, n_iter: int = 5) -> tuple[DataFrame, 
             vectors.join(assigned.select("vec_id", "cluster"), "vec_id")
             .select("cluster", F.posexplode(emb_d).alias("dim", "val"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("mean"))
+            .agg(mean_expr.alias("mean"))
         )
         centroids = dims.groupBy("cluster").agg(
             F.transform(

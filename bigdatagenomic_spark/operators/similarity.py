@@ -546,6 +546,8 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 4        # subspaces
 PQ_SUBDIM = 16  # dims per subspace (PQ_M * PQ_SUBDIM = 64 = embedding width)
 PQ_K = 16       # codes per subspace codebook
+PQ_ITER = 2     # Lloyd rounds for codebook training
+PQ_ROUND = 6    # centroid quantization decimals (cross-engine determinism)
 
 
 def _pq_sq_fold(sub, code_lits):
@@ -559,61 +561,101 @@ def _pq_sq_fold(sub, code_lits):
     )
 
 
-def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: encode every candidate as PQ_M 4-bit-ish
-    codes (argmin sub-distance to a per-subspace codebook), then answer
-    queries with Asymmetric Distance Computation — per query, one
-    PQ_K-entry distance table per subspace, and each candidate's
-    approximate distance is PQ_M table LOOKUPS instead of a 64-dim
-    fold. The memory story at 100 TB: candidates shrink from 64 floats
-    to PQ_M bytes (here kept as ints for clarity); the scan side of the
-    top-k reads codes only.
-
-    Deterministic "training": codebook[m] = the m-th subvectors of the
-    PQ_K lowest-id vectors (production swaps in per-subspace k-means —
-    operators/clustering.py — without changing this plan). Encoding and
-    table building are map-only against the broadcast/literal codebook;
-    ranking ties break (distance, cand_id); the oracle replays the
-    whole construction with the bit-compatible list folds.
-    """
-    vecs = _vecs(spark, sf_dir)
+def pq_codebook_lowest(vecs: DataFrame) -> list[list[list[float]]]:
+    """The trivially deterministic codebook: codebook[m] = the m-th
+    subvectors of the PQ_K lowest-id vectors. Kept as the un-trained
+    baseline the k-means codebook's recall is calibrated against
+    (tests/test_llm_ops.py)."""
     cb_rows = vecs.orderBy("vec_id").limit(PQ_K).collect()  # bounded: K rows
-    cb = [
+    return [
         [list(r.v[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]) for r in cb_rows]
         for m in range(PQ_M)
     ]
 
+
+def pq_codebook_kmeans(
+    vecs: DataFrame, n_iter: int = PQ_ITER
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means codebook (the real PQ training).
+
+    Each subspace trains independently on its PQ_SUBDIM-wide slice of
+    every vector — operators/clustering.py's deterministic k-means
+    (lowest-id init, fixed iterations, argmin ties to the lowest
+    cluster), with centroids quantized to PQ_ROUND decimals after each
+    update so the DuckDB oracle's replayed training produces the exact
+    same codebook (see kmeans(round_decimals=...)). The collect is
+    bounded: <= PQ_K centroid rows per subspace, the classic
+    small-model/big-data iteration. At 100 TB training runs on a
+    deterministic sample (faiss-style); the encode plan is unchanged
+    either way.
+    """
+    from bigdatagenomic_spark.operators.clustering import kmeans
+
+    cb = []
+    for m in range(PQ_M):
+        sub = vecs.select(
+            "vec_id",
+            F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("embedding"),
+        )
+        _, cents = kmeans(sub, k=PQ_K, n_iter=n_iter, round_decimals=PQ_ROUND)
+        rows = cents.orderBy("cluster").collect()  # bounded: <= PQ_K rows
+        cb.append([list(r.centroid) for r in rows])
+    return cb
+
+
+def _pq_dist_arr(cb: list, m: int):
+    """Distance-table expression for subspace m: an array with one
+    squared-L2 fold per codebook entry, against the row's m-th slice."""
+
     def lit_arr(xs):
         return F.array(*[F.lit(float(x)) for x in xs])
 
-    def dist_arr(m):
-        sub = F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM)
-        return F.array(*[_pq_sq_fold(sub, lit_arr(cb[m][k])) for k in range(PQ_K)])
+    sub = F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    return F.array(*[_pq_sq_fold(sub, lit_arr(c)) for c in cb[m]])
 
-    enc = vecs.select(
-        F.col("vec_id").alias("cand_id"),
+
+def pq_encode(vecs: DataFrame, cb: list, id_alias: str = "cand_id") -> DataFrame:
+    """Map-only PQ encoding: (id, c0..c{M-1}) — argmin sub-distance to
+    the literal codebook, ties to the lowest code index. The 100 TB
+    memory story: a candidate shrinks from 64 floats to PQ_M small ints;
+    the ADC scan side reads codes only."""
+    return vecs.select(
+        F.col("vec_id").alias(id_alias),
         *[
-            F.array_position(dist_arr(m), F.array_min(dist_arr(m)))
+            F.array_position(_pq_dist_arr(cb, m), F.array_min(_pq_dist_arr(cb, m)))
             .cast("int")
             .alias(f"c{m}")
             for m in range(PQ_M)
         ],
     )
-    qtabs = vecs.where(F.col("vec_id") < N_QUERIES).select(
+
+
+def pq_query_tables(
+    vecs: DataFrame, cb: list, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Per-query ADC distance tables: (query_id, t0..t{M-1}), each t a
+    PQ_K-entry array. Map-only against the literal codebook."""
+    return vecs.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        *[dist_arr(m).alias(f"t{m}") for m in range(PQ_M)],
+        *[_pq_dist_arr(cb, m).alias(f"t{m}") for m in range(PQ_M)],
     )
+
+
+def _pq_adc_expr():
+    """Approximate squared distance = PQ_M table lookups, summed
+    left-to-right (the oracle adds in the same order)."""
     approx = None
     for m in range(PQ_M):
         term = F.element_at(F.col(f"t{m}"), F.col(f"c{m}"))
         approx = term if approx is None else approx + term
-    scored = enc.crossJoin(F.broadcast(qtabs)).select(
-        "query_id", "cand_id", approx.alias("approx")
-    )
+    return approx
+
+
+def _pq_rank(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     w = W.partitionBy("query_id").orderBy("approx", "cand_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= k)
         .select(
             "query_id",
             "cand_id",
@@ -626,29 +668,110 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle_sql() -> str:
-    """PQ/ADC oracle: the same codebook, encode, table, lookup, rank —
-    with the list-fold distance the kmeans oracle established as
-    bit-compatible with the Spark zip_with/aggregate fold."""
-    slices = ", ".join(
-        f"list(e[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] ORDER BY vec_id) AS k{m}"
-        for m in range(PQ_M)
+def pq_flat_topk(vecs: DataFrame, cb: list, k: int = TOP_K) -> DataFrame:
+    """Flat PQ/ADC scan: every candidate's codes meet every query's
+    tables (fine for a bounded query set; the IVF-PQ composition below
+    is the production shape that prunes the scan)."""
+    enc = pq_encode(vecs, cb)
+    qtabs = pq_query_tables(vecs, cb)
+    scored = enc.crossJoin(F.broadcast(qtabs)).select(
+        "query_id", "cand_id", _pq_adc_expr().alias("approx")
     )
-    def d_expr(m, src):
-        return (
-            f"list_transform(k{m}, c -> list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
-            f"i -> ({src}.e[{m * PQ_SUBDIM}+i] - c[i]) * ({src}.e[{m * PQ_SUBDIM}+i] - c[i]))))"
+    return _pq_rank(scored, k)
+
+
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: encode every candidate as PQ_M codes
+    (argmin sub-distance to a per-subspace codebook), then answer
+    queries with Asymmetric Distance Computation — per query, one
+    PQ_K-entry distance table per subspace, and each candidate's
+    approximate distance is PQ_M table LOOKUPS instead of a 64-dim
+    fold.
+
+    Training: per-subspace k-means (pq_codebook_kmeans) — deterministic
+    lowest-id init + fixed Lloyd rounds + quantized centroids, so the
+    oracle replays the exact training and the whole query hash-checks.
+    Encoding and table building are map-only against the literal
+    codebook; ranking ties break (distance, cand_id).
+    """
+    vecs = _vecs(spark, sf_dir)
+    return pq_flat_topk(vecs, pq_codebook_kmeans(vecs))
+
+
+def _pq_kmeans_cb_ctes(n_iter: int = PQ_ITER) -> list[str]:
+    """CTE text replaying pq_codebook_kmeans in DuckDB: per subspace, a
+    loop-unrolled Lloyd's (assign argmin / update avg) with the same
+    half-up 1e-6 centroid quantization after every update, folded into
+    one final ``cb`` row of k0..k{M-1} code lists (each list ordered by
+    cluster id, matching the Spark collect order)."""
+    s = PQ_SUBDIM
+    parts = []
+    for m in range(PQ_M):
+        lo, hi = m * s + 1, (m + 1) * s
+        parts.append(f"sub{m} AS (SELECT vec_id, e[{lo}:{hi}] AS x FROM v)")
+        parts.append(
+            f"c{m}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1"
+            f" AS INT) AS cluster, x AS centroid FROM (SELECT vec_id, x"
+            f" FROM sub{m} ORDER BY vec_id LIMIT {PQ_K}))"
         )
+        d2 = (
+            f"list_sum(list_transform(range(1, {s + 1}), "
+            "j -> (s.x[j] - c.centroid[j]) * (s.x[j] - c.centroid[j])))"
+        )
+        for it in range(1, n_iter + 1):
+            parts.append(f"""a{m}_{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM (SELECT s.vec_id, c.cluster, {d2} AS dist
+          FROM sub{m} s CROSS JOIN c{m}_{it - 1} c))
+  WHERE rn = 1)""")
+            parts.append(f"""c{m}_{it} AS (
+  SELECT cluster, list(mu ORDER BY dim) AS centroid FROM (
+    SELECT a.cluster, t.dim,
+           floor(avg(s.x[t.dim]) * 1000000 + 0.5) / 1000000 AS mu
+    FROM a{m}_{it} a JOIN sub{m} s USING (vec_id)
+    CROSS JOIN (SELECT unnest(range(1, {s + 1})) AS dim) t
+    GROUP BY a.cluster, t.dim)
+  GROUP BY cluster)""")
+        parts.append(
+            f"cb{m} AS (SELECT list(centroid ORDER BY cluster) AS k{m}"
+            f" FROM c{m}_{n_iter})"
+        )
+    parts.append(
+        "cb AS (SELECT "
+        + ", ".join(f"k{m}" for m in range(PQ_M))
+        + " FROM "
+        + " CROSS JOIN ".join(f"cb{m}" for m in range(PQ_M))
+        + ")"
+    )
+    return parts
+
+
+def _pq_d_expr(m: int, src: str) -> str:
+    """DuckDB distance-table expression vs codebook list k{m} — the
+    list-fold the kmeans oracle established as bit-compatible with the
+    Spark zip_with/aggregate fold."""
+    return (
+        f"list_transform(k{m}, c -> list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+        f"i -> ({src}.e[{m * PQ_SUBDIM}+i] - c[i]) * ({src}.e[{m * PQ_SUBDIM}+i] - c[i]))))"
+    )
+
+
+def _pq_oracle_sql() -> str:
+    """PQ/ADC oracle: replayed k-means codebook, then the same encode,
+    table, lookup, rank."""
     enc_cols = ", ".join(
-        f"list_position({d_expr(m, 'v')}, list_min({d_expr(m, 'v')})) AS c{m}"
+        f"list_position({_pq_d_expr(m, 'v')}, list_min({_pq_d_expr(m, 'v')})) AS c{m}"
         for m in range(PQ_M)
     )
-    tab_cols = ", ".join(f"{d_expr(m, 'v')} AS t{m}" for m in range(PQ_M))
+    tab_cols = ", ".join(f"{_pq_d_expr(m, 'v')} AS t{m}" for m in range(PQ_M))
     approx = " + ".join(f"q.t{m}[e.c{m}]" for m in range(PQ_M))
+    ctes = ",\n".join(_pq_kmeans_cb_ctes())
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cbv AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {PQ_K}),
-cb AS (SELECT {slices} FROM cbv),
+{ctes},
 enc AS (SELECT v.vec_id AS cand_id, {enc_cols} FROM v CROSS JOIN cb),
 qt AS (SELECT v.vec_id AS query_id, {tab_cols}
        FROM v CROSS JOIN cb WHERE v.vec_id < {N_QUERIES}),

@@ -358,12 +358,71 @@ def test_dedup_rate_report_counts_dups(spark):
     assert got["src_b"].dup_bps == 0
 
 
+def test_pq_codebook_kmeans_beats_lowest_on_clustered_data(spark):
+    """Codebook calibration (VERDICT r5 #3): on clustered data the
+    k-means-trained codebook must beat the lowest-id one.
+
+    Fixture: 8 well-separated Gaussian clusters (fixed seed), ids
+    round-robin over clusters so the lowest-id codebook is 16 raw noisy
+    points. Lloyd's initializes FROM the lowest-id codebook, so total
+    quantization distortion can only decrease — assert it drops by a
+    real margin (measured 31.85 -> 18.07, -43%), and that mean
+    recall@k does not regress (measured 0.525 -> 0.55)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n_clusters, per, dim = 8, 15, 64
+    centers = rng.randn(n_clusters, dim) * 3.0
+    rows = [
+        (i, (centers[i % n_clusters] + rng.randn(dim) * 0.6).tolist())
+        for i in range(n_clusters * per)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, v ARRAY<DOUBLE>")
+    vecs = {i: np.asarray(v) for i, v in rows}
+    ids = sorted(vecs)
+    exacts = {
+        q: set(
+            sorted(
+                ids,
+                key=lambda c: (float(((vecs[c] - vecs[q]) ** 2).sum()), c),
+            )[: S.TOP_K]
+        )
+        for q in range(S.N_QUERIES)
+    }
+
+    def mean_recall(cb):
+        got: dict[int, set] = {}
+        for r in S.pq_flat_topk(df, cb).collect():
+            got.setdefault(r.query_id, set()).add(r.cand_id)
+        return sum(len(got[q] & exacts[q]) / S.TOP_K for q in got) / len(got)
+
+    def distortion(cb):
+        encm = {
+            r.vec_id: [r.c0, r.c1, r.c2, r.c3]
+            for r in S.pq_encode(df, cb, id_alias="vec_id").collect()
+        }
+        tot = 0.0
+        for i, v in vecs.items():
+            for m in range(S.PQ_M):
+                sub = v[m * S.PQ_SUBDIM:(m + 1) * S.PQ_SUBDIM]
+                code = np.asarray(cb[m][encm[i][m] - 1])
+                tot += float(((sub - code) ** 2).sum())
+        return tot / len(vecs)
+
+    cb_low = S.pq_codebook_lowest(df)
+    cb_km = S.pq_codebook_kmeans(df)
+    assert distortion(cb_km) < 0.8 * distortion(cb_low)
+    assert mean_recall(cb_km) >= mean_recall(cb_low)
+
+
 def test_pq_topk_recall_vs_exact_l2(spark):
     """PQ/ADC approximates SQUARED L2 (not cosine), so the reference is
     the exact L2 top-k computed in numpy from the collected vectors.
     4 subspaces x 16 codes is deliberately coarse — demand a calibrated
-    floor (measured 0.375 mean at sf0.001), full well-formed output,
-    and ranks 1..k per query."""
+    floor (measured 0.325 mean at sf0.001 with the k-means codebook;
+    the unclustered synthetic embeddings give k-means nothing to
+    exploit, see the clustered-fixture test above), full well-formed
+    output, and ranks 1..k per query."""
     import numpy as np
 
     sf = "/root/testdata/sf0.001"
