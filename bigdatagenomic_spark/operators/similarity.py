@@ -182,6 +182,57 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
+def _ivf_centroids(candidates: DataFrame, n_centroids: int = N_CENTROIDS):
+    """Deterministic coarse centroids: the n_centroids lowest-id vectors
+    (production would run k-means — the plan is identical, only the
+    centroid table changes), broadcast to every executor."""
+    return F.broadcast(
+        candidates.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cvec"))
+    )
+
+
+def _ivf_assign(candidates: DataFrame, cent: DataFrame) -> DataFrame:
+    """Index build: every vector -> its nearest centroid by cosine
+    (ties: lowest centroid id). Broadcast cross join + max_by — no
+    shuffle of the big side; the ONE shuffle is the groupBy(vec_id),
+    and that IS the IVF list build."""
+    return (
+        candidates.crossJoin(cent)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(
+                    cosine(F.col("v"), F.col("cvec")).alias("sim"),
+                    (-F.col("centroid_id")).alias("tb"),
+                ),
+            ).alias("centroid_id"),
+            F.first("v").alias("v"),
+        )
+    )
+
+
+def _ivf_probes(queries: DataFrame, cent: DataFrame, n_probe: int = N_PROBE) -> DataFrame:
+    """Per query: its n_probe nearest centroids -> (query_id, qv,
+    centroid_id). Bounded rows (|queries| x n_probe)."""
+    wq = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    return (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(cent)
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            cosine(F.col("qv"), F.col("cvec")).alias("csim"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -207,43 +258,9 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    cent = F.broadcast(
-        candidates.orderBy("vec_id")
-        .limit(n_centroids)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cvec"))
-    )
-
-    # index build: every vector -> its nearest centroid (ties: lowest id)
-    assigned = (
-        candidates.crossJoin(cent)
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "centroid_id",
-                F.struct(
-                    cosine(F.col("v"), F.col("cvec")).alias("sim"),
-                    (-F.col("centroid_id")).alias("tb"),
-                ),
-            ).alias("centroid_id"),
-            F.first("v").alias("v"),
-        )
-    )
-
-    # query probing: the n_probe nearest centroids per query
-    wq = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
-    probes = (
-        queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-        .crossJoin(cent)
-        .select(
-            "query_id",
-            "qv",
-            "centroid_id",
-            cosine(F.col("qv"), F.col("cvec")).alias("csim"),
-        )
-        .withColumn("pr", F.row_number().over(wq))
-        .where(F.col("pr") <= n_probe)
-        .select("query_id", "qv", "centroid_id")
-    )
+    cent = _ivf_centroids(candidates, n_centroids)
+    assigned = _ivf_assign(candidates, cent)
+    probes = _ivf_probes(queries, cent, n_probe)
 
     cand = (
         probes.join(assigned, "centroid_id")
@@ -614,13 +631,19 @@ def _pq_dist_arr(cb: list, m: int):
     return F.array(*[_pq_sq_fold(sub, lit_arr(c)) for c in cb[m]])
 
 
-def pq_encode(vecs: DataFrame, cb: list, id_alias: str = "cand_id") -> DataFrame:
-    """Map-only PQ encoding: (id, c0..c{M-1}) — argmin sub-distance to
-    the literal codebook, ties to the lowest code index. The 100 TB
-    memory story: a candidate shrinks from 64 floats to PQ_M small ints;
-    the ADC scan side reads codes only."""
+def pq_encode(
+    vecs: DataFrame,
+    cb: list,
+    id_alias: str = "cand_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Map-only PQ encoding: (id, *keep, c0..c{M-1}) — argmin
+    sub-distance to the literal codebook, ties to the lowest code
+    index. The 100 TB memory story: a candidate shrinks from 64 floats
+    to PQ_M small ints; the ADC scan side reads codes only."""
     return vecs.select(
         F.col("vec_id").alias(id_alias),
+        *keep,
         *[
             F.array_position(_pq_dist_arr(cb, m), F.array_min(_pq_dist_arr(cb, m)))
             .cast("int")
@@ -788,3 +811,105 @@ ORDER BY query_id, rank"""
 
 
 Q_SIM_PQ_TOPK_SQL = _pq_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: the production ANN composition (coarse prune + compressed scan)
+# --------------------------------------------------------------------------
+
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the faiss-style production shape, composed from the
+    two parents already in this module:
+
+      1. coarse quantizer (IVF): every candidate joins its nearest of
+         N_CENTROIDS centroids (one shuffle — the inverted-list build);
+         each query probes its N_PROBE nearest lists.
+      2. fine quantizer (PQ): candidates inside the probed lists are
+         scored by Asymmetric Distance Computation against the
+         k-means-trained codebook — PQ_M table lookups per candidate,
+         reading codes (PQ_M small ints), never the raw 64 floats.
+
+    At 100 TB each query touches n_probe/n_centroids of the corpus AND
+    reads it compressed ~32x: the scan side of the join is
+    (centroid_id, codes) rows, with probes and query tables broadcast
+    (both bounded by |queries|). Fully deterministic — lowest-id coarse
+    centroids, fixed-round k-means codebook, (distance, cand_id) tie
+    ranking — so the DuckDB oracle replays the whole construction and
+    the query hash-checks; recall@k vs exact L2 is measured in
+    tests/test_llm_ops.py.
+    """
+    vecs = _vecs(spark, sf_dir)
+    cb = pq_codebook_kmeans(vecs)
+    cent = _ivf_centroids(vecs)
+    assigned = _ivf_assign(vecs, cent)
+    enc = pq_encode(assigned, cb, keep=("centroid_id",))
+    probes = _ivf_probes(vecs.where(F.col("vec_id") < N_QUERIES), cent).select(
+        "query_id", "centroid_id"
+    )
+    qtabs = pq_query_tables(vecs, cb)
+    scored = (
+        enc.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(qtabs), "query_id")
+        .select("query_id", "cand_id", _pq_adc_expr().alias("approx"))
+    )
+    return _pq_rank(scored)
+
+
+def _ivfpq_oracle_sql(
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    n_queries: int = N_QUERIES,
+) -> str:
+    """IVF-PQ oracle: the IVF oracle's coarse-assignment/probe CTEs
+    (cosine, ties to the lowest centroid id) composed with the PQ
+    oracle's replayed k-means codebook and ADC scoring, with the scan
+    restricted to probed lists."""
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    enc_cols = ", ".join(
+        f"list_position({_pq_d_expr(m, 'v')}, list_min({_pq_d_expr(m, 'v')})) AS c{m}"
+        for m in range(PQ_M)
+    )
+    tab_cols = ", ".join(f"{_pq_d_expr(m, 'v')} AS t{m}" for m in range(PQ_M))
+    approx = " + ".join(f"q.t{m}[e.c{m}]" for m in range(PQ_M))
+    ctes = ",\n".join(_pq_kmeans_cb_ctes())
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e AS cvec FROM v
+         ORDER BY vec_id LIMIT {n_centroids}),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos.format(a='v.e', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM v CROSS JOIN cent c)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT v.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos.format(a='v.e', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS pr
+    FROM v CROSS JOIN cent c WHERE v.vec_id < {n_queries})
+  WHERE pr <= {n_probe}),
+{ctes},
+enc AS (SELECT v.vec_id AS cand_id, {enc_cols} FROM v CROSS JOIN cb),
+qt AS (SELECT v.vec_id AS query_id, {tab_cols}
+       FROM v CROSS JOIN cb WHERE v.vec_id < {n_queries}),
+adc AS (SELECT p.query_id, e.cand_id, {approx} AS approx
+        FROM probes p
+        JOIN assigned a USING (centroid_id)
+        JOIN enc e ON e.cand_id = a.vec_id
+        JOIN qt q ON q.query_id = p.query_id),
+ranked AS (SELECT query_id, cand_id, approx,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx, cand_id) AS rank
+           FROM adc)
+SELECT query_id, cand_id, rank,
+       floor(approx * 10000 + 0.5) / 10000 AS approx_d2
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank"""
+
+
+Q_SIM_IVFPQ_TOPK_SQL = _ivfpq_oracle_sql()

@@ -447,6 +447,34 @@ def test_pq_topk_recall_vs_exact_l2(spark):
     assert sum(recalls) / len(recalls) >= 0.3, recalls
 
 
+def test_ivfpq_topk_recall_vs_exact_l2(spark):
+    """IVF-PQ composition: well-formed output (<= k ranked rows per
+    query, ranks contiguous from 1) and recall@k vs the exact L2 top-k
+    — necessarily <= the flat-PQ recall (probing prunes lists) but must
+    stay above a calibrated floor (measured at sf0.001)."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    ids = sorted(vecs)
+    got: dict[int, list] = {}
+    for r in S.q_sim_ivfpq_topk(spark, sf).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.cand_id))
+    assert len(got) == S.N_QUERIES
+    recalls = []
+    for q, rk in got.items():
+        assert sorted(r for r, _ in rk) == list(range(1, len(rk) + 1))
+        assert len(rk) <= S.TOP_K
+        qv = vecs[q]
+        exact = sorted(ids, key=lambda c: (float(((vecs[c] - qv) ** 2).sum()), c))
+        overlap = {c for _, c in rk} & set(exact[: S.TOP_K])
+        recalls.append(len(overlap) / S.TOP_K)
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
 def test_boilerplate_scrub_drops_repeated_segments(spark):
     from bigdatagenomic_spark.operators.llm_prep import boilerplate_scrub
 

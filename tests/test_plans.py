@@ -292,6 +292,7 @@ _BNLJ_ALLOWED = {
     "q_x_benford",           # 1-row digit-total scalar (same pattern as skew_report)
     "q_x_revenue_deciles",   # 1-row revenue-total scalar (same pattern as benford)
     "q_sim_pq_topk",         # bounded broadcast query-table crossJoin (q26 pattern)
+    "q_sim_ivfpq_topk",      # broadcast centroid table + codebook training (ivf/kmeans pattern)
 }
 
 
