@@ -450,6 +450,18 @@ def test_zipf_rank_window_is_partitioned(spark):
     assert opt.count("windowspecdefinition") == 1, opt
 
 
+def test_train_shards_rank_window_is_partitioned(spark):
+    """q_x_train_shards must never rank a whole shard in one window
+    task (VERDICT r5 item 6): the per-shard position is two-phase —
+    range repartition + per-(pid, shard) row_number. Pin that the
+    plan's ONLY window is partitioned on _pid (same guard as the zipf
+    fix)."""
+    df = _df(spark, "q_x_train_shards")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(_pid" in opt, opt
+    assert opt.count("windowspecdefinition") == 1, opt
+
+
 def test_simhash_signatures_are_map_only(spark):
     """SimHash must be a narrow map like MinHash (VERDICT r4 item 3):
     per-doc aggregate folds over the row-local token-hash array — no
