@@ -187,6 +187,16 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # must count once
         .dropDuplicates(["a_id", "b_id"])
     )
+    return _jaccard_verify(cand, base)
+
+
+def _jaccard_verify(cand: DataFrame, base: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a_id, b_id) pairs: the
+    two per-doc shingle sets attach via equi-joins on doc_id (AQE
+    broadcasts the bounded side) and the verify is ``array_intersect``
+    on row-local arrays — shingles are distinct within a doc, so
+    intersect size == common count. At 100 TB this step shuffles
+    |candidates| rows, not |corpus| x bands."""
     sets = base.select("doc_id", F.size("shs").alias("n_sh"), "shs")
     pairs = cand.join(
         sets.select(
@@ -201,8 +211,6 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "b_id",
     )
-    # verify with exact jaccard on the row-local shingle sets (shingles
-    # are distinct within a doc, so intersect size == common count)
     common = F.size(F.array_intersect("shs_a", "shs_b"))
     return (
         pairs.select(
@@ -600,31 +608,70 @@ def q_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    sets = base.select("doc_id", F.size("shs").alias("n_sh"), "shs")
-    pairs = cand.join(
-        sets.select(
-            F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"),
-            F.col("shs").alias("shs_a"),
-        ),
-        "a_id",
-    ).join(
-        sets.select(
-            F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"),
-            F.col("shs").alias("shs_b"),
-        ),
-        "b_id",
+    return _jaccard_verify(cand, base)
+
+
+def lsh_band_table(docs: DataFrame) -> DataFrame:
+    """The LSH band table (doc_id, band, bkey) — one row per doc per
+    band, the thing a production deployment STORES between crawls."""
+    sig = _shingle_base(docs).select("doc_id", *_signature_exprs())
+    return sig.select("doc_id", F.posexplode(_band_keys()).alias("band", "bkey"))
+
+
+def materialize_lsh_band_index(
+    docs: DataFrame, path: str, table: str, n_buckets: int = 8
+) -> DataFrame:
+    """Persist the LSH band index hash-bucketed (and sorted) on
+    ``(band, bkey)`` — the exact key set the delta join clusters on
+    (Catalyst promotes the band-equality residual into a join key, so
+    the bucket columns must cover both). Pay the bucketing shuffle once
+    at index-build time; every nightly delta-vs-index join then reads
+    the index with its bucketing — ZERO Exchange on the (huge) index
+    side, only the (small) delta shuffles (pinned in
+    tests/test_scale.py).
+    """
+    from bigdatagenomic_spark.operators.scale import write_bucketed
+
+    return write_bucketed(
+        lsh_band_table(docs), path, table, ["band", "bkey"], n_buckets
     )
-    common = F.size(F.array_intersect("shs_a", "shs_b"))
-    return (
-        pairs.select(
-            "a_id",
-            "b_id",
-            F.round(
-                common / (F.col("n_a") + F.col("n_b") - common), 4
-            ).alias("jacc"),
-        )
-        .orderBy("a_id", "b_id")
+
+
+def lsh_incremental_pairs_indexed(
+    index_bands: DataFrame, docs: DataFrame, split: int
+) -> DataFrame:
+    """Delta-vs-STORED-index candidate generation (the materialized
+    form of :func:`q_dedup_lsh_incremental`'s in-memory plan, VERDICT
+    r5 #5). ``index_bands``: the stored band table (ideally the
+    bucketed table from :func:`materialize_lsh_band_index`); ``docs``:
+    the full corpus (shingle sets for verification); ``split``: docs
+    with id >= split are the incoming batch.
+
+    The join equi-matches on ``bkey`` alone — the index's bucket
+    column, so Spark reads the index with its bucketing and only the
+    delta side shuffles — with band equality applied as a residual
+    filter (two bands colliding on the same bkey is a 128-bit md5
+    collision; the filter keeps semantics identical to the
+    (band, bkey) equi-join either way). Verification and output match
+    the in-memory formulation row-for-row.
+    """
+    base = _shingle_base(docs)
+    sig = base.select("doc_id", *_signature_exprs()).where(
+        F.col("doc_id") >= split
     )
+    new_bands = sig.select(
+        "doc_id", F.posexplode(_band_keys()).alias("band", "bkey")
+    )
+    a = index_bands.select(
+        F.col("doc_id").alias("a_id"), F.col("band").alias("a_band"), "bkey"
+    )
+    b = new_bands.select(F.col("doc_id").alias("b_id"), "band", "bkey")
+    cand = (
+        a.join(b, "bkey")
+        .where((F.col("a_band") == F.col("band")) & (F.col("a_id") < F.col("b_id")))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return _jaccard_verify(cand, base)
 
 
 def dedup_rate_report(docs: DataFrame) -> DataFrame:

@@ -296,21 +296,24 @@ def write_bucketed(
     df: DataFrame,
     path: str,
     table: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     n_buckets: int = 8,
 ) -> DataFrame:
-    """Persist df hash-bucketed (and sorted) by the join key.
+    """Persist df hash-bucketed (and sorted) by the join key(s).
 
     Joins between tables bucketed identically on the join key need no
     exchange (and with sortBy, no sort): the classic co-location
     investment — pay one shuffle at write time, join shuffle-free
-    forever after.
+    forever after. Multi-column bucketing must list the EXACT join-key
+    set (Spark only plans a bucketed read when the join keys cover the
+    bucket columns).
     """
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     (
         df.write.mode("overwrite")
         .option("path", path)
-        .bucketBy(n_buckets, bucket_col)
-        .sortBy(bucket_col)
+        .bucketBy(n_buckets, *cols)
+        .sortBy(*cols)
         .format("parquet")
         .saveAsTable(table)
     )

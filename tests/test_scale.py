@@ -39,6 +39,60 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_bucketed_lineitem")
 
 
+def test_lsh_band_index_zero_exchange_on_index_side_and_parity(spark, tmp_path):
+    """VERDICT r5 #5: the stored LSH band index (bucketed on bkey) must
+    join the nightly delta with NO Exchange on the index side — only
+    the delta shuffles into the index's bucketing — and the indexed
+    formulation must emit exactly the pairs the in-memory
+    q_dedup_lsh_incremental emits."""
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.operators.dedup import (
+        LSH_INCR_SPLIT,
+        PAIR_SAMPLE_DOCS,
+        lsh_band_table,
+        lsh_incremental_pairs_indexed,
+        materialize_lsh_band_index,
+        q_dedup_lsh_incremental,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    d = load_table(spark, sf, "documents").where(
+        F.col("doc_id") < PAIR_SAMPLE_DOCS
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # the index AFTER the delta insert (incremental maintenance
+        # appends the batch's bands before pairing, dedup.py:573)
+        idx = materialize_lsh_band_index(
+            d, str(tmp_path / "lshidx"), "t_lsh_band_index"
+        )
+        # plan pin on the candidate join fragment: exactly ONE exchange
+        # (the delta side); the bucketed index scan feeds the join bare
+        delta_bands = lsh_band_table(d.where(F.col("doc_id") >= LSH_INCR_SPLIT))
+        frag = idx.select(
+            F.col("doc_id").alias("a_id"), F.col("band").alias("a_band"), "bkey"
+        ).join(
+            delta_bands.select(F.col("doc_id").alias("b_id"), "band", "bkey"),
+            "bkey",
+        ).where(F.col("a_band") == F.col("band"))
+        assert exchange_count(frag) == 1, formatted_plan(frag)
+        assert "SortMergeJoin" in join_kinds(frag)
+        # value parity with the in-memory formulation
+        got = sorted(
+            (r.a_id, r.b_id, r.jacc)
+            for r in lsh_incremental_pairs_indexed(idx, d, LSH_INCR_SPLIT).collect()
+        )
+        want = sorted(
+            (r.a_id, r.b_id, r.jacc)
+            for r in q_dedup_lsh_incremental(spark, sf).collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_lsh_band_index")
+
+
 def test_salted_agg_is_two_phase(spark):
     ev = load_table(spark, SF_DIR, "events")
     out = salted_agg(
