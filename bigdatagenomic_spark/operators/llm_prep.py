@@ -434,28 +434,45 @@ def boilerplate_scrub(
     reassemble each document from its surviving segments in order.
 
     100 TB shape: the corpus-wide frequency pass shuffles only
-    (doc_id, seg_id, seg_hash) — 24-byte rows, never segment text. The
-    boilerplate set is identified by an aggregate on the 60-bit segment
-    hash; survivors fold back to a per-doc sorted seg_id list, and the
-    final join against the original documents re-derives segment text
-    locally from the token array (no text ever crosses a shuffle
-    boundary twice). Both joins are key-equi; no cartesian anywhere.
+    (doc_id, seg_id, h1, h2) — 32-byte rows, never segment text. The
+    boilerplate set is identified by an aggregate on a 120-bit segment
+    fingerprint (two independent 60-bit md5 halves — at ~1e12 distinct
+    segments the expected birthday-collision count is ~4e-13, vs ~1e5
+    falsely-merged frequency rows for a single 60-bit hash); survivors
+    fold back to a per-doc sorted seg_id list, and the final join
+    against the original documents re-derives segment text locally
+    from the token array (no text ever crosses a shuffle boundary
+    twice). Both joins are key-equi; no cartesian anywhere.
+
+    Sub-w TAIL segments are excluded from the frequency count (and can
+    never be scrubbed): a 1-2 word tail is a partial span, and common
+    short words at document ends ('the', 'com') are not boilerplate —
+    the C4-style rule counts full w-word spans only. Tails are still
+    reassembled in place.
     """
     toks = docs.where(F.col("text").isNotNull()).select(
         "doc_id", tokens(F.col("text")).alias("t")
     ).where(F.size("t") > 0)
     seg = toks.select(
         "doc_id",
+        F.size("t").alias("n_tok"),
         F.posexplode(word_segments(F.col("t"), w)).alias("seg_id", "seg"),
-    ).select("doc_id", "seg_id", md5_long(F.col("seg")).alias("seg_hash"))
+    ).select(
+        "doc_id",
+        "seg_id",
+        md5_long(F.col("seg")).alias("h1"),
+        md5_long(F.concat(F.lit("\x02"), F.col("seg"))).alias("h2"),
+        (((F.col("seg_id") + 1) * w) <= F.col("n_tok")).alias("is_full"),
+    )
     boiler = (
-        seg.groupBy("seg_hash")
+        seg.where("is_full")
+        .groupBy("h1", "h2")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .where(F.col("nd") > max_docs)
-        .select("seg_hash")
+        .select("h1", "h2")
     )
     kept = (
-        seg.join(boiler, "seg_hash", "left_anti")
+        seg.join(boiler, ["h1", "h2"], "left_anti")
         .groupBy("doc_id")
         .agg(
             F.sort_array(F.collect_list("seg_id")).alias("keep_ids"),
@@ -489,13 +506,14 @@ WITH tok AS (
                      t -> t <> '') AS t
   FROM documents WHERE text IS NOT NULL),
 seg AS (
-  SELECT doc_id, CAST(i AS INT) AS seg_id,
+  SELECT doc_id, CAST(i AS INT) AS seg_id, len(t) AS n_tok,
          array_to_string(t[(i*{SEG_W}+1):(i*{SEG_W}+{SEG_W})], ' ') AS seg
   FROM tok, unnest(range(0, CAST(floor((len(t)-1)/{SEG_W}.0) AS BIGINT) + 1))
          AS u(i)
   WHERE len(t) > 0),
 boiler AS (
-  SELECT seg FROM seg GROUP BY seg
+  SELECT seg FROM seg WHERE (seg_id + 1) * {SEG_W} <= n_tok
+  GROUP BY seg
   HAVING count(DISTINCT doc_id) > {BOILER_MAX_DOCS}),
 kept AS (
   SELECT doc_id, list_sort(list(seg_id)) AS keep_ids,

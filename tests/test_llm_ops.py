@@ -497,6 +497,25 @@ def test_boilerplate_scrub_drops_repeated_segments(spark):
     assert out[99].clean_text == "totally fresh text here"
 
 
+def test_boilerplate_scrub_never_scrubs_short_tail_segments(spark):
+    """ADVICE r5: sub-w tail segments are partial spans — a common
+    short word at many documents' ends ('com') must NOT be counted
+    toward the boilerplate frequency nor scrubbed."""
+    from bigdatagenomic_spark.operators.llm_prep import boilerplate_scrub
+
+    # 3 tokens at w=2 -> one full segment + a 1-word tail; the tail
+    # word 'com' repeats across 6 docs (> max_docs=3) but stays
+    rows = [(i, f"alpha{i} beta{i} com") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_scrub(docs, w=2, max_docs=3).collect()
+    }
+    for i in range(6):
+        assert out[i].n_seg == 2 and out[i].n_kept == 2
+        assert out[i].clean_text == f"alpha{i} beta{i} com"
+
+
 def test_assign_shards_is_deterministic_partition(spark):
     from bigdatagenomic_spark.operators.llm_prep import assign_shards
 
