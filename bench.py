@@ -49,6 +49,10 @@ HEADLINE = [
     # families where 100x-scale regressions would hide
     "q_tpch_q9_shape",
     "q_dedup_survivors",
+    # round 6: segment-level corpus-wide text shuffles (two passes over
+    # every segment) and the standalone iterative fixpoint loop
+    "q_text_boilerplate",
+    "q_graph_cc",
 ]
 
 
