@@ -464,6 +464,14 @@ def boilerplate_scrub(
         md5_long(F.concat(F.lit("\x02"), F.col("seg"))).alias("h2"),
         (((F.col("seg_id") + 1) * w) <= F.col("n_tok")).alias("is_full"),
     )
+    # materialize the narrow fingerprint table ONCE: it feeds both the
+    # frequency pass and the survivor anti-join, and without pinning it
+    # Catalyst re-derives each branch from the raw text — 6 scans and 6
+    # tokenize passes of the corpus for what is one 32-byte-row table
+    # (measured; with the pin: 1 tokenize here + 1 in the final
+    # reassembly join). The production analog is persisting the segment
+    # table between the two passes.
+    seg = seg.localCheckpoint(eager=False)
     boiler = (
         seg.where("is_full")
         .groupBy("h1", "h2")

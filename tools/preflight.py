@@ -75,6 +75,11 @@ def main() -> int:
     bad = {k: v for k, v in results.items() if not v.startswith("ok")}
     summary = {
         "total": len(results),
+        # the artifact-vs-HEAD staleness check (VERDICT r5 #1): a
+        # committed preflight whose registry_total differs from
+        # len(queries()) at HEAD was run before the last registry
+        # change and is NOT evidence for the newest entries
+        "registry_total": len(qs),
         "ok": len(results) - len(bad),
         "bad": bad,
         "elapsed_sec": round(time.time() - t0, 1),
