@@ -81,6 +81,12 @@ def kmeans(
     stops that ulp from compounding into a flipped argmin downstream.
     ``None`` (default) keeps raw doubles.
     """
+    # pin the working set once: every iteration references `vectors`
+    # twice (assign + update) and without the pin each reference
+    # re-derives from the source scan — 2*n_iter corpus reads for an
+    # iterative algorithm that should read its input once (the same
+    # .cache() Spark ML's KMeans does before its loop).
+    vectors = vectors.localCheckpoint(eager=False)
     emb_d = F.transform("embedding", lambda x: x.cast("double"))
     centroids = (
         vectors.orderBy("vec_id")

@@ -293,7 +293,9 @@ def ivf_topk(
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vecs(spark, sf_dir)
+    # pin the vector table: centroids, assignment, and probes all
+    # reference it (each would otherwise re-scan the source)
+    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=False)
     return ivf_topk(vecs.where(F.col("vec_id") < N_QUERIES), vecs)
 
 
@@ -717,7 +719,9 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Encoding and table building are map-only against the literal
     codebook; ranking ties break (distance, cand_id).
     """
-    vecs = _vecs(spark, sf_dir)
+    # pin the vector table: codebook training, encoding, and query
+    # tables all reference it (each would otherwise re-scan the source)
+    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=False)
     return pq_flat_topk(vecs, pq_codebook_kmeans(vecs))
 
 
@@ -838,7 +842,9 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query hash-checks; recall@k vs exact L2 is measured in
     tests/test_llm_ops.py.
     """
-    vecs = _vecs(spark, sf_dir)
+    # pin the vector table: coarse assignment, probes, codebook
+    # training, encoding, and query tables all reference it
+    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=False)
     cb = pq_codebook_kmeans(vecs)
     cent = _ivf_centroids(vecs)
     assigned = _ivf_assign(vecs, cent)
