@@ -674,6 +674,59 @@ def lsh_incremental_pairs_indexed(
     return _jaccard_verify(cand, base)
 
 
+VAL_SPLIT_MOD = 10  # ~10% of docs land in the held-out split
+
+
+def q_x_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split-leakage audit: deterministic ~1/VAL_SPLIT_MOD
+    hash split of the corpus, then MinHash-LSH candidate pairs that
+    CROSS the split, verified with exact Jaccard — the near-dup
+    contamination check a training pipeline runs before trusting its
+    eval numbers. Complements q_text_decontam (which screens against a
+    FOREIGN benchmark's n-grams): this audits the corpus's own split,
+    where random assignment happily separates two crawls of the same
+    page into train and val.
+
+    Scale shape identical to q_dedup_minhash_pairs: map-only
+    signatures + split flag, band-key equi-join restricted to
+    val-x-train pairs (never val-val/train-train, never all-pairs),
+    row-local verify on the surviving candidates only.
+    """
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < PAIR_SAMPLE_DOCS
+    )
+    return split_leakage_pairs(d)
+
+
+def split_leakage_pairs(d: DataFrame) -> DataFrame:
+    """(val_id, train_id, jacc) — cross-split LSH near-dup pairs of a
+    (doc_id, text) corpus. See :func:`q_x_split_leakage`."""
+    base = _shingle_base(d)
+    sig = base.select("doc_id", *_signature_exprs())
+    is_val = (
+        md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % VAL_SPLIT_MOD
+        == 0
+    )
+    bands = sig.select(
+        "doc_id",
+        is_val.alias("is_val"),
+        F.posexplode(_band_keys()).alias("band", "bkey"),
+    )
+    v = bands.where(F.col("is_val")).select(
+        F.col("doc_id").alias("a_id"), "band", "bkey"
+    )
+    t = bands.where(~F.col("is_val")).select(
+        F.col("doc_id").alias("b_id"), "band", "bkey"
+    )
+    cand = v.join(t, ["band", "bkey"]).dropDuplicates(["a_id", "b_id"])
+    return _jaccard_verify(cand, base).select(
+        F.col("a_id").alias("val_id"),
+        F.col("b_id").alias("train_id"),
+        "jacc",
+    ).orderBy("val_id", "train_id")
+
+
 def dedup_rate_report(docs: DataFrame) -> DataFrame:
     """Per-source exact-duplicate rate — the dedup QA dashboard row:
     how much of each source is redundant BEFORE spending on the

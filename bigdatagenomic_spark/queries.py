@@ -888,6 +888,37 @@ register(
 )
 
 register(
+    "q_x_split_leakage",
+    D.q_x_split_leakage,
+    # deterministic hash split + full banding, keeping only pairs that
+    # cross the split; common is keyed (lower id, higher id) so the
+    # lookup goes through least/greatest
+    f"""WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        bands AS ({_BANDS_SQL}),
+        split AS (SELECT doc_id,
+                    CAST(('0x' || substr(md5('split:' ||
+                         CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % {D.VAL_SPLIT_MOD} = 0 AS is_val
+                  FROM tok),
+        cand AS (SELECT DISTINCT a.doc_id AS val_id, b.doc_id AS train_id
+                 FROM bands a JOIN bands b USING (band, bkey)
+                 JOIN split sa ON sa.doc_id = a.doc_id
+                 JOIN split sb ON sb.doc_id = b.doc_id
+                 WHERE sa.is_val AND NOT sb.is_val)
+        SELECT c.val_id, c.train_id,
+               round(coalesce(cm.n_common, 0)
+                     / CAST(sa.n_sh + sb.n_sh - coalesce(cm.n_common, 0) AS DOUBLE),
+                     4) AS jacc
+        FROM cand c
+        LEFT JOIN common cm
+          ON least(c.val_id, c.train_id) = cm.a_id
+         AND greatest(c.val_id, c.train_id) = cm.b_id
+        JOIN sizes sa ON c.val_id = sa.doc_id
+        JOIN sizes sb ON c.train_id = sb.doc_id
+        ORDER BY c.val_id, c.train_id""",
+)
+
+register(
     "q_dedup_rate_report",
     D.q_dedup_rate_report,
     """WITH fp AS (

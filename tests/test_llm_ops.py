@@ -447,6 +447,46 @@ def test_pq_topk_recall_vs_exact_l2(spark):
     assert sum(recalls) / len(recalls) >= 0.3, recalls
 
 
+def test_split_leakage_flags_planted_cross_split_dup(spark):
+    """A val doc whose text duplicates a train doc must surface as a
+    (val_id, train_id, jacc=1.0) pair; clean docs must not."""
+    import hashlib
+
+    from bigdatagenomic_spark.operators.dedup import (
+        VAL_SPLIT_MOD,
+        split_leakage_pairs,
+    )
+
+    def is_val(doc_id: int) -> bool:
+        h = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16) % VAL_SPLIT_MOD == 0
+
+    ids = list(range(200))
+    val_ids = [i for i in ids if is_val(i)]
+    train_ids = [i for i in ids if not is_val(i)]
+    assert val_ids and train_ids
+    leaked_val, leaked_train = val_ids[0], train_ids[0]
+    dup_text = "the quick brown fox jumps over the lazy dog again"
+    rows = []
+    for i in ids:
+        if i == leaked_val or i == leaked_train:
+            rows.append((i, dup_text))
+        else:
+            # every shingle carries i -> zero cross-doc shingle overlap
+            rows.append(
+                (i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}")
+            )
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r.val_id, r.train_id): r.jacc
+        for r in split_leakage_pairs(docs).collect()
+    }
+    assert got[(leaked_val, leaked_train)] == 1.0
+    # no same-split or self pairs ever appear
+    for v, t in got:
+        assert is_val(v) and not is_val(t)
+
+
 def test_ivfpq_topk_recall_vs_exact_l2(spark):
     """IVF-PQ composition: well-formed output (<= k ranked rows per
     query, ranks contiguous from 1) and recall@k vs the exact L2 top-k
