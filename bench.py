@@ -11,7 +11,11 @@ compilation (a one-time ~1-2s JVM cost per plan shape, amortized to
 nothing over a long-running cluster) is not billed to the query. The
 steady-state number is the MEDIAN of 3 runs (the host is shared, so a
 single run can absorb an unrelated load spike); the cold first-run
-totals are also reported under "cold_queries" for transparency.
+totals are reported under "cold_queries", and the per-query MINIMUM
+under "min_queries"/"value_min" — when external host load inflates a
+whole run (observed round 6: up to +70% on identical code/plans, VM
+internally idle), the min is the closest observable to the machine's
+true steady-state and separates noise from real plan regressions.
 """
 
 from __future__ import annotations
@@ -70,6 +74,7 @@ def main() -> int:
     force(qs["q01_scan_filter"](spark, sf_dir))
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    minimums: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -82,12 +87,15 @@ def main() -> int:
             force(qs[name](spark, sf_dir))
             runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        minimums[name] = round(min(runs), 3)
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "cold_queries": cold,
+        "min_queries": minimums,
+        "value_min": round(sum(minimums.values()), 3),
         "sf": sf,
     }
     print(json.dumps(out))
