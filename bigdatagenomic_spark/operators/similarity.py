@@ -180,16 +180,84 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CENTROIDS = 16
 N_PROBE = 4
+PQ_ITER = 2     # Lloyd rounds for coarse-centroid / PQ-codebook training
+PQ_ROUND = 6    # centroid quantization decimals (cross-engine determinism)
+
+
+def _kmeans_ctes(tag: str, lo: int, width: int, k: int, n_iter: int) -> list[str]:
+    """Generic CTE text replaying a deterministic Lloyd's k-means over
+    the dimension slice ``e[lo+1 : lo+width]`` of CTE ``v``: lowest-id
+    init, argmin ties to the lowest cluster, half-up 1e-6 centroid
+    quantization after every update (matching
+    ``kmeans(round_decimals=6)``). Emits a final centroid table
+    ``c{tag}_{n_iter}(cluster, centroid)``."""
+    parts = [
+        f"sub{tag} AS (SELECT vec_id, e[{lo + 1}:{lo + width}] AS x FROM v)",
+        f"c{tag}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1"
+        f" AS INT) AS cluster, x AS centroid FROM (SELECT vec_id, x"
+        f" FROM sub{tag} ORDER BY vec_id LIMIT {k}))",
+    ]
+    d2 = (
+        f"list_sum(list_transform(range(1, {width + 1}), "
+        "j -> (s.x[j] - c.centroid[j]) * (s.x[j] - c.centroid[j])))"
+    )
+    for it in range(1, n_iter + 1):
+        parts.append(f"""a{tag}_{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM (SELECT s.vec_id, c.cluster, {d2} AS dist
+          FROM sub{tag} s CROSS JOIN c{tag}_{it - 1} c))
+  WHERE rn = 1)""")
+        parts.append(f"""c{tag}_{it} AS (
+  SELECT cluster, list(mu ORDER BY dim) AS centroid FROM (
+    SELECT a.cluster, t.dim,
+           floor(avg(s.x[t.dim]) * 1000000 + 0.5) / 1000000 AS mu
+    FROM a{tag}_{it} a JOIN sub{tag} s USING (vec_id)
+    CROSS JOIN (SELECT unnest(range(1, {width + 1})) AS dim) t
+    GROUP BY a.cluster, t.dim)
+  GROUP BY cluster)""")
+    return parts
 
 
 def _ivf_centroids(candidates: DataFrame, n_centroids: int = N_CENTROIDS):
     """Deterministic coarse centroids: the n_centroids lowest-id vectors
-    (production would run k-means — the plan is identical, only the
-    centroid table changes), broadcast to every executor."""
+    (the un-trained baseline; :func:`ivf_centroids_kmeans` is the
+    trained production table — the plan is identical either way),
+    broadcast to every executor."""
     return F.broadcast(
         candidates.orderBy("vec_id")
         .limit(n_centroids)
         .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cvec"))
+    )
+
+
+def ivf_centroids_kmeans(
+    candidates: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    n_iter: int = PQ_ITER,
+):
+    """k-means-trained coarse centroids for the IVF family — the same
+    deterministic quantized Lloyd's as the PQ codebook (lowest-id init,
+    fixed rounds, 1e-6 centroid quantization), over the FULL dimension.
+    Training assigns by L2; query-time list assignment stays cosine —
+    the centroids are just points, the metric belongs to the index.
+    Returns a broadcast (centroid_id, cvec) table; list ids are the
+    k-means cluster ids."""
+    from bigdatagenomic_spark.operators.clustering import kmeans
+
+    _, cents = kmeans(
+        candidates.select("vec_id", F.col("v").alias("embedding")),
+        k=n_centroids,
+        n_iter=n_iter,
+        round_decimals=PQ_ROUND,
+    )
+    return F.broadcast(
+        cents.select(
+            F.col("cluster").cast("long").alias("centroid_id"),
+            F.col("centroid").alias("cvec"),
+        )
     )
 
 
@@ -239,6 +307,7 @@ def ivf_topk(
     n_centroids: int = N_CENTROIDS,
     n_probe: int = N_PROBE,
     k: int = TOP_K,
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed ANN: nearest-centroid assignment, n_probe bucket scan.
 
@@ -258,7 +327,8 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    cent = _ivf_centroids(candidates, n_centroids)
+    if cent is None:
+        cent = _ivf_centroids(candidates, n_centroids)
     assigned = _ivf_assign(candidates, cent)
     probes = _ivf_probes(queries, cent, n_probe)
 
@@ -293,10 +363,14 @@ def ivf_topk(
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # pin the vector table: centroids, assignment, and probes all
-    # reference it (each would otherwise re-scan the source)
+    # pin the vector table: centroid training, assignment, and probes
+    # all reference it (each would otherwise re-scan the source)
     vecs = _vecs(spark, sf_dir).localCheckpoint(eager=False)
-    return ivf_topk(vecs.where(F.col("vec_id") < N_QUERIES), vecs)
+    return ivf_topk(
+        vecs.where(F.col("vec_id") < N_QUERIES),
+        vecs,
+        cent=ivf_centroids_kmeans(vecs),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -449,17 +523,21 @@ def _ivf_oracle_sql(
     n_queries: int = N_QUERIES,
 ) -> str:
     """DuckDB oracle for the IVF top-k. Like the LSH oracle this replays
-    the deterministic pipeline exactly: lowest-id centroids, max-cosine
-    bucket assignment (ties to the lowest centroid id), n_probe nearest
-    buckets per query, exact cosine re-rank. The numpy matmul in the
-    Spark rerank and list_dot_product may differ in summation order at
-    the last ulp; the declared 4-decimal rounding absorbs it."""
+    the deterministic pipeline exactly: k-means-trained coarse
+    centroids (quantized unrolled Lloyd's, ivf_centroids_kmeans),
+    max-cosine bucket assignment (ties to the lowest centroid id),
+    n_probe nearest buckets per query, exact cosine re-rank. The numpy
+    matmul in the Spark rerank and list_dot_product may differ in
+    summation order at the last ulp; the declared 4-decimal rounding
+    absorbs it."""
     cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
            " * sqrt(list_dot_product({b}, {b})))")
+    km = ",\n".join(_kmeans_ctes("g", 0, 64, n_centroids, PQ_ITER))
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, e AS cvec FROM v
-         ORDER BY vec_id LIMIT {n_centroids}),
+{km},
+cent AS (SELECT CAST(cluster AS BIGINT) AS centroid_id, centroid AS cvec
+         FROM cg_{PQ_ITER}),
 assigned AS (
   SELECT vec_id, centroid_id, e FROM (
     SELECT v.vec_id, c.centroid_id, v.e,
@@ -565,8 +643,6 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 4        # subspaces
 PQ_SUBDIM = 16  # dims per subspace (PQ_M * PQ_SUBDIM = 64 = embedding width)
 PQ_K = 16       # codes per subspace codebook
-PQ_ITER = 2     # Lloyd rounds for codebook training
-PQ_ROUND = 6    # centroid quantization decimals (cross-engine determinism)
 
 
 def _pq_sq_fold(sub, code_lits):
@@ -727,41 +803,12 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_kmeans_cb_ctes(n_iter: int = PQ_ITER) -> list[str]:
     """CTE text replaying pq_codebook_kmeans in DuckDB: per subspace, a
-    loop-unrolled Lloyd's (assign argmin / update avg) with the same
-    half-up 1e-6 centroid quantization after every update, folded into
-    one final ``cb`` row of k0..k{M-1} code lists (each list ordered by
-    cluster id, matching the Spark collect order)."""
-    s = PQ_SUBDIM
+    loop-unrolled Lloyd's folded into one final ``cb`` row of
+    k0..k{M-1} code lists (each list ordered by cluster id, matching
+    the Spark collect order)."""
     parts = []
     for m in range(PQ_M):
-        lo, hi = m * s + 1, (m + 1) * s
-        parts.append(f"sub{m} AS (SELECT vec_id, e[{lo}:{hi}] AS x FROM v)")
-        parts.append(
-            f"c{m}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1"
-            f" AS INT) AS cluster, x AS centroid FROM (SELECT vec_id, x"
-            f" FROM sub{m} ORDER BY vec_id LIMIT {PQ_K}))"
-        )
-        d2 = (
-            f"list_sum(list_transform(range(1, {s + 1}), "
-            "j -> (s.x[j] - c.centroid[j]) * (s.x[j] - c.centroid[j])))"
-        )
-        for it in range(1, n_iter + 1):
-            parts.append(f"""a{m}_{it} AS (
-  SELECT vec_id, cluster FROM (
-    SELECT vec_id, cluster,
-           row_number() OVER (PARTITION BY vec_id
-                              ORDER BY dist, cluster) AS rn
-    FROM (SELECT s.vec_id, c.cluster, {d2} AS dist
-          FROM sub{m} s CROSS JOIN c{m}_{it - 1} c))
-  WHERE rn = 1)""")
-            parts.append(f"""c{m}_{it} AS (
-  SELECT cluster, list(mu ORDER BY dim) AS centroid FROM (
-    SELECT a.cluster, t.dim,
-           floor(avg(s.x[t.dim]) * 1000000 + 0.5) / 1000000 AS mu
-    FROM a{m}_{it} a JOIN sub{m} s USING (vec_id)
-    CROSS JOIN (SELECT unnest(range(1, {s + 1})) AS dim) t
-    GROUP BY a.cluster, t.dim)
-  GROUP BY cluster)""")
+        parts += _kmeans_ctes(str(m), m * PQ_SUBDIM, PQ_SUBDIM, PQ_K, n_iter)
         parts.append(
             f"cb{m} AS (SELECT list(centroid ORDER BY cluster) AS k{m}"
             f" FROM c{m}_{n_iter})"
@@ -846,7 +893,7 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training, encoding, and query tables all reference it
     vecs = _vecs(spark, sf_dir).localCheckpoint(eager=False)
     cb = pq_codebook_kmeans(vecs)
-    cent = _ivf_centroids(vecs)
+    cent = ivf_centroids_kmeans(vecs)
     assigned = _ivf_assign(vecs, cent)
     enc = pq_encode(assigned, cb, keep=("centroid_id",))
     probes = _ivf_probes(vecs.where(F.col("vec_id") < N_QUERIES), cent).select(
@@ -867,9 +914,10 @@ def _ivfpq_oracle_sql(
     n_queries: int = N_QUERIES,
 ) -> str:
     """IVF-PQ oracle: the IVF oracle's coarse-assignment/probe CTEs
-    (cosine, ties to the lowest centroid id) composed with the PQ
-    oracle's replayed k-means codebook and ADC scoring, with the scan
-    restricted to probed lists."""
+    (k-means-trained centroids; cosine assignment, ties to the lowest
+    centroid id) composed with the PQ oracle's replayed k-means
+    codebook and ADC scoring, with the scan restricted to probed
+    lists."""
     cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
            " * sqrt(list_dot_product({b}, {b})))")
     enc_cols = ", ".join(
@@ -878,11 +926,13 @@ def _ivfpq_oracle_sql(
     )
     tab_cols = ", ".join(f"{_pq_d_expr(m, 'v')} AS t{m}" for m in range(PQ_M))
     approx = " + ".join(f"q.t{m}[e.c{m}]" for m in range(PQ_M))
+    km = ",\n".join(_kmeans_ctes("g", 0, 64, n_centroids, PQ_ITER))
     ctes = ",\n".join(_pq_kmeans_cb_ctes())
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, e AS cvec FROM v
-         ORDER BY vec_id LIMIT {n_centroids}),
+{km},
+cent AS (SELECT CAST(cluster AS BIGINT) AS centroid_id, centroid AS cvec
+         FROM cg_{PQ_ITER}),
 assigned AS (
   SELECT vec_id, centroid_id FROM (
     SELECT v.vec_id, c.centroid_id,
