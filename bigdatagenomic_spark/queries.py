@@ -1820,7 +1820,7 @@ _PRIORITY_PREFIX = [
     # -- SURVEY §2 streaming batch shapes ---------------------------------
     "q_s02_window_agg", "q_s03_session_agg",
     # -- events coverage (red in round 1, NANOS loader fix) ---------------
-    "q_x_asof_join", "q_x_pivot", "q_x_time_rollup", "q_x_salted_agg",
+    "q_x_asof_join", "q_x_salted_agg",
     # -- LLM-pipeline core families (graded first-class alongside §2):
     #    dedup, text analysis, multimodal, ANN — one row each under the
     #    driver's 50-entry cap; the TPC-H/extension entries they displace
@@ -1831,9 +1831,15 @@ _PRIORITY_PREFIX = [
     "q_text_tokens", "q_text_quality", "q_text_langid", "q_text_fingerprint",
     "q_mm_metadata", "q_mm_frame_sample", "q_mm_byte_features",
     "q_sim_lsh_topk", "q_sim_ivf_topk",
-    "q_x_emb_normalize", "q_x_emb_quantize",
+    # -- round-6 flagships: the composed production ANN (k-means-trained
+    #    coarse lists + PQ/ADC), the C4-style boilerplate scrub, the
+    #    training-shard shuffle, and the split-leakage audit. Displaced
+    #    entries (emb_normalize/quantize, pivot, time_rollup) stay
+    #    hash-checked by pytest + the full-registry preflight.
+    "q_sim_ivfpq_topk", "q_text_boilerplate",
+    "q_x_train_shards", "q_x_split_leakage",
     # -- round-5 families: genomics counting kernel + the two-phase-rank
-    #    scale machinery (slots 49-50 of the driver's cap)
+    #    scale machinery
     "q_asm_kmer_counts", "q_x_rfm_segments",
 ]
 
