@@ -175,19 +175,24 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          that shuffles |candidates| rows, not |corpus| x 4
     """
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_SAMPLE_DOCS)
-    base = _shingle_base(d)
-    sig = base.select("doc_id", *_signature_exprs())
-    bands = sig.select("doc_id", F.posexplode(_band_keys()).alias("band", "bkey"))
+    return _jaccard_verify(lsh_candidate_pairs(d), _shingle_base(d))
+
+
+def lsh_candidate_pairs(d: DataFrame) -> DataFrame:
+    """Distinct LSH candidate pairs (a_id < b_id) of a (doc_id, text)
+    corpus — docs sharing at least one band key. The shared candidate
+    stage of the batch pair pass and the streaming index maintenance
+    (streaming/ops.py), kept in one place so the banding can't drift.
+    dropDuplicates on the pair key: a pair colliding in 2 bands must
+    count once."""
+    bands = lsh_band_table(d)
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "bkey")
-    cand = (
+    return (
         a.join(b, ["band", "bkey"])
         .where(F.col("a_id") < F.col("b_id"))
-        # dropDuplicates on the pair key: a pair colliding in 2 bands
-        # must count once
         .dropDuplicates(["a_id", "b_id"])
     )
-    return _jaccard_verify(cand, base)
 
 
 def _jaccard_verify(cand: DataFrame, base: DataFrame) -> DataFrame:

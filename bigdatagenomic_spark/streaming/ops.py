@@ -239,3 +239,99 @@ JOIN events v ON c.user_id = v.user_id
 WHERE c.event_type = 'click' AND v.event_type = 'view'
 ORDER BY click_id, view_id
 """
+
+
+# ---------------------------------------------------------------------------
+# S11: streaming LSH index maintenance (foreachBatch over a doc stream)
+# ---------------------------------------------------------------------------
+
+def run_lsh_index_maintenance(
+    doc_stream: DataFrame,
+    index_path: str,
+    index_table: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+    timeout_s: int = 300,
+) -> None:
+    """S11: maintain the stored LSH band index from a document stream
+    and emit near-dup CANDIDATE pairs online (the daily-crawl pipeline
+    of operators/dedup.py:q_dedup_lsh_incremental, run continuously).
+
+    Per micro-batch, inside ``foreachBatch``:
+      1. map-only band keys for the batch's docs (shared banding code —
+         operators/dedup.py:lsh_band_table — so batch and stream can't
+         drift);
+      2. candidate pairs = batch-vs-INDEX join (the stored table is
+         bucketed on (band, bkey): zero Exchange on the index side,
+         only the small batch shuffles) + within-batch self-join,
+         normalized to (a_id < b_id) and appended to ``pairs_dir``;
+      3. the batch's bands append into the bucketed index table.
+    Pairing runs BEFORE the append, so a batch never pairs with itself
+    through the index — each pair is emitted exactly once (both docs in
+    one batch: step 2's self-join; split across batches: the later
+    batch's index join). The union over all batches therefore equals
+    the full-corpus ``lsh_candidate_pairs`` set (pinned in
+    tests/test_streaming.py). Exact-Jaccard verification stays a batch
+    job over the emitted candidates (operators/dedup.py:_jaccard_verify)
+    — the classic online-candidates/offline-verify split.
+
+    ``foreachBatch`` is at-least-once into non-transactional sinks; on
+    recovery a re-run batch re-appends its pairs. Downstream consumers
+    dedup on the pair key (or gate on batch_id), the standard idempotent
+    -sink discipline.
+    """
+    from bigdatagenomic_spark.operators.dedup import lsh_band_table
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bands = lsh_band_table(batch_df).localCheckpoint(eager=True)
+        new = bands.select(F.col("doc_id").alias("b_id"), "band", "bkey")
+        within = (
+            bands.select(F.col("doc_id").alias("a_id"), "band", "bkey")
+            .join(new, ["band", "bkey"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+        pairs = within
+        if spark.catalog.tableExists(index_table):
+            idx = spark.table(index_table).select(
+                F.col("doc_id").alias("i_id"), F.col("band").alias("i_band"), "bkey"
+            )
+            cross = (
+                idx.join(new, "bkey")
+                .where(F.col("i_band") == F.col("band"))
+                .where(F.col("i_id") != F.col("b_id"))
+                .select(
+                    F.least("i_id", "b_id").alias("a_id"),
+                    F.greatest("i_id", "b_id").alias("b_id"),
+                )
+            )
+            pairs = pairs.unionByName(cross)
+        (
+            pairs.dropDuplicates(["a_id", "b_id"])
+            .write.mode("append")
+            .parquet(pairs_dir)
+        )
+        (
+            bands.select("doc_id", "band", "bkey")
+            .write.option("path", index_path)
+            .bucketBy(n_buckets, "band", "bkey")
+            .sortBy("band", "bkey")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(index_table)
+        )
+
+    q = (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(f"S11 index maintenance did not finish in {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()

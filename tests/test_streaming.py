@@ -321,3 +321,61 @@ def test_s10_transform_with_state_running_totals(spark, replay_dir):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, saved)
+
+
+def test_s11_lsh_index_maintenance_matches_batch_candidates(spark, tmp_path):
+    """S11: replaying the corpus as a 3-chunk doc stream through the
+    foreachBatch index-maintenance pipeline must (a) emit exactly the
+    full-corpus LSH candidate set, once per pair, and (b) leave the
+    stored band index equal to the batch band table."""
+    from bigdatagenomic_spark.operators.dedup import (
+        lsh_band_table,
+        lsh_candidate_pairs,
+    )
+    from bigdatagenomic_spark.streaming.ops import run_lsh_index_maintenance
+    from bigdatagenomic_spark.streaming.replay import (
+        read_event_stream,
+        write_chunks,
+    )
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.01", "documents")
+        .where(F.col("doc_id") < 400)
+        .select("doc_id", "text")
+    )
+    chunks = [
+        docs.where((F.col("doc_id") % 3) == i).orderBy("doc_id")
+        for i in range(3)
+    ]
+    stream_dir = str(tmp_path / "docstream")
+    write_chunks(chunks, stream_dir)
+    stream = read_event_stream(spark, stream_dir, docs.schema)
+    try:
+        run_lsh_index_maintenance(
+            stream,
+            str(tmp_path / "s11_idx"),
+            "t_s11_band_index",
+            str(tmp_path / "s11_pairs"),
+            str(tmp_path / "s11_ckpt"),
+        )
+        emitted = [
+            (r.a_id, r.b_id)
+            for r in spark.read.parquet(str(tmp_path / "s11_pairs")).collect()
+        ]
+        want = {
+            (r.a_id, r.b_id) for r in lsh_candidate_pairs(docs).collect()
+        }
+        assert len(want) > 0
+        assert len(emitted) == len(set(emitted))  # exactly once per pair
+        assert set(emitted) == want
+        # the maintained index equals the batch band table
+        idx = {
+            (r.doc_id, r.band, r.bkey)
+            for r in spark.table("t_s11_band_index").collect()
+        }
+        full = {
+            (r.doc_id, r.band, r.bkey) for r in lsh_band_table(docs).collect()
+        }
+        assert idx == full
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_s11_band_index")
