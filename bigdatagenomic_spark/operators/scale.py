@@ -32,7 +32,7 @@ def two_phase_rank(
     df: DataFrame,
     order_cols: list,
     group_cols: list[str] | None = None,
-    n_parts: int = 32,
+    n_parts: int | None = None,
     rank_col: str = "rank",
 ) -> DataFrame:
     """Exact dense row-number rank WITHOUT a single-partition sort.
@@ -62,6 +62,13 @@ def two_phase_rank(
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     group_cols = list(group_cols or [])
+    if n_parts is None:
+        # default to the session's shuffle parallelism: a fixed small
+        # constant caps the per-partition slice size at corpus/constant,
+        # which stops scaling exactly when the cluster does; the rank
+        # values are partition-count-invariant, so this is purely a
+        # physical knob
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     parts = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in group_cols], *order_cols)
         .withColumn("_pid", F.spark_partition_id())
