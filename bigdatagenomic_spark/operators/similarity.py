@@ -617,6 +617,12 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     exact = q26_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
     ann = q_sim_lsh_topk(spark, sf_dir).select("query_id", "vec_id")
+    return _recall_report(exact, ann)
+
+
+def _recall_report(exact: DataFrame, ann: DataFrame) -> DataFrame:
+    """(query_id, n_exact, n_hit, recall) — overlap of an ANN top-k
+    with the exact top-k, per query. Both inputs: (query_id, vec_id)."""
     hits = (
         exact.join(ann, ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
@@ -635,6 +641,45 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def l2_topk(
+    vecs: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Exact squared-L2 top-k per query, SELF INCLUDED — the ranking
+    universe of the PQ family (whose ADC approximates squared L2, and
+    which keeps the query among its own candidates). Ties break to the
+    lowest vec_id, matching the PQ rank order."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = vecs.select("vec_id", F.col("v").alias("cv"))
+    scored = F.broadcast(q).crossJoin(c).select("query_id", "vec_id", d2.alias("d2"))
+    w = W.partitionBy("query_id").orderBy("d2", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+
+
+def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ/ADC index against the exact squared-L2 top-k
+    — the quality gauge for the COMPRESSED index, parallel to
+    q_sim_lsh_recall's monitor for the bucketed one. Both sides are
+    deterministic pipelines (k-means-trained codebook included), so
+    the measurement itself hash-checks against a full oracle replay."""
+    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=False)
+    exact = l2_topk(vecs)
+    ann = pq_flat_topk(vecs, pq_codebook_kmeans(vecs)).select(
+        "query_id", F.col("cand_id").alias("vec_id")
+    )
+    return _recall_report(exact, ann)
 
 
 # --------------------------------------------------------------------------
@@ -862,6 +907,52 @@ ORDER BY query_id, rank"""
 
 
 Q_SIM_PQ_TOPK_SQL = _pq_oracle_sql()
+
+
+def _pq_recall_oracle_sql() -> str:
+    """PQ recall-monitor oracle: the full PQ replay (k-means codebook,
+    encode, ADC, rank) joined against an exact squared-L2 top-k CTE —
+    the same measurement q_sim_pq_recall computes, replayed end-to-end."""
+    enc_cols = ", ".join(
+        f"list_position({_pq_d_expr(m, 'v')}, list_min({_pq_d_expr(m, 'v')})) AS c{m}"
+        for m in range(PQ_M)
+    )
+    tab_cols = ", ".join(f"{_pq_d_expr(m, 'v')} AS t{m}" for m in range(PQ_M))
+    approx = " + ".join(f"q.t{m}[e.c{m}]" for m in range(PQ_M))
+    ctes = ",\n".join(_pq_kmeans_cb_ctes())
+    exact_d2 = ("list_sum(list_transform(range(1, 65), "
+                "i -> (q.e[i] - c.e[i]) * (q.e[i] - c.e[i])))")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+{ctes},
+enc AS (SELECT v.vec_id AS cand_id, {enc_cols} FROM v CROSS JOIN cb),
+qt AS (SELECT v.vec_id AS query_id, {tab_cols}
+       FROM v CROSS JOIN cb WHERE v.vec_id < {N_QUERIES}),
+adc AS (SELECT q.query_id, e.cand_id, {approx} AS approx
+        FROM enc e CROSS JOIN qt q),
+ann AS (SELECT query_id, cand_id AS vec_id FROM (
+          SELECT query_id, cand_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY approx, cand_id) AS rank
+          FROM adc) WHERE rank <= {TOP_K}),
+exact AS (SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {exact_d2}, c.vec_id) AS rn
+            FROM v q CROSS JOIN v c WHERE q.vec_id < {N_QUERIES})
+          WHERE rn <= {TOP_K}),
+hits AS (SELECT e.query_id, count(*) AS n_hit
+         FROM exact e JOIN ann a USING (query_id, vec_id)
+         GROUP BY e.query_id),
+base AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT b.query_id, CAST(b.n_exact AS INT) AS n_exact,
+       CAST(coalesce(h.n_hit, 0) AS INT) AS n_hit,
+       round(coalesce(h.n_hit, 0) / CAST(b.n_exact AS DOUBLE), 4) AS recall
+FROM base b LEFT JOIN hits h USING (query_id)
+ORDER BY b.query_id"""
+
+
+Q_SIM_PQ_RECALL_SQL = _pq_recall_oracle_sql()
 
 
 # --------------------------------------------------------------------------

@@ -1191,6 +1191,8 @@ register("q_sim_pq_topk", S.q_sim_pq_topk, S.Q_SIM_PQ_TOPK_SQL)
 # IVF-PQ composition (coarse prune + ADC over codes): deterministic
 # end-to-end -> full hash check against the replayed-training oracle
 register("q_sim_ivfpq_topk", S.q_sim_ivfpq_topk, S.Q_SIM_IVFPQ_TOPK_SQL)
+# recall monitor for the compressed index (parallel to q_sim_lsh_recall)
+register("q_sim_pq_recall", S.q_sim_pq_recall, S.Q_SIM_PQ_RECALL_SQL)
 register("q_x_emb_normalize", S.q_x_emb_normalize, S.Q_X_EMB_NORMALIZE_SQL)
 register("q_x_emb_quantize", S.q_x_emb_quantize, S.Q_X_EMB_QUANTIZE_SQL)
 

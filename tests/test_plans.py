@@ -293,6 +293,7 @@ _BNLJ_ALLOWED = {
     "q_x_revenue_deciles",   # 1-row revenue-total scalar (same pattern as benford)
     "q_sim_pq_topk",         # bounded broadcast query-table crossJoin (q26 pattern)
     "q_sim_ivfpq_topk",      # broadcast centroid table + codebook training (ivf/kmeans pattern)
+    "q_sim_pq_recall",       # bounded broadcast query set (q26 pattern) on both monitor sides
 }
 
 
