@@ -79,6 +79,43 @@ def test_asof_join_matches_python_reference(spark, clicks, views):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@given(seed=st.integers(0, 10**6))
+def test_boilerplate_scrub_reassembly_identity(spark, seed):
+    """With an unreachable frequency threshold nothing is boilerplate,
+    so the scrub must be the identity on tokenized text: every segment
+    kept, clean_text == the normalized token join — for any corpus,
+    any token count (including sub-w tails and empty docs)."""
+    import random
+
+    from bigdatagenomic_spark.functions import tokens as tok_expr
+    from bigdatagenomic_spark.operators.llm_prep import boilerplate_scrub
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = []
+    for i in range(30):
+        n = rng.randint(1, 17)
+        rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_scrub(docs, w=3, max_docs=10**9).collect()
+    }
+    norm = {
+        r.doc_id: r.t
+        for r in docs.select("doc_id", tok_expr(F.col("text")).alias("t")).collect()
+    }
+    assert len(out) == len(rows)
+    for i, toks in norm.items():
+        assert out[i].n_kept == out[i].n_seg
+        assert out[i].clean_text == " ".join(toks)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
 @given(seed=st.integers(0, 10**6), length=st.integers(9, 40))
 def test_deep_pointer_doubling_and_pairwise_fold_agree(spark, seed, length):
     """VERDICT r5 #7: exercise the pointer-doubling extraction at real
