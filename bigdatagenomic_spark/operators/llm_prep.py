@@ -604,3 +604,76 @@ SELECT doc_id, order_key,
             AS BIGINT) AS pos
 FROM k ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# token-budget corpus mixing (per-source TOKEN budgets, not doc counts)
+# --------------------------------------------------------------------------
+TOKEN_BUDGET_PER_SOURCE = 2000
+
+
+def token_budget_mix(
+    docs: DataFrame, budget: int = TOKEN_BUDGET_PER_SOURCE
+) -> DataFrame:
+    """Per-source TOKEN-budget sampling — the mixture recipe LLM
+    pretraining actually specifies ("30B tokens of web, 5B of code"),
+    vs q_corpus_mix's per-DOC keep rates. Docs are taken in a
+    deterministic hash order within each source until the source's
+    cumulative token count would exceed the budget (greedy prefix,
+    inclusive bound — the doc that crosses the line is dropped).
+
+    100 TB shape: token counting is map-only; the cumulative sum is
+    :func:`~bigdatagenomic_spark.operators.scale.two_phase_cumsum` —
+    range-partitioned partial sums + broadcast offsets, so no source
+    ever funnels into a single window task (the naive per-source
+    running-sum window is exactly the hot-partition the zipf /
+    train-shards fixes removed). Integral token counts keep the
+    two-phase sum exact.
+    """
+    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
+
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        md5_long(
+            F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+        ).alias("order_key"),
+    )
+    cum = two_phase_cumsum(
+        base,
+        "n_tok",
+        [F.asc("order_key"), F.asc("doc_id")],
+        group_cols=["source"],
+        out_col="cum_tok",
+    )
+    return (
+        cum.where(F.col("cum_tok") <= budget)
+        .select("doc_id", "source", "n_tok", "cum_tok")
+        .orderBy("source", "doc_id")
+    )
+
+
+def q_x_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_mix(_docs(spark, sf_dir))
+
+
+Q_X_TOKEN_BUDGET_MIX_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS order_key
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY source
+                               ORDER BY order_key, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+  FROM t
+)
+SELECT doc_id, source, n_tok, cum_tok
+FROM c WHERE cum_tok <= {TOKEN_BUDGET_PER_SOURCE}
+ORDER BY source, doc_id
+"""

@@ -103,6 +103,71 @@ def two_phase_rank(
     )
 
 
+def two_phase_cumsum(
+    df: DataFrame,
+    val_col: str,
+    order_cols: list,
+    group_cols: list[str] | None = None,
+    n_parts: int | None = None,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Exact (per-group) INCLUSIVE running sum of an integral column
+    WITHOUT a single-partition window — the cumsum sibling of
+    :func:`two_phase_rank`, same machinery: (1) range-repartition on
+    (group_cols + order_cols) with the partition assignment pinned,
+    (2) per-(partition, group) partial SUMS collected as a bounded
+    offset table (≤ n_parts × |groups| rows), (3) local window cumsum
+    + broadcast-joined exclusive prefix offset. ``order_cols`` must be
+    a total order. Restricted by intent to integral values (token
+    counts, byte sizes): long addition is associative, so the result
+    is exactly the single-window cumsum wherever the range boundaries
+    land — float inputs would make the answer boundary-dependent in
+    the last ulp.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    group_cols = list(group_cols or [])
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parts = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in group_cols], *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = (
+        parts.groupBy("_pid", *group_cols)
+        .agg(F.sum(val_col).cast("long").alias("_s"))
+        .collect()
+    )
+    per_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in sums:
+        g = tuple(r[c] for c in group_cols)
+        per_group.setdefault(g, []).append((r["_pid"], r["_s"]))
+    off_rows = []
+    for g, lst in per_group.items():
+        acc = 0
+        for pid, s in sorted(lst):
+            off_rows.append((pid, *g, acc))
+            acc += s
+    schema = StructType(
+        [StructField("_pid", IntegerType())]
+        + [parts.schema[c] for c in group_cols]
+        + [StructField("_off", LongType())]
+    )
+    off_df = df.sparkSession.createDataFrame(off_rows, schema)
+    local = F.sum(val_col).over(
+        W.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        parts.join(F.broadcast(off_df), ["_pid", *group_cols], "left")
+        .withColumn(out_col, (F.coalesce("_off", F.lit(0)) + local).cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
 def suggest_salt_fanout(
     df: DataFrame,
     key: str,

@@ -1796,6 +1796,10 @@ register("q_x_funnel_rates", RX.q_x_funnel_rates, RX.Q_X_FUNNEL_RATES_SQL)
 register("q_x_revenue_deciles", RX.q_x_revenue_deciles, RX.Q_X_REVENUE_DECILES_SQL)
 register("q_text_boilerplate", LP.q_text_boilerplate, LP.Q_TEXT_BOILERPLATE_SQL)
 register("q_x_train_shards", LP.q_x_train_shards, LP.Q_X_TRAIN_SHARDS_SQL)
+# per-source TOKEN-budget mixing over a two-phase cumulative sum
+register(
+    "q_x_token_budget_mix", LP.q_x_token_budget_mix, LP.Q_X_TOKEN_BUDGET_MIX_SQL
+)
 
 
 # ---------------------------------------------------------------------------

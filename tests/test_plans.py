@@ -463,6 +463,16 @@ def test_train_shards_rank_window_is_partitioned(spark):
     assert opt.count("windowspecdefinition") == 1, opt
 
 
+def test_token_budget_mix_window_is_partitioned(spark):
+    """q_x_token_budget_mix's running sum must be two-phase (range
+    repartition + per-(pid, source) window) — never one unbounded
+    per-source window task. Same guard as zipf/train_shards."""
+    df = _df(spark, "q_x_token_budget_mix")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(_pid" in opt, opt
+    assert opt.count("windowspecdefinition") == 1, opt
+
+
 def test_simhash_signatures_are_map_only(spark):
     """SimHash must be a narrow map like MinHash (VERDICT r4 item 3):
     per-doc aggregate folds over the row-local token-hash array — no

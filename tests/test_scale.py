@@ -93,6 +93,49 @@ def test_lsh_band_index_zero_exchange_on_index_side_and_parity(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lsh_band_index")
 
 
+def test_two_phase_cumsum_matches_window_sum(spark):
+    """two_phase_cumsum must reproduce the single-window inclusive
+    running sum exactly — global and per-group — at an n_parts that
+    forces multi-partition seams."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice(["a", "b", "c"]), rng.randint(0, 50))
+        for i in range(500)
+    ]
+    d = spark.createDataFrame(rows, "id LONG, g STRING, v LONG")
+    from pyspark.sql import functions as F
+
+    win = (
+        W.partitionBy("g").orderBy("id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {
+        (r.g, r.id): r.c
+        for r in d.withColumn("c", F.sum("v").over(win)).collect()
+    }
+    got = {
+        (r.g, r.id): r.cum
+        for r in two_phase_cumsum(
+            d, "v", [F.asc("id")], group_cols=["g"], n_parts=7, out_col="cum"
+        ).collect()
+    }
+    assert got == want
+    # global (no groups)
+    gwin = W.orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want_g = {r.id: r.c for r in d.withColumn("c", F.sum("v").over(gwin)).collect()}
+    got_g = {
+        r.id: r.cum
+        for r in two_phase_cumsum(d, "v", [F.asc("id")], n_parts=7, out_col="cum").collect()
+    }
+    assert got_g == want_g
+
+
 def test_salted_agg_is_two_phase(spark):
     ev = load_table(spark, SF_DIR, "events")
     out = salted_agg(
