@@ -115,24 +115,35 @@ FROM c ORDER BY doc_id, chunk_id
 def pack_documents(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     """Assign docs to token-budget packs, contiguous in doc_id per source.
 
-    ``pack_id = floor(cumulative_tokens_before_this_doc / budget)``:
-    one window per source partition (parallel across sources; at 100 TB
-    the partition key would be (source, day) or similar to bound any
-    single window's row count). Token count = whitespace split, the
-    same convention both engines share exactly.
+    ``pack_id = floor(cumulative_tokens_before_this_doc / budget)``,
+    with the running sum computed by
+    :func:`~bigdatagenomic_spark.operators.scale.two_phase_cumsum` —
+    range-partitioned partial sums + broadcast offsets, so a giant
+    source never funnels into one window task (previously a per-source
+    window; same values, exact long math). Token count = whitespace
+    split, the convention both engines share exactly.
     """
-    n_tok = F.size(F.split("text", " ")).cast("long")
-    win = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    cum = F.sum(n_tok).over(win)
-    return docs.select(
+    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
+
+    base = docs.select(
         "source",
         "doc_id",
-        n_tok.alias("n_tokens"),
-        F.floor((cum - n_tok) / F.lit(budget)).cast("long").alias("pack_id"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    cum = two_phase_cumsum(
+        base,
+        "n_tokens",
+        [F.asc("doc_id")],
+        group_cols=["source"],
+        out_col="_cum",
+    )
+    return cum.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(budget))
+        .cast("long")
+        .alias("pack_id"),
     )
 
 
