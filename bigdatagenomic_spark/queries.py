@@ -383,6 +383,71 @@ register(
 )
 
 
+def q_asm_coverage_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-position coverage depth of an aligned read set, as change
+    points — the assembly QA profile (where the pileup is, where the
+    gaps the merge pads with 'N' will be; the reference's merge-case
+    analysis at assembly_final.cpp:469-595 is exactly a walk over this
+    profile's 0/overlap transitions).
+
+    Classic sweep-line: each read [start, start+len) contributes +1 at
+    start and -1 at end; coverage after position p = prefix sum of
+    deltas through p. Plan shape for 100 TB: deltas are 2 narrow rows
+    per read, the per-position aggregate is one map-side-combined
+    shuffle bounded by |distinct breakpoints|, and the prefix sum is
+    two_phase_cumsum (range-partitioned partials + broadcast offsets —
+    no global single-task window). Output is |breakpoints| rows, not
+    genome length.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    base = docs.select(
+        ((F.col("doc_id") * 37) % 1000).cast("long").alias("start"),
+        (F.lit(20) + F.col("doc_id") % 31).cast("long").alias("len"),
+    )
+    deltas = (
+        base.select(F.col("start").alias("pos"), F.lit(1).alias("d"))
+        .unionByName(
+            base.select((F.col("start") + F.col("len")).alias("pos"),
+                        F.lit(-1).alias("d"))
+        )
+        .groupBy("pos")
+        .agg(F.sum("d").cast("long").alias("delta"))
+    )
+    cov = two_phase_cumsum(
+        deltas, "delta", [F.asc("pos")], out_col="coverage"
+    )
+    return cov.select("pos", "delta", "coverage").orderBy("pos")
+
+
+register(
+    "q_asm_coverage_depth",
+    q_asm_coverage_depth,
+    """
+    WITH r AS (
+      SELECT CAST((doc_id * 37) % 1000 AS BIGINT) AS start,
+             CAST(20 + doc_id % 31 AS BIGINT) AS len
+      FROM documents WHERE doc_id < 200
+    ), deltas AS (
+      SELECT pos, CAST(sum(d) AS BIGINT) AS delta FROM (
+        SELECT start AS pos, 1 AS d FROM r
+        UNION ALL
+        SELECT start + len AS pos, -1 AS d FROM r)
+      GROUP BY pos
+    )
+    SELECT pos, delta,
+           CAST(sum(delta) OVER (ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS coverage
+    FROM deltas ORDER BY pos
+    """,
+)
+
+
 def q_asm_n50(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contig-length statistics with N50 over the derived read set —
     the standard assembly-quality summary (the reference's `result`
