@@ -688,3 +688,148 @@ SELECT doc_id, source, n_tok, cum_tok
 FROM c WHERE cum_tok <= {TOKEN_BUDGET_PER_SOURCE}
 ORDER BY source, doc_id
 """
+
+# --------------------------------------------------------------------------
+# exact duplicated-span detection (ExactSubstr-style, overlapping w-grams)
+# --------------------------------------------------------------------------
+SPAN_W = 8  # tokens per span (Lee et al. 2021 use 50 BPE tokens; scaled down)
+
+
+def duplicated_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """ExactSubstr-style duplicated-span profiling: for every document,
+    count the OVERLAPPING w-token spans whose text occurs more than once
+    anywhere in the corpus (any other doc, or again in the same doc),
+    and the number of tokens covered by the union of those spans —
+    the quantity "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. 2021) trims. Complements q_text_boilerplate:
+    that scrubs NON-overlapping segments seen in >max_docs documents;
+    this one measures verbatim reuse at every token offset, the
+    signal used to cut memorization-prone training text.
+
+    100 TB shape: overlapping spans mean ~n_tok rows per doc through
+    the frequency shuffle — that factor-w over the segment pass is the
+    irreducible cost of offset-exact detection, so the shuffled rows
+    carry ONLY (doc_id, pos, h1, h2) (28 bytes), never span text, and
+    the fingerprint table is pinned once for its two consumers
+    (frequency pass + per-doc fold) like the boilerplate pass. The
+    span identity is a 120-bit fingerprint (two independent 60-bit
+    md5 halves), so corpus-scale birthday collisions are negligible
+    (~1e-13 expected pairs at 1e12 spans). Union coverage folds
+    row-locally from each doc's sorted start offsets (adjacent-gap
+    fold, no second shuffle).
+    """
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .where(F.size("t") >= w)
+    )
+    spans = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tok"),
+        F.posexplode(
+            let_bound(
+                F.col("t"),
+                lambda t: F.transform(
+                    F.sequence(F.lit(0), F.size(t) - w),
+                    lambda i: F.array_join(F.slice(t, i + 1, F.lit(w)), " "),
+                ),
+            )
+        ).alias("pos", "span"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        "pos",
+        md5_long(F.col("span")).alias("h1"),
+        md5_long(F.concat(F.lit("\x02"), F.col("span"))).alias("h2"),
+    )
+    spans = spans.localCheckpoint(eager=False)
+    dup = (
+        spans.groupBy("h1", "h2")
+        .agg(F.count("*").alias("occ"))
+        .where(F.col("occ") > 1)
+        .select("h1", "h2")
+    )
+    perdoc = (
+        spans.join(dup, ["h1", "h2"], "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("ps"),
+            F.count("*").cast("long").alias("n_dup_spans"),
+        )
+    )
+    ps = F.col("ps")
+    # union coverage of sorted starts, each span covering [p, p+w-1]:
+    # sum over adjacent pairs of min(w, gap) plus w for the last span
+    cov = (
+        F.aggregate(
+            F.zip_with(
+                F.slice(ps, 1, F.size(ps) - 1),
+                F.slice(ps, 2, F.size(ps) - 1),
+                lambda a, b: F.least(F.lit(w), b - a),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        + w
+    ).cast("long")
+    base = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tok"),
+        (F.size("t") - w + 1).cast("long").alias("n_spans"),
+    )
+    return base.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+        F.coalesce(F.when(F.size(ps) > 0, cov), F.lit(0).cast("long")).alias(
+            "dup_tokens"
+        ),
+        F.round(
+            F.coalesce(F.when(F.size(ps) > 0, cov), F.lit(0).cast("long"))
+            / F.col("n_tok").cast("double"),
+            4,
+        ).alias("dup_ratio"),
+    )
+
+
+def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicated_spans(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+Q_TEXT_DUP_SPANS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL),
+span AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(t[(i+1):(i+{SPAN_W})], ' ') AS span
+  FROM tok, unnest(range(0, len(t) - {SPAN_W} + 1)) u(i)
+  WHERE len(t) >= {SPAN_W}),
+dup AS (
+  SELECT span FROM span GROUP BY span HAVING count(*) > 1),
+perdoc AS (
+  SELECT doc_id, list_sort(list(pos)) AS ps,
+         CAST(count(*) AS BIGINT) AS n_dup_spans
+  FROM span WHERE span IN (SELECT span FROM dup)
+  GROUP BY doc_id),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+         CAST(len(t) - {SPAN_W} + 1 AS BIGINT) AS n_spans
+  FROM tok WHERE len(t) >= {SPAN_W}),
+cov AS (
+  SELECT doc_id, n_dup_spans,
+         CAST(coalesce(list_sum(list_transform(range(1, len(ps)),
+                j -> least({SPAN_W}, ps[CAST(j AS INT)+1] - ps[CAST(j AS INT)]))), 0)
+              + {SPAN_W} AS BIGINT) AS dup_tokens
+  FROM perdoc)
+SELECT b.doc_id, b.n_tok, b.n_spans,
+       coalesce(c.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(c.dup_tokens, 0) AS dup_tokens,
+       round(coalesce(c.dup_tokens, 0) / CAST(b.n_tok AS DOUBLE), 4)
+         AS dup_ratio
+FROM base b LEFT JOIN cov c USING (doc_id)
+ORDER BY doc_id
+"""

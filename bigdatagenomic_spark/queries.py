@@ -1865,6 +1865,8 @@ register("q_x_train_shards", LP.q_x_train_shards, LP.Q_X_TRAIN_SHARDS_SQL)
 register(
     "q_x_token_budget_mix", LP.q_x_token_budget_mix, LP.Q_X_TOKEN_BUDGET_MIX_SQL
 )
+# ExactSubstr-style overlapping duplicated-span profiling (Lee et al. 2021)
+register("q_text_dup_spans", LP.q_text_dup_spans, LP.Q_TEXT_DUP_SPANS_SQL)
 
 
 # ---------------------------------------------------------------------------

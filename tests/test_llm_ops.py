@@ -580,3 +580,40 @@ def test_assign_shards_is_deterministic_partition(spark):
     assert {(r.doc_id, r.shard, r.pos) for r in c} != {
         (r.doc_id, r.shard, r.pos) for r in a
     }
+
+
+def test_duplicated_spans_coverage_union(spark):
+    """Overlapping duplicated spans must be counted as a UNION of
+    covered tokens, not a sum: two dup spans starting 1 apart at w=3
+    cover 4 tokens, not 6."""
+    from bigdatagenomic_spark.operators.llm_prep import duplicated_spans
+
+    # docs 0 and 1 share the 4-token run "red green blue gold":
+    # at w=3 each doc has dup spans at the run's two offsets
+    rows = [
+        (0, "zz0 red green blue gold yy0"),
+        (1, "aa1 bb1 red green blue gold"),
+        (2, "lonely words never repeat here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in duplicated_spans(docs, w=3).collect()}
+    assert out[0].n_spans == 4 and out[0].n_dup_spans == 2
+    # union coverage: offsets {1,2} at w=3 cover tokens 1..4 -> 4 tokens
+    assert out[0].dup_tokens == 4
+    assert out[1].dup_tokens == 4
+    assert out[2].n_dup_spans == 0 and out[2].dup_tokens == 0
+
+
+def test_duplicated_spans_counts_within_doc_repeats(spark):
+    """ExactSubstr semantics: a span repeated WITHIN one doc is a
+    duplicate too (total occurrences > 1, not distinct-doc count)."""
+    from bigdatagenomic_spark.operators.llm_prep import duplicated_spans
+
+    rows = [(0, "ping pong wall ping pong wall end")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = duplicated_spans(docs, w=3).collect()[0]
+    # "ping pong wall" occurs at offsets 0 and 3 -> both flagged;
+    # union coverage = tokens 0..5 = 6 of 7
+    assert out.n_dup_spans == 2
+    assert out.dup_tokens == 6
+    assert abs(out.dup_ratio - round(6 / 7, 4)) < 1e-9
