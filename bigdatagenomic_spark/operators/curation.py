@@ -151,3 +151,121 @@ SELECT source, count(*) AS n_docs,
          / 10000.0 AS mean_quality
 FROM sampled GROUP BY source ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (regex redaction of emails / phone numbers / IPv4 addresses)
+# --------------------------------------------------------------------------
+# Conservative patterns valid in BOTH regex dialects the engine pairs
+# (Java for Spark, RE2 for the DuckDB oracle): character classes, bounded
+# repetition, \b word boundaries — no lookaround (RE2 has none).
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\b555-[0-9]{4}\b"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def scrub_pii(df: DataFrame, col: str = "text") -> DataFrame:
+    """Redact emails, 555-prefixed phone numbers and IPv4 addresses from
+    a text column, and count each kind per row (the audit trail a
+    redaction pass must emit). Replacement tokens <EMAIL>/<PHONE>/<IP>
+    keep sentence structure for downstream tokenization, C4/Dolma-style.
+
+    Order matters: emails are redacted FIRST so the IPv4 pattern cannot
+    fire inside a dotted-quad mail domain; each count is therefore taken
+    on the text with the EARLIER kinds already redacted, so a dotted
+    quad swallowed by an email redaction is counted once, as an email —
+    counts sum to the number of replacements made. Scale: map-only
+    (regexp_extract_all + regexp_replace are whole-stage-codegen JVM
+    expressions) — no shuffle, no UDF.
+    """
+    c = F.col(col)
+    after_email = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PII_PHONE, "<PHONE>")
+    n_email = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0)).cast("long")
+    n_phone = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_PHONE), 0)
+    ).cast("long")
+    n_ip = F.size(
+        F.regexp_extract_all(after_phone, F.lit(PII_IPV4), 0)
+    ).cast("long")
+    clean = F.regexp_replace(after_phone, PII_IPV4, "<IP>")
+    return df.select(
+        "*",
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        n_ip.alias("n_ip"),
+        clean.alias("clean_text"),
+    )
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction demo over `documents`: the synthetic corpus carries
+    no PII, so the query plants a deterministic dirty suffix on two of
+    every three documents (derived from doc_id, mirrored exactly in the
+    oracle) and then scrubs it — exercising match, count and replace on
+    rows with and without hits."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    did = F.col("doc_id")
+    dirty = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com today"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" or ping 10.0."),
+                (did % 256).cast("string"),
+                F.lit(".9"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    base = docs.select("doc_id", dirty.alias("text"))
+    return (
+        scrub_pii(base, "text")
+        .select("doc_id", "n_email", "n_phone", "n_ip", "clean_text")
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_PII_SCRUB_SQL = rf"""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 3 = 0 THEN
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com today'
+           WHEN doc_id % 3 = 1 THEN
+             text || ' call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.9'
+           ELSE text
+         END AS text
+  FROM documents WHERE text IS NOT NULL),
+stage AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS after_email
+  FROM dirty),
+stage2 AS (
+  SELECT doc_id, text, after_email,
+         regexp_replace(after_email, '{PII_PHONE}', '<PHONE>', 'g')
+           AS after_phone
+  FROM stage)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(after_email, '{PII_PHONE}')) AS BIGINT)
+         AS n_phone,
+       CAST(len(regexp_extract_all(after_phone, '{PII_IPV4}')) AS BIGINT)
+         AS n_ip,
+       regexp_replace(after_phone, '{PII_IPV4}', '<IP>', 'g') AS clean_text
+FROM stage2 ORDER BY doc_id
+"""

@@ -1671,6 +1671,8 @@ register(
 )
 
 register("q_pipeline_curation", CU.q_pipeline_curation, CU.Q_PIPELINE_CURATION_SQL)
+# regex PII redaction (emails/phones/IPv4) with per-row audit counts
+register("q_text_pii_scrub", CU.q_text_pii_scrub, CU.Q_TEXT_PII_SCRUB_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -617,3 +617,26 @@ def test_duplicated_spans_counts_within_doc_repeats(spark):
     assert out.n_dup_spans == 2
     assert out.dup_tokens == 6
     assert abs(out.dup_ratio - round(6 / 7, 4)) < 1e-9
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from bigdatagenomic_spark.operators.curation import scrub_pii
+
+    rows = [
+        (0, "mail me at jo.doe+x@site.org or jo@x.io thanks"),
+        (1, "call 555-0199 from 192.168.1.77 tonight"),
+        (2, "no pii here at all"),
+        # the email's dotted-quad-free domain must not trip the IP rule,
+        # and an IP inside an email must be redacted AS the email
+        (3, "root@10.0.0.1.net plus bare 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[0].n_email == 2 and out[0].n_phone == 0 and out[0].n_ip == 0
+    assert out[0].clean_text == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out[1].n_phone == 1 and out[1].n_ip == 1
+    assert out[1].clean_text == "call <PHONE> from <IP> tonight"
+    assert out[2].clean_text == "no pii here at all"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ip) == (0, 0, 0)
+    assert out[3].n_email == 1 and out[3].n_ip == 1
+    assert out[3].clean_text == "<EMAIL> plus bare <IP>"
