@@ -833,3 +833,103 @@ SELECT b.doc_id, b.n_tok, b.n_spans,
 FROM base b LEFT JOIN cov c USING (doc_id)
 ORDER BY doc_id
 """
+
+# --------------------------------------------------------------------------
+# temperature-scaled source mixing (multilingual/source re-balancing)
+# --------------------------------------------------------------------------
+TEMP_SAMPLE_NUM, TEMP_SAMPLE_DEN = 1, 2  # sample 1/2 of the corpus overall
+
+
+def temperature_mix(
+    docs: DataFrame,
+    frac_num: int = TEMP_SAMPLE_NUM,
+    frac_den: int = TEMP_SAMPLE_DEN,
+) -> DataFrame:
+    """Temperature-scaled source sampling (alpha = 0.5): pick an overall
+    ``frac_num/frac_den`` of the corpus, but allocate each source a
+    budget proportional to n_i^alpha rather than n_i — the standard
+    re-balancing that up-weights small sources/languages (mT5/XLM-R
+    style p_i ∝ p_i^alpha). Docs fill each source's budget in a
+    deterministic hash order, so the sample replays byte-identically.
+
+    Determinism across engines is engineered, not assumed: the weight
+    w_i = floor(sqrt(n_i) * 1000) is computed from one correctly-rounded
+    double sqrt of an exact integer (identical in every IEEE-754 engine)
+    and immediately floored to a BIGINT; budgets are then pure integer
+    arithmetic ``(total * w_i * frac_num) div (frac_den * sum_w)``, so
+    no float summation order can flip a floor. At extreme corpus sizes
+    the product needs a 128-bit intermediate (Spark DECIMAL(38,0) /
+    DuckDB HUGEINT) — a numeric-width note, not a plan change.
+
+    100 TB shape: the per-source stats are one tiny aggregate (|sources|
+    rows) broadcast back; the per-source pick order is a TWO-PHASE rank
+    (operators/scale.py) so no source funnels into a single window task.
+    """
+    from bigdatagenomic_spark.operators.scale import two_phase_rank
+
+    base = docs.select(
+        "doc_id",
+        "source",
+        md5_long(
+            F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))
+        ).alias("order_key"),
+    )
+    stats = base.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("long")
+    totals = stats.select(w.alias("w"), "n_docs").agg(
+        F.sum("w").alias("sum_w"), F.sum("n_docs").alias("n_total")
+    )
+    budgets = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.expr(
+                f"CAST((n_total * FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000)"
+                f" * {frac_num}) div ({frac_den} * sum_w) AS BIGINT)"
+            ).alias("budget"),
+        )
+    )
+    ranked = two_phase_rank(
+        base,
+        [F.asc("order_key"), F.asc("doc_id")],
+        group_cols=["source"],
+        rank_col="pick_rank",
+    )
+    return (
+        ranked.join(F.broadcast(budgets), "source")
+        .where(F.col("pick_rank") <= F.col("budget"))
+        .select("doc_id", "source", "pick_rank", "budget")
+    )
+
+
+def q_x_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_mix(_docs(spark, sf_dir)).orderBy("source", "doc_id")
+
+
+Q_X_TEMPERATURE_MIX_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         {_H_SQL.format(x="'tmix:' || CAST(doc_id AS VARCHAR)")} AS order_key
+  FROM documents),
+stats AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT) AS w
+  FROM base GROUP BY source),
+tot AS (
+  SELECT sum(w) AS sum_w, sum(n_docs) AS n_total FROM stats),
+budgets AS (
+  SELECT s.source,
+         CAST((t.n_total * s.w * {TEMP_SAMPLE_NUM})
+              // ({TEMP_SAMPLE_DEN} * t.sum_w) AS BIGINT) AS budget
+  FROM stats s, tot t),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY order_key, doc_id) AS BIGINT)
+           AS pick_rank
+  FROM base)
+SELECT r.doc_id, r.source, r.pick_rank, b.budget
+FROM ranked r JOIN budgets b USING (source)
+WHERE r.pick_rank <= b.budget
+ORDER BY r.source, r.doc_id
+"""

@@ -1869,6 +1869,10 @@ register(
 )
 # ExactSubstr-style overlapping duplicated-span profiling (Lee et al. 2021)
 register("q_text_dup_spans", LP.q_text_dup_spans, LP.Q_TEXT_DUP_SPANS_SQL)
+# temperature-scaled (alpha=0.5) per-source sampling budgets
+register(
+    "q_x_temperature_mix", LP.q_x_temperature_mix, LP.Q_X_TEMPERATURE_MIX_SQL
+)
 
 
 # ---------------------------------------------------------------------------

@@ -640,3 +640,29 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert (out[2].n_email, out[2].n_phone, out[2].n_ip) == (0, 0, 0)
     assert out[3].n_email == 1 and out[3].n_ip == 1
     assert out[3].clean_text == "<EMAIL> plus bare <IP>"
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """alpha=0.5 budgets: a source with 1/100 of the docs must get a
+    sampled SHARE well above 1/100 (sqrt scaling), and the overall
+    sample stays at ~frac of the corpus."""
+    from bigdatagenomic_spark.operators.llm_prep import temperature_mix
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    out = temperature_mix(docs).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # exact integer budgets: w_big = floor(sqrt(400)*1000) = 20000,
+    # w_small = floor(sqrt(4)*1000) = 2000; total = 404
+    # budget_big = 404*20000 // (2*22000) = 183, small = 404*2000 // 44000 = 18
+    assert len(by_src["big"]) == 183
+    assert len(by_src["small"]) == 4  # capped by the source's own size
+    # small source's share of its own docs (4/4) >> big's (183/400)
+    assert len(by_src["small"]) / 4 > len(by_src["big"]) / 400
+    # deterministic replay
+    again = temperature_mix(docs).collect()
+    assert {(r.doc_id, r.pick_rank) for r in again} == {
+        (r.doc_id, r.pick_rank) for r in out
+    }
