@@ -464,3 +464,112 @@ WITH items AS (
 )
 SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree ORDER BY degree
 """
+
+
+# --------------------------------------------------------------------------
+# label propagation (community detection)
+# --------------------------------------------------------------------------
+LPA_ITERS = 4
+
+
+def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
+    """(id, label) — synchronous label propagation community detection.
+
+    Each round every vertex adopts the most frequent label among its
+    neighbors (undirected), ties broken by the SMALLEST label — the
+    deterministic variant of Raghavan et al.'s LPA (async/random-order
+    LPA is run-dependent; synchronous + least-label ties replays
+    byte-identically, which is what makes it oracle-checkable). A FIXED
+    iteration count bounds the driver loop and sidesteps synchronous
+    LPA's bipartite oscillation (no convergence test to fail).
+
+    Per round: one shuffle to tally (vertex, neighbor-label) counts and
+    one to pick the per-vertex argmax via a struct-min fold — the same
+    superstep shape as :func:`pagerank`, with ``localCheckpoint`` per
+    round to cut lineage. The symmetrized edge table is checkpointed
+    once and reused every round (the invariant big table).
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = und.select(F.col("src").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    labels = verts.withColumn("label", F.col("id"))
+    for _ in range(n_iter):
+        freq = (
+            und.join(labels, und["dst"] == labels["id"])
+            .select(und["src"].alias("id"), "label")
+            .groupBy("id", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax by (cnt DESC, label ASC) as a lexicographic struct-min
+        best = freq.groupBy("id").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l")))[
+                "l"
+            ].alias("new_label")
+        )
+        labels = (
+            verts.join(best, "id", "left")
+            .select("id", F.coalesce("new_label", F.col("id")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def q_graph_lpa(spark, sf_dir: str) -> DataFrame:
+    """Community detection over the same bounded order–part co-purchase
+    graph as q_graph_cc: 4 synchronous LPA rounds, least-label ties.
+    Fixed-iteration → hash-checked against a loop-unrolled CTE oracle."""
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + F.lit(1_000_000)).alias("dst"),
+    ).distinct()
+    return (
+        label_propagation(edges)
+        .where(F.col("id") < 1_000_000)
+        .select("id", F.col("label").cast("long").alias("label"))
+        .orderBy("id")
+    )
+
+
+def _lpa_oracle_sql(n_iter: int = LPA_ITERS) -> str:
+    """Loop-unrolled LPA oracle: per round, a (vertex, label) frequency
+    CTE plus a row_number argmax with the same (cnt DESC, label ASC)
+    tie-break the Spark struct-min implements."""
+    base = """
+  e AS (SELECT DISTINCT l_orderkey AS src, l_partkey + 1000000 AS dst
+        FROM lineitem WHERE l_orderkey < 200),
+  und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+  verts AS (SELECT DISTINCT src AS id FROM und),
+  l0 AS (SELECT id, id AS label FROM verts)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+  f{k} AS (SELECT u.src AS id, l.label, count(*) AS cnt
+           FROM und u JOIN l{k - 1} l ON u.dst = l.id
+           GROUP BY u.src, l.label),
+  l{k} AS (SELECT v.id, coalesce(b.label, v.id) AS label
+           FROM verts v LEFT JOIN (
+             SELECT id, label FROM (
+               SELECT id, label,
+                      row_number() OVER (PARTITION BY id
+                                         ORDER BY cnt DESC, label) AS rn
+               FROM f{k}) WHERE rn = 1) b USING (id))""")
+    return (
+        "WITH" + base + "," + ",".join(steps)
+        + f"""
+SELECT id, CAST(label AS BIGINT) AS label
+FROM l{n_iter} WHERE id < 1000000 ORDER BY id"""
+    )
+
+
+Q_GRAPH_LPA_SQL = _lpa_oracle_sql()

@@ -1369,6 +1369,8 @@ from bigdatagenomic_spark.operators import graph as G
 # rows-only to a full hash check (also union-find-matched in
 # tests/test_graph.py)
 register("q_graph_cc", G.q_graph_cc, G.Q_GRAPH_CC_SQL)
+# synchronous least-label LPA community detection (loop-unrolled oracle)
+register("q_graph_lpa", G.q_graph_lpa, G.Q_GRAPH_LPA_SQL)
 
 
 # BPE-ish pretokenizer counts — same regex dialect subset (no lookaround,

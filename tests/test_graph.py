@@ -156,3 +156,33 @@ def test_triangle_count_matches_bruteforce(spark):
         got = triangle_count(df).collect()[0]
         assert got.n_triangles == expect, (seed, got, expect)
         assert got.n_wedges >= got.n_triangles
+
+
+def test_label_propagation_hand_computed(spark):
+    """Two triangles joined by one bridge edge: after enough synchronous
+    least-label rounds each triangle converges to its own minimum
+    label, and the bridge does not merge them (frequency 1 each side
+    vs 2 inside the triangle)."""
+    from bigdatagenomic_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src LONG, dst LONG",
+    )
+    out = {r.id: r.label for r in label_propagation(edges, n_iter=4).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12]
+    assert out[10] != out[1]
+
+
+def test_label_propagation_isolated_pair(spark):
+    """A disconnected 2-cycle keeps oscillation bounded by the fixed
+    iteration count and ends deterministically."""
+    from bigdatagenomic_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(5, 6)], "src LONG, dst LONG")
+    a = {(r.id, r.label) for r in label_propagation(edges, n_iter=4).collect()}
+    b = {(r.id, r.label) for r in label_propagation(edges, n_iter=4).collect()}
+    assert a == b  # deterministic replay
+    # even iterations of a 2-cycle return each vertex to its own label
+    assert a == {(5, 5), (6, 6)}
