@@ -269,3 +269,108 @@ SELECT doc_id,
        regexp_replace(after_phone, '{PII_IPV4}', '<IP>', 'g') AS clean_text
 FROM stage2 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# curriculum ordering (quality-descending schedule in token-budget stages)
+# --------------------------------------------------------------------------
+STAGE_TOKENS = 20_000  # tokens per curriculum stage
+
+
+def curriculum_order(docs: DataFrame, stage_tokens: int = STAGE_TOKENS) -> DataFrame:
+    """Curriculum schedule for training: order the corpus by quality
+    (best first, doc_id ties) and cut it into stages of ~``stage_tokens``
+    tokens each — the "clean data first" schedule, with stage boundaries
+    in the unit the trainer consumes (tokens, not docs).
+
+    The ordering key is the INTEGER q10k score (quality floored at 4
+    decimals ×10000, :func:`curate`'s convention), so the total order
+    (q10k DESC, doc_id) is engine-exact. The global order and the
+    running token count are both TWO-PHASE (scale.two_phase_cumsum):
+    range-partition on the schedule order, per-partition partials,
+    broadcast offsets — no single-partition window anywhere, so the
+    schedule materializes at any corpus size. A doc's stage is decided
+    by where its cumulative END token lands: stage = (cum_tok - 1) div
+    stage_tokens.
+    """
+    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
+
+    s1 = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", "text", tokens(F.col("text")).alias("tok")
+    )
+    s2 = s1.select(
+        "doc_id",
+        F.size("tok").cast("long").alias("n_tok"),
+        F.size(F.filter(F.col("tok"), lambda t: t.isin(STOPSETS["en"]))).alias(
+            "stop"
+        ),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).alias("alpha"),
+        F.greatest(F.length("text"), F.lit(1)).alias("nch"),
+    )
+    n_tok, stop, alpha = F.col("n_tok"), F.col("stop"), F.col("alpha")
+    quality = (
+        F.lit(0.5) * F.least(n_tok, F.lit(100)).cast("double") / 100.0
+        + F.lit(0.3) * alpha.cast("double") / F.col("nch")
+        + F.lit(0.2)
+        * F.least(
+            stop.cast("double") / F.greatest(n_tok, F.lit(1)) * 5.0, F.lit(1.0)
+        )
+    )
+    scored = s2.select(
+        "doc_id",
+        "n_tok",
+        F.floor(quality * 10000 + F.lit(0.5)).cast("long").alias("q10k"),
+    )
+    cum = two_phase_cumsum(
+        scored,
+        "n_tok",
+        [F.desc("q10k"), F.asc("doc_id")],
+        out_col="cum_tok",
+    )
+    return cum.select(
+        "doc_id",
+        "q10k",
+        "n_tok",
+        "cum_tok",
+        F.expr(f"CAST((cum_tok - 1) div {stage_tokens} AS BIGINT)").alias("stage"),
+    )
+
+
+def q_x_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curriculum_order(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+Q_X_CURRICULUM_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tok,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+         greatest(length(text), 1) AS nch
+  FROM documents WHERE text IS NOT NULL
+), r AS (
+  SELECT doc_id,
+         CAST(len(tok) AS BIGINT) AS n_tok,
+         len(list_filter(tok, x -> list_contains(
+             ['the','a','of','and','to','is','in','it'], x))) AS stop_cnt,
+         greatest(len(tok), 1) AS safe_n, alpha, nch
+  FROM s
+), q AS (
+  SELECT doc_id, n_tok,
+         CAST(floor((0.5 * least(n_tok, 100) / 100.0
+                + 0.3 * (alpha / CAST(nch AS DOUBLE))
+                + 0.2 * least((stop_cnt / CAST(safe_n AS DOUBLE)) * 5.0, 1.0))
+               * 10000 + 0.5) AS BIGINT) AS q10k
+  FROM r
+), c AS (
+  SELECT doc_id, q10k, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY q10k DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+  FROM q
+)
+SELECT doc_id, q10k, n_tok, cum_tok,
+       CAST((cum_tok - 1) // {STAGE_TOKENS} AS BIGINT) AS stage
+FROM c ORDER BY doc_id
+"""

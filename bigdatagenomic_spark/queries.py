@@ -1675,6 +1675,8 @@ register(
 register("q_pipeline_curation", CU.q_pipeline_curation, CU.Q_PIPELINE_CURATION_SQL)
 # regex PII redaction (emails/phones/IPv4) with per-row audit counts
 register("q_text_pii_scrub", CU.q_text_pii_scrub, CU.Q_TEXT_PII_SCRUB_SQL)
+# quality-descending curriculum schedule in token-budget stages
+register("q_x_curriculum", CU.q_x_curriculum, CU.Q_X_CURRICULUM_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -666,3 +666,21 @@ def test_temperature_mix_upweights_small_sources(spark):
     assert {(r.doc_id, r.pick_rank) for r in again} == {
         (r.doc_id, r.pick_rank) for r in out
     }
+
+
+def test_curriculum_order_stages_by_cumulative_tokens(spark):
+    """Stages cut on the cumulative token count in quality-descending
+    order; a doc's stage is where its END token lands."""
+    from bigdatagenomic_spark.operators.curation import curriculum_order
+
+    # identical 10-token high-quality docs, then one low-quality doc
+    good = "the quick brown fox jumps over the lazy dog again"
+    rows = [(i, good) for i in range(5)] + [(100, "zzz qqq xxx")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in curriculum_order(docs, stage_tokens=25).collect()}
+    # equal-quality docs are scheduled by doc_id; 10 tokens each ->
+    # ends at 10,20,30,40,50 -> stages 0,0,1,1,1
+    assert [out[i].stage for i in range(5)] == [0, 0, 1, 1, 1]
+    assert out[100].cum_tok == 53 and out[100].stage == 2
+    # the low-quality doc is LAST in the schedule despite lowest doc_id order
+    assert out[100].q10k < out[0].q10k
