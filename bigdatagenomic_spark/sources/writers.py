@@ -76,3 +76,37 @@ def write_rebalanced(
         writer.parquet(path)
     finally:
         spark.conf.set(key, saved)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    seed: str = "r5",
+    max_records_per_file: int = 250_000,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a training epoch: deterministic global shuffle
+    (operators/llm_prep.assign_shards) written as one parquet directory
+    per shard (``shard=K/``), rows pre-sorted by their in-shard
+    position so a loader streaming ``shard=K`` in file order replays
+    the epoch's schedule without a sort.
+
+    ``maxRecordsPerFile`` bounds file size from above (the writer rolls
+    files), and the within-partition sort keeps each rolled file a
+    CONTIGUOUS position range — resumable mid-shard checkpointing falls
+    out of the layout. Partition pruning gives each loader worker its
+    shard without reading the others.
+    """
+    from bigdatagenomic_spark.operators.llm_prep import assign_shards
+
+    sharded = assign_shards(docs, n_shards=n_shards, seed=seed)
+    out = sharded.join(docs, "doc_id").repartition("shard").sortWithinPartitions(
+        "shard", "pos"
+    )
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard")
+        .parquet(path)
+    )

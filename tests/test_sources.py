@@ -235,3 +235,37 @@ def test_write_rebalanced_coalesces_small_files(spark, tmp_path):
     assert spark.conf.get(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     ) != str(32 * 1024 * 1024)
+
+
+def test_write_training_shards_layout_and_replay(spark, tmp_path):
+    """shard=K dirs exist, every doc appears exactly once, and a loader
+    reading one shard in position order replays assign_shards' schedule."""
+    from bigdatagenomic_spark.operators.llm_prep import assign_shards
+    from bigdatagenomic_spark.sources.writers import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(60)], "doc_id LONG, text STRING"
+    )
+    out = str(tmp_path / "epoch0")
+    write_training_shards(docs, out, n_shards=4, max_records_per_file=7)
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={k}" for k in range(4)]
+    back = spark.read.parquet(out)
+    assert back.count() == 60
+    assert back.select("doc_id").distinct().count() == 60
+    # shard-0 read back in pos order == the planner's shard-0 schedule
+    got = [
+        r.doc_id
+        for r in back.where("shard = 0").orderBy("pos").select("doc_id").collect()
+    ]
+    want = [
+        r.doc_id
+        for r in assign_shards(docs, n_shards=4)
+        .where("shard = 0")
+        .orderBy("pos")
+        .select("doc_id")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
