@@ -57,6 +57,10 @@ HEADLINE = [
     # every segment) and the standalone iterative fixpoint loop
     "q_text_boilerplate",
     "q_graph_cc",
+    # round 6b: the heaviest per-token pass (overlapping span fingerprints,
+    # ~n_tok shuffle rows per doc) and the two-phase-cumsum schedule family
+    "q_text_dup_spans",
+    "q_x_curriculum",
 ]
 
 
