@@ -1678,6 +1678,11 @@ register("q_text_pii_scrub", CU.q_text_pii_scrub, CU.Q_TEXT_PII_SCRUB_SQL)
 # quality-descending curriculum schedule in token-budget stages
 register("q_x_curriculum", CU.q_x_curriculum, CU.Q_X_CURRICULUM_SQL)
 
+# distributed BPE tokenizer training (iterative pair-merge, unrolled oracle)
+from bigdatagenomic_spark.operators import bpe as BPE  # noqa: E402
+
+register("q_text_bpe_train", BPE.q_text_bpe_train, BPE.Q_TEXT_BPE_TRAIN_SQL)
+
 
 # ---------------------------------------------------------------------------
 # iterative algorithms: PageRank + k-means (operators/graph.py, clustering.py)

@@ -1,0 +1,52 @@
+"""BPE trainer semantics: hand-computed merges, greedy-leftmost runs,
+tie-breaks, and idle-after-exhaustion."""
+
+from bigdatagenomic_spark.operators.bpe import bpe_train
+
+
+def _seg(spark, rows, n_merges):
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    return {
+        r.word: (r.freq, r.segmented)
+        for r in bpe_train(docs, n_merges=n_merges).collect()
+    }
+
+
+def test_bpe_merges_most_frequent_pair_first(spark):
+    # corpus: 'abab' x3, 'ab' x2 -> pair (a,b) freq 8 dominates
+    out = _seg(spark, [(0, "abab abab abab ab ab")], n_merges=1)
+    assert out["abab"] == (3, "ab ab")
+    assert out["ab"] == (2, "ab")
+
+
+def test_bpe_greedy_leftmost_in_same_symbol_runs(spark):
+    # 'aaaa': candidates at pos 1,2,3 -> merge pos 1 and 3 -> 'aa aa';
+    # 'aaa' -> 'aa a'
+    out = _seg(spark, [(0, "aaaa aaa")], n_merges=1)
+    assert out["aaaa"] == (1, "aa aa")
+    assert out["aaa"] == (1, "aa a")
+
+
+def test_bpe_tie_breaks_lexicographically(spark):
+    # pairs (x,y) and (y,z) each occur once in 'xyz'... use two words:
+    # 'zy' and 'ab' both freq 1 -> pairs (z,y) and (a,b) tie at 1;
+    # lexicographic min pair is (a,b)
+    out = _seg(spark, [(0, "zy ab")], n_merges=1)
+    assert out["ab"] == (1, "ab")
+    assert out["zy"] == (1, "z y")
+
+
+def test_bpe_idles_after_all_pairs_merged(spark):
+    # single 2-char word: one merge exhausts all pairs; extra rounds
+    # must be no-ops, not wipe the table
+    out = _seg(spark, [(0, "ab ab")], n_merges=5)
+    assert out["ab"] == (2, "ab")
+
+
+def test_bpe_successive_merges_compose(spark):
+    # 'abc' x4: round1 merges (a,b) [tie (a,b) < (b,c)], round2 merges
+    # (ab,c)
+    out = _seg(spark, [(0, "abc abc abc abc")], n_merges=2)
+    assert out["abc"] == (4, "abc")
+    out1 = _seg(spark, [(0, "abc abc abc abc")], n_merges=1)
+    assert out1["abc"] == (4, "ab c")
