@@ -18,8 +18,10 @@ is exactly "merge the candidates at even offset from their run's start"
     kept      = cand AND (pos - run_start) % 2 == 0   -- even offsets
     drop rows whose PREDECESSOR merged; renumber pos
 
-Every window partitions by (word) with the same order, so Catalyst
-plans ONE exchange per round over the symbol table, whose size is
+Every window partitions by (word) with the same order, so the whole
+6-step merge chain collapses to ONE exchange + sort; a round's full
+cost is two word-partitioned exchanges (pair-count lead + merge chain)
+plus the pair aggregation, all over the symbol table, whose size is
 bounded by total vocabulary characters — at 100 TB of text the vocab
 is millions of words (not trillions of tokens), so each of the
 n_merges rounds shuffles a small, constant-width table; the only

@@ -50,3 +50,25 @@ def test_bpe_successive_merges_compose(spark):
     assert out["abc"] == (4, "abc")
     out1 = _seg(spark, [(0, "abc abc abc abc")], n_merges=1)
     assert out1["abc"] == (4, "ab c")
+
+
+def test_bpe_merge_round_plans_single_exchange_for_window_chain(spark):
+    """The 6-step merge chain shares one (word)-partitioning, so it must
+    collapse to exactly ONE word-hash exchange; with the pair-count
+    lead's exchange that is two word-hash exchanges per round total."""
+    import re
+
+    from bigdatagenomic_spark.operators.bpe import (
+        _best_pair,
+        _merge_round,
+        _pair_counts,
+    )
+
+    syms = spark.createDataFrame(
+        [("ab", 2, 1, "a"), ("ab", 2, 2, "b")],
+        "word STRING, freq LONG, pos INT, sym STRING",
+    ).localCheckpoint()
+    one = _merge_round(syms, _best_pair(_pair_counts(syms)))
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    word_exchanges = re.findall(r"Exchange hashpartitioning\(word#", plan)
+    assert len(word_exchanges) == 2, plan
