@@ -234,3 +234,74 @@ FROM s{n_merges} GROUP BY word, freq ORDER BY word"""
 
 
 Q_TEXT_BPE_TRAIN_SQL = _bpe_oracle_sql()
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens, compression) — encode every
+    document with the merges just trained on the same corpus: each
+    word's BPE token count is its trained symbol count, so encoding is
+    ONE equi-join of the per-doc word counts against the trained
+    vocabulary (word → n_sym) — the apply side of the train/apply pair,
+    and the unit everything downstream budgets in (q_x_token_budget_mix,
+    q_text_pack count whitespace tokens; a trained tokenizer counts
+    sub-word units).
+
+    100 TB shape: the join key is the word, both sides word-bounded on
+    the build side (vocab) and (doc, word)-aggregated on the probe side
+    — the corpus text itself is never shuffled. compression =
+    chars/token rounded at 4, the per-doc tokenizer-efficiency metric.
+    """
+    seg = bpe_train(docs, n_merges=n_merges).select("word", "n_sym")
+    words = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    return (
+        words.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_sym")).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+            F.round(
+                F.sum(F.col("n_occ") * F.length("word"))
+                / F.sum(F.col("n_occ") * F.col("n_sym")).cast("double"),
+                4,
+            ).alias("compression"),
+        )
+    )
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _bpe_encode_oracle_sql(n_merges: int = N_MERGES) -> str:
+    train = _bpe_oracle_sql(n_merges)
+    chain = train[: train.rindex("SELECT word, freq")]
+    return (
+        chain
+        + f""", seg AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS n_sym
+    FROM s{n_merges} GROUP BY word),
+  dw AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS word
+    FROM documents WHERE text IS NOT NULL),
+  wc AS (
+    SELECT doc_id, word, count(*) AS n_occ FROM dw GROUP BY doc_id, word)
+SELECT wc.doc_id,
+       CAST(sum(wc.n_occ) AS BIGINT) AS n_words,
+       CAST(sum(wc.n_occ * seg.n_sym) AS BIGINT) AS n_bpe_tokens,
+       round(sum(wc.n_occ * len(wc.word))
+             / CAST(sum(wc.n_occ * seg.n_sym) AS DOUBLE), 4) AS compression
+FROM wc JOIN seg USING (word)
+GROUP BY wc.doc_id ORDER BY wc.doc_id"""
+    )
+
+
+Q_TEXT_BPE_ENCODE_SQL = _bpe_encode_oracle_sql()

@@ -1682,6 +1682,7 @@ register("q_x_curriculum", CU.q_x_curriculum, CU.Q_X_CURRICULUM_SQL)
 from bigdatagenomic_spark.operators import bpe as BPE  # noqa: E402
 
 register("q_text_bpe_train", BPE.q_text_bpe_train, BPE.Q_TEXT_BPE_TRAIN_SQL)
+register("q_text_bpe_encode", BPE.q_text_bpe_encode, BPE.Q_TEXT_BPE_ENCODE_SQL)
 
 
 # ---------------------------------------------------------------------------

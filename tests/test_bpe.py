@@ -72,3 +72,20 @@ def test_bpe_merge_round_plans_single_exchange_for_window_chain(spark):
     plan = one._jdf.queryExecution().executedPlan().toString()
     word_exchanges = re.findall(r"Exchange hashpartitioning\(word#", plan)
     assert len(word_exchanges) == 2, plan
+
+
+def test_bpe_encode_counts_subword_units(spark):
+    from bigdatagenomic_spark.operators.bpe import bpe_encode
+
+    # one merge: (a,b) dominates -> 'abab' encodes as 2 tokens,
+    # 'cd' stays 2 chars = 2 tokens
+    docs = spark.createDataFrame(
+        [(0, "abab abab ab"), (1, "cd abab")], "doc_id LONG, text STRING"
+    )
+    out = {r.doc_id: r for r in bpe_encode(docs, n_merges=1).collect()}
+    # doc0: abab(2 syms) x2 + ab(1 sym) = 5 bpe tokens over 3 words
+    assert out[0].n_words == 3 and out[0].n_bpe_tokens == 5
+    # chars 4+4+2=10 over 5 tokens -> compression 2.0
+    assert abs(out[0].compression - 2.0) < 1e-9
+    # doc1: cd -> 'c d' (2) + abab -> 2 = 4 tokens
+    assert out[1].n_words == 2 and out[1].n_bpe_tokens == 4
