@@ -454,3 +454,64 @@ def test_weighted_sample_matches_python_reference(spark):
         for r in reg.queries()["q_x_weighted_sample"](spark, _SF).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer vs a sequential pure-Python reference (Sennrich-style)
+# ---------------------------------------------------------------------------
+def _bpe_reference(word_freqs: dict[str, int], n_merges: int) -> dict[str, list[str]]:
+    """Sequential BPE: argmax pair by (count desc, pair asc); merge
+    greedy-leftmost in every word."""
+    segs = {w: list(w) for w in word_freqs}
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freqs[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    return segs
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=12
+    ),
+    n_merges=st.integers(1, 4),
+)
+def test_bpe_train_matches_sequential_reference(spark, words, n_merges):
+    """The distributed window-algebra trainer must equal the sequential
+    merge loop on arbitrary small corpora — including same-symbol runs
+    ('aaa...'), ties, and pair-exhaustion."""
+    from bigdatagenomic_spark.operators.bpe import bpe_train
+
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id LONG, text STRING"
+    )
+    got = {
+        r.word: (r.freq, r.segmented.split(" "))
+        for r in bpe_train(docs, n_merges=n_merges).collect()
+    }
+    want = _bpe_reference(freqs, n_merges)
+    assert set(got) == set(want)
+    for w in want:
+        assert got[w] == (freqs[w], want[w]), (w, got[w], want[w])
