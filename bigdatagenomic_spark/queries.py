@@ -1684,6 +1684,49 @@ from bigdatagenomic_spark.operators import bpe as BPE  # noqa: E402
 register("q_text_bpe_train", BPE.q_text_bpe_train, BPE.Q_TEXT_BPE_TRAIN_SQL)
 register("q_text_bpe_encode", BPE.q_text_bpe_encode, BPE.Q_TEXT_BPE_ENCODE_SQL)
 
+# perceptual-hash (aHash) near-dup payload pairs; cell/global byte means
+# are integer-valued sums so the oracle rebuilds the hash bit-for-bit,
+# then replays the same 8-bit-chunk pigeonhole blocking as simhash
+register(
+    "q_mm_phash_pairs",
+    MM.q_mm_phash_pairs,
+    f"""WITH c AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) + 1),
+                                i -> ascii(substring(text, i, 1))) AS codes,
+                 length(text) AS n
+          FROM documents),
+        m AS (
+          SELECT doc_id, codes, n, list_aggregate(codes, 'avg') AS mean
+          FROM c WHERE n > 0),
+        sig AS (
+          SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+                   range(0, {MM.PHASH_CELLS}), j ->
+                   CASE WHEN (j * n) // {MM.PHASH_CELLS}
+                             < ((j + 1) * n) // {MM.PHASH_CELLS}
+                         AND list_aggregate(
+                               codes[CAST((j * n) // {MM.PHASH_CELLS} + 1 AS BIGINT):
+                                     CAST(((j + 1) * n) // {MM.PHASH_CELLS} AS BIGINT)],
+                               'avg') > mean
+                        THEN CAST(1 AS BIGINT) << j ELSE 0 END)), 0)
+                 AS BIGINT) AS simhash
+          FROM m),
+        chunks AS (
+          SELECT doc_id, simhash, c.chunk,
+                 (simhash >> (8 * c.chunk)) & 255 AS cval
+          FROM sig, (SELECT unnest(range(0, 4)) AS chunk) c),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                 a.simhash AS sig_a, b.simhash AS sig_b
+          FROM chunks a JOIN chunks b USING (chunk, cval)
+          WHERE a.doc_id < b.doc_id)
+        SELECT a_id, b_id,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= {MM.PHASH_MAX_HAMMING}
+        ORDER BY a_id, b_id""",
+)
+
 
 # ---------------------------------------------------------------------------
 # iterative algorithms: PageRank + k-means (operators/graph.py, clustering.py)

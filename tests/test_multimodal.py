@@ -138,3 +138,35 @@ def test_real_bmp_decoder_through_resize_plan(spark):
         ow, oh = (w * THUMB_BOX) // m, (h * THUMB_BOX) // m
         csum = zlib.crc32(rgb)
         assert got[doc_id] == (w, h, ow, oh, (csum * ow + oh) % 2147483647)
+
+
+def test_phash_pairs_finds_planted_near_identical_payloads(spark):
+    """Two payloads differing in one byte land within Hamming 3 and are
+    found through chunk blocking; an unrelated payload stays out."""
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.operators.multimodal import phash_pairs
+
+    base = bytes(range(64)) * 4
+    near = bytes([1]) + base[1:]
+    other = bytes(reversed(base))
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(near)), (3, bytearray(other))],
+        "doc_id LONG, payload BINARY",
+    )
+    got = {(r.a_id, r.b_id): r.hamming for r in phash_pairs(df).collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in got)
+
+
+def test_ahash32_deterministic_and_integer_exact(spark):
+    from bigdatagenomic_spark.operators.multimodal import ahash32
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefgh" * 8)), (2, bytearray(b""))],
+        "doc_id LONG, payload BINARY",
+    )
+    a = {r.doc_id: r.h for r in df.select("doc_id", ahash32("payload").alias("h")).collect()}
+    b = {r.doc_id: r.h for r in df.select("doc_id", ahash32("payload").alias("h")).collect()}
+    assert a == b
+    assert a[2] == 0  # empty payload -> zero hash, not an error
