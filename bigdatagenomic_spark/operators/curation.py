@@ -374,3 +374,86 @@ SELECT doc_id, q10k, n_tok, cum_tok,
        CAST((cum_tok - 1) // {STAGE_TOKENS} AS BIGINT) AS stage
 FROM c ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# k-anonymity release (suppress-or-generalize on quasi-identifiers)
+# --------------------------------------------------------------------------
+K_ANON = 5
+
+
+def k_anonymize(events: DataFrame, k: int = K_ANON) -> DataFrame:
+    """Publishable per-(event_type, hour) activity stats under
+    k-anonymity: a group is released only if it contains >= k distinct
+    users; smaller groups are GENERALIZED one ladder step (hour -> '*',
+    i.e. the whole event_type) and re-tested against the union of their
+    underlying users — distinct users don't sum across suppressed
+    groups, so the generalized count is re-aggregated from raw rows,
+    not from the per-group counts. Groups failing even generalized are
+    suppressed entirely. The privacy release step of a data pipeline,
+    next to PII redaction (scrub_pii).
+
+    Scale: two hash aggregations plus one broadcast-able anti-join on
+    the released group keys; nothing row-expanding, no window.
+    """
+    base = events.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hour"),
+        "user_id",
+    )
+    g1 = base.groupBy("event_type", "hour").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+    ok1 = g1.where(F.col("n_users") >= k)
+    released = ok1.select(
+        "event_type",
+        F.col("hour").cast("string").alias("hour_label"),
+        "n_users",
+        "n_events",
+    )
+    # rows of suppressed groups, re-aggregated at the generalized level
+    suppressed_rows = base.join(
+        ok1.select("event_type", "hour"), ["event_type", "hour"], "left_anti"
+    )
+    g2 = (
+        suppressed_rows.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .where(F.col("n_users") >= k)
+        .select("event_type", F.lit("*").alias("hour_label"), "n_users", "n_events")
+    )
+    return released.unionByName(g2)
+
+
+def q_x_kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return k_anonymize(load_table(spark, sf_dir, "events")).orderBy(
+        "event_type", "hour_label"
+    )
+
+
+Q_X_KANON_RELEASE_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hour, user_id
+  FROM events),
+g1 AS (
+  SELECT event_type, hour,
+         count(DISTINCT user_id) AS n_users, count(*) AS n_events
+  FROM base GROUP BY event_type, hour),
+ok1 AS (SELECT * FROM g1 WHERE n_users >= {K_ANON}),
+released AS (
+  SELECT event_type, CAST(hour AS VARCHAR) AS hour_label, n_users, n_events
+  FROM ok1),
+g2 AS (
+  SELECT b.event_type, '*' AS hour_label,
+         count(DISTINCT b.user_id) AS n_users, count(*) AS n_events
+  FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM ok1 o
+                    WHERE o.event_type = b.event_type AND o.hour = b.hour)
+  GROUP BY b.event_type
+  HAVING count(DISTINCT b.user_id) >= {K_ANON})
+SELECT * FROM released UNION ALL SELECT * FROM g2
+ORDER BY event_type, hour_label
+"""

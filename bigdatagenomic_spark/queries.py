@@ -1677,6 +1677,8 @@ register("q_pipeline_curation", CU.q_pipeline_curation, CU.Q_PIPELINE_CURATION_S
 register("q_text_pii_scrub", CU.q_text_pii_scrub, CU.Q_TEXT_PII_SCRUB_SQL)
 # quality-descending curriculum schedule in token-budget stages
 register("q_x_curriculum", CU.q_x_curriculum, CU.Q_X_CURRICULUM_SQL)
+# k-anonymity suppress-or-generalize release over (event_type, hour)
+register("q_x_kanon_release", CU.q_x_kanon_release, CU.Q_X_KANON_RELEASE_SQL)
 
 # distributed BPE tokenizer training (iterative pair-merge, unrolled oracle)
 from bigdatagenomic_spark.operators import bpe as BPE  # noqa: E402

@@ -684,3 +684,34 @@ def test_curriculum_order_stages_by_cumulative_tokens(spark):
     assert out[100].cum_tok == 53 and out[100].stage == 2
     # the low-quality doc is LAST in the schedule despite lowest doc_id order
     assert out[100].q10k < out[0].q10k
+
+
+def test_k_anonymize_generalizes_and_suppresses(spark):
+    from datetime import datetime
+
+    from bigdatagenomic_spark.operators.curation import k_anonymize
+
+    def ev(i, typ, hour, user):
+        return (i, datetime(2024, 1, 1, hour, 0, 0), user, typ, 0.0, "{}")
+
+    rows = []
+    # 'click' hour 1: 5 users -> released as-is
+    rows += [ev(i, "click", 1, i) for i in range(5)]
+    # 'click' hours 2,3: 3 users each (users 10-12, 12-14) -> generalized;
+    # union has 5 distinct users -> released as ('click','*')
+    rows += [ev(100 + i, "click", 2, 10 + i) for i in range(3)]
+    rows += [ev(200 + i, "click", 3, 12 + i) for i in range(3)]
+    # 'buy' hour 4: 2 users -> generalized union still 2 -> fully suppressed
+    rows += [ev(300 + i, "buy", 4, 50 + i) for i in range(2)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = {(r.event_type, r.hour_label): r for r in k_anonymize(events, k=5).collect()}
+    assert out[("click", "1")].n_users == 5
+    star = out[("click", "*")]
+    assert star.n_users == 5 and star.n_events == 6  # distinct union, not sum
+    assert not any(t == "buy" for t, _ in out)
+    # every released group satisfies k
+    assert all(r.n_users >= 5 for r in out.values())
