@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="test-table directory")
     q.add_argument("--limit", type=int, default=20, help="rows to show")
     q.add_argument("--explain", action="store_true", help="print the plan too")
+    q.add_argument("--out", default=None,
+                   help="also write the FULL result to this directory")
+    q.add_argument("--format", choices=["parquet", "csv", "json"],
+                   default="parquet", help="sink format for --out")
     q.add_argument("--cpus", type=int, default=None)
 
     sub.add_parser("list", help="list every registry query")
@@ -116,6 +120,16 @@ def cmd_query(args: argparse.Namespace) -> int:
     if args.explain:
         df.explain(mode="formatted")
     df.show(args.limit, truncate=False)
+    if args.out:
+        from bigdatagenomic_spark.sources.files import write_csv, write_json
+
+        if args.format == "parquet":
+            write_parquet(df, args.out)
+        elif args.format == "csv":
+            write_csv(df, args.out)
+        else:
+            write_json(df, args.out)
+        print(f"wrote {args.out} ({args.format})")
     print(f"{args.name} on {args.sf_dir}: {time.time()-t0:.2f}s")
     return 0
 

@@ -52,3 +52,13 @@ def test_cli_assemble_end_to_end(spark, tmp_path, capsys):
         seq = fh.read().strip()
     assert len(seq) == 2719
     assert set(seq) <= set("ACGTN")
+
+
+def test_cli_query_writes_result(spark, tmp_path, capsys):
+    out = str(tmp_path / "q04_out")
+    rc = main(
+        ["query", "q04_broadcast_join", "--sf-dir", SF_DIR, "--out", out]
+    )
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert back.count() > 0 and set(back.columns) == {"n_name", "cnt"}
