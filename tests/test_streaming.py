@@ -379,3 +379,33 @@ def test_s11_lsh_index_maintenance_matches_batch_candidates(spark, tmp_path):
         assert idx == full
     finally:
         spark.sql("DROP TABLE IF EXISTS t_s11_band_index")
+
+
+def test_s12_streaming_pii_scrub_equals_batch(spark, replay_dir):
+    """Map-only curation ops drop into a stream untouched: scrub_pii on
+    the props JSON column over the replayed file stream must produce
+    exactly the batch result (same rows, same redactions)."""
+    from bigdatagenomic_spark.operators.curation import scrub_pii
+
+    def dirty(df):
+        # plant an email on every 5th event, derived from the row itself
+        return df.select(
+            "event_id",
+            F.when(
+                F.col("event_id") % 5 == 0,
+                F.concat(
+                    F.col("props"), F.lit(" user"),
+                    F.col("event_id").cast("string"), F.lit("@mail.test"),
+                ),
+            ).otherwise(F.col("props")).alias("text"),
+        )
+
+    got = run_to_memory(
+        scrub_pii(dirty(_stream_events(spark, replay_dir))), "append"
+    )
+    want = scrub_pii(dirty(_batch_events(spark)))
+    s = {r.event_id: (r.n_email, r.clean_text) for r in got.collect()}
+    b = {r.event_id: (r.n_email, r.clean_text) for r in want.collect()}
+    assert s == b
+    assert any(v[0] == 1 for v in b.values())  # redactions actually happened
+    assert all("@" not in v[1] for v in b.values() if v[0])
