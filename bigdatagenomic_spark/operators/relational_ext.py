@@ -2001,3 +2001,91 @@ SELECT decile, n_customers, rev_cents / 100.0 AS revenue,
 FROM per_decile, t
 ORDER BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+# time-series resample + forward fill (gap-filled hourly grid)
+# ---------------------------------------------------------------------------
+RESAMPLE_USERS = 8  # bounded demo slice; the operator itself is per-user
+
+
+def resample_ffill(events: DataFrame, n_slots: int = 24) -> DataFrame:
+    """(user_id, slot, value, filled) — each user's day-1 'value' series
+    resampled onto a dense hourly grid: the LAST observation inside a
+    slot wins, empty slots forward-fill from the previous slot, and
+    slots before a user's first observation stay NULL (flagged).
+    The standard time-series densification (metrics dashboards, feature
+    grids) the engine must express without a driver loop.
+
+    Scale shape: the dense grid is built by EXPLODING a per-user slot
+    sequence (map-side, no cross join); in-slot last-wins is a window
+    over (user, slot) buckets and the forward fill is
+    ``last(ignorenulls)`` over the user's ordered slots — both bounded
+    per user (n_slots rows), so partitions stay small however many
+    users there are.
+    """
+    day1 = events.where(
+        (F.col("user_id") < RESAMPLE_USERS)
+        & (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+    ).select("user_id", "ts", "event_id", "value", F.hour("ts").alias("slot"))
+    pick = W.partitionBy("user_id", "slot").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    obs = (
+        day1.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "slot", F.col("value").alias("obs_value"))
+    )
+    grid = (
+        day1.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_slots - 1))).alias("slot"),
+        )
+    )
+    ffill = W.partitionBy("user_id").orderBy("slot").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        grid.join(obs, ["user_id", "slot"], "left")
+        .select(
+            "user_id",
+            "slot",
+            F.last("obs_value", ignorenulls=True).over(ffill).alias("value"),
+            F.col("obs_value").isNull().alias("filled"),
+        )
+    )
+
+
+def q_x_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample_ffill(load_table(spark, sf_dir, "events")).orderBy(
+        "user_id", "slot"
+    )
+
+
+Q_X_RESAMPLE_FFILL_SQL = f"""
+WITH day1 AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(extract(hour FROM ts) AS INT) AS slot
+  FROM events
+  WHERE user_id < {RESAMPLE_USERS}
+    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'),
+obs AS (
+  SELECT user_id, slot, value AS obs_value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM day1) WHERE rn = 1),
+grid AS (
+  SELECT u.user_id, CAST(s.slot AS INT) AS slot
+  FROM (SELECT DISTINCT user_id FROM day1) u,
+       (SELECT unnest(range(0, 24)) AS slot) s)
+SELECT g.user_id, g.slot,
+       last_value(o.obs_value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       o.obs_value IS NULL AS filled
+FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.slot = o.slot
+ORDER BY g.user_id, g.slot
+"""

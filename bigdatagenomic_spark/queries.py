@@ -448,6 +448,57 @@ register(
 )
 
 
+def q_asm_gc_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-read GC content over the derived ACGT read set (same
+    derivation as q_asm_kmer_counts) — the base-composition QC every
+    sequencing pipeline runs before assembly (GC bias skews coverage;
+    the reference's input loader at assembly_final.cpp:73-145 ingests
+    reads with no composition check at all).
+
+    Map-only: two regexp strips and a length difference per read; no
+    shuffle, no explode."""
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    reads = docs.select(
+        "doc_id",
+        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content"),
+    )
+    gc = F.length(F.regexp_replace("content", "[AT]", ""))
+    return reads.select(
+        "doc_id",
+        F.length("content").cast("long").alias("read_len"),
+        gc.cast("long").alias("gc"),
+        F.round(gc / F.length("content").cast("double"), 4).alias("gc_frac"),
+    ).orderBy("doc_id")
+
+
+register(
+    "q_asm_gc_content",
+    q_asm_gc_content,
+    """
+    WITH r AS (
+      SELECT doc_id,
+             substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'),
+                         17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           CAST(length(content) AS BIGINT) AS read_len,
+           CAST(length(regexp_replace(content, '[AT]', '', 'g')) AS BIGINT)
+             AS gc,
+           round(length(regexp_replace(content, '[AT]', '', 'g'))
+                 / CAST(length(content) AS DOUBLE), 4) AS gc_frac
+    FROM r ORDER BY doc_id
+    """,
+)
+
+
 def q_asm_n50(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contig-length statistics with N50 over the derived read set —
     the standard assembly-quality summary (the reference's `result`
@@ -1915,6 +1966,8 @@ register("q_x_temporal_join", RX.q_x_temporal_join, RX.Q_X_TEMPORAL_JOIN_SQL)
 register("q_x_cumulative_users", RX.q_x_cumulative_users, RX.Q_X_CUMULATIVE_USERS_SQL)
 register("q_x_sequence_gaps", RX.q_x_sequence_gaps, RX.Q_X_SEQUENCE_GAPS_SQL)
 register("q_x_funnel_rates", RX.q_x_funnel_rates, RX.Q_X_FUNNEL_RATES_SQL)
+# hourly resample + forward fill (dense per-user grid, last-wins buckets)
+register("q_x_resample_ffill", RX.q_x_resample_ffill, RX.Q_X_RESAMPLE_FFILL_SQL)
 register("q_x_revenue_deciles", RX.q_x_revenue_deciles, RX.Q_X_REVENUE_DECILES_SQL)
 register("q_text_boilerplate", LP.q_text_boilerplate, LP.Q_TEXT_BOILERPLATE_SQL)
 register("q_x_train_shards", LP.q_x_train_shards, LP.Q_X_TRAIN_SHARDS_SQL)

@@ -130,3 +130,31 @@ def test_emb_normalize_zero_vector(spark):
         F2.transform("v", lambda x: F2.try_divide(x, norm)).alias("u")
     ).collect()
     assert out[0].u == [None, None, None]
+
+
+def test_resample_ffill_semantics(spark):
+    """Last-wins in a bucket, forward fill across gaps, NULL before the
+    first observation."""
+    from datetime import datetime
+
+    from bigdatagenomic_spark.operators.relational_ext import resample_ffill
+
+    rows = [
+        # user 0: obs at hour 2 (two events: later one wins) and hour 5
+        (1, datetime(2024, 1, 1, 2, 10), 0, "a", 10.0, "{}"),
+        (2, datetime(2024, 1, 1, 2, 40), 0, "a", 20.0, "{}"),
+        (3, datetime(2024, 1, 1, 5, 0), 0, "a", 30.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = {r.slot: r for r in resample_ffill(events, n_slots=8).collect()}
+    assert out[0].value is None and out[0].filled
+    assert out[1].value is None
+    assert out[2].value == 20.0 and not out[2].filled  # last obs in bucket
+    assert out[3].value == 20.0 and out[3].filled      # forward filled
+    assert out[4].value == 20.0
+    assert out[5].value == 30.0 and not out[5].filled
+    assert out[7].value == 30.0 and out[7].filled
