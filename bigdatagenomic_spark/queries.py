@@ -2025,6 +2025,10 @@ _PRIORITY_PREFIX = [
     #    hash-checked by pytest + the full-registry preflight.
     "q_sim_ivfpq_topk", "q_text_boilerplate",
     "q_x_train_shards", "q_x_split_leakage",
+    # -- round-6b flagships: distributed BPE tokenizer training,
+    #    ExactSubstr-style span profiling, and perceptual-hash payload
+    #    dedup — the newest first-class LLM-pipeline families
+    "q_text_bpe_train", "q_text_dup_spans", "q_mm_phash_pairs",
     # -- round-5 families: genomics counting kernel + the two-phase-rank
     #    scale machinery
     "q_asm_kmer_counts", "q_x_rfm_segments",
