@@ -2013,10 +2013,14 @@ _PRIORITY_PREFIX = [
     #    driver's 50-entry cap; the TPC-H/extension entries they displace
     #    stay hash-checked by the sf0.001 pytest oracle suite + the
     #    full-registry vanilla-session preflight (tools/preflight.py)
+    # (q_dedup_fuzzy / q_text_fingerprint / q_mm_byte_features rotated OUT
+    # of the checked-50 prefix for round 6b — three rounds of green driver
+    # rows plus pytest + preflight coverage retained — to make room for
+    # the new flagships below without displacing contract entries)
     "q_dedup_minhash_sig", "q_dedup_minhash_pairs", "q_dedup_simhash",
-    "q_dedup_ngram_jaccard", "q_dedup_survivors", "q_dedup_fuzzy",
-    "q_text_tokens", "q_text_quality", "q_text_langid", "q_text_fingerprint",
-    "q_mm_metadata", "q_mm_frame_sample", "q_mm_byte_features",
+    "q_dedup_ngram_jaccard", "q_dedup_survivors",
+    "q_text_tokens", "q_text_quality", "q_text_langid",
+    "q_mm_metadata", "q_mm_frame_sample",
     "q_sim_lsh_topk", "q_sim_ivf_topk",
     # -- round-6 flagships: the composed production ANN (k-means-trained
     #    coarse lists + PQ/ADC), the C4-style boilerplate scrub, the
