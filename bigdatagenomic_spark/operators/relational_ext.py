@@ -2089,3 +2089,101 @@ SELECT g.user_id, g.slot,
 FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.slot = o.slot
 ORDER BY g.user_id, g.slot
 """
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (two-proportion conversion lift + z-score)
+# ---------------------------------------------------------------------------
+ABTEST_VALUE_MIN = 200.0  # conversion = a purchase above this value
+
+
+def abtest_readout(events: DataFrame) -> DataFrame:
+    """(variant, n_users, n_converted, cvr, lift_pct, z_score) — the
+    standard experiment readout: users hash-split into control (A) and
+    treatment (B) by a deterministic id hash, conversion = the user
+    made at least one high-value purchase (> ABTEST_VALUE_MIN; an
+    any-purchase definition saturates at 100%% on this table, making
+    the pooled standard error 0). The two-proportion z uses the pooled
+    rate; lift is B vs A in percent. Deterministic end to end
+    (assignment is a hash, all stats close over exact integer counts,
+    and every float step is the same expression tree in the oracle);
+    degenerate arms (zero control conversions, zero spread) yield NULL
+    via try_divide, matching SQL division-by-zero semantics.
+
+    Scale: one distinct-user aggregate (conversion is an any-match
+    flag via max), one 2-row group-by, one broadcast self-join of the
+    2-row readout to place A's rate next to B's. Nothing user-scaled
+    past the first aggregate.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > ABTEST_VALUE_MIN)
+            ).cast("int")
+        ).alias("converted")
+    )
+    assigned = per_user.select(
+        F.when(F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(2)) == 0,
+               F.lit("A")).otherwise(F.lit("B")).alias("variant"),
+        "converted",
+    )
+    g = assigned.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    a = g.where(F.col("variant") == "A").select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
+    )
+    readout = g.crossJoin(F.broadcast(a))
+    p = F.col("n_converted") / F.col("n_users")
+    pa = F.col("ca") / F.col("na")
+    pooled = (F.col("n_converted") + F.col("ca")) / (F.col("n_users") + F.col("na"))
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_users") + 1.0 / F.col("na"))
+    )
+    return readout.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        F.round(p, 4).alias("cvr"),
+        F.round(F.try_divide(p - pa, pa) * 100, 4).alias("lift_pct"),
+        F.round(F.try_divide(p - pa, se), 4).alias("z_score"),
+    )
+
+
+def q_x_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return abtest_readout(load_table(spark, sf_dir, "events")).orderBy("variant")
+
+
+Q_X_ABTEST_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 200.0
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id),
+assigned AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         converted
+  FROM per_user),
+g AS (
+  SELECT variant, count(*) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM assigned GROUP BY variant),
+a AS (SELECT n_users AS na, n_converted AS ca FROM g WHERE variant = 'A')
+SELECT g.variant, g.n_users, g.n_converted,
+       round(g.n_converted / CAST(g.n_users AS DOUBLE), 4) AS cvr,
+       round((g.n_converted / CAST(g.n_users AS DOUBLE)
+              - a.ca / CAST(a.na AS DOUBLE))
+             / (a.ca / CAST(a.na AS DOUBLE)) * 100, 4) AS lift_pct,
+       round((g.n_converted / CAST(g.n_users AS DOUBLE)
+              - a.ca / CAST(a.na AS DOUBLE))
+             / sqrt(((g.n_converted + a.ca)
+                     / CAST(g.n_users + a.na AS DOUBLE))
+                    * (1 - (g.n_converted + a.ca)
+                           / CAST(g.n_users + a.na AS DOUBLE))
+                    * (1.0 / g.n_users + 1.0 / a.na)), 4) AS z_score
+FROM g, a ORDER BY g.variant
+"""

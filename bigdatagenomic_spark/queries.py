@@ -1968,6 +1968,8 @@ register("q_x_sequence_gaps", RX.q_x_sequence_gaps, RX.Q_X_SEQUENCE_GAPS_SQL)
 register("q_x_funnel_rates", RX.q_x_funnel_rates, RX.Q_X_FUNNEL_RATES_SQL)
 # hourly resample + forward fill (dense per-user grid, last-wins buckets)
 register("q_x_resample_ffill", RX.q_x_resample_ffill, RX.Q_X_RESAMPLE_FFILL_SQL)
+# A/B experiment readout: hash split, conversion lift, two-proportion z
+register("q_x_abtest", RX.q_x_abtest, RX.Q_X_ABTEST_SQL)
 register("q_x_revenue_deciles", RX.q_x_revenue_deciles, RX.Q_X_REVENUE_DECILES_SQL)
 register("q_text_boilerplate", LP.q_text_boilerplate, LP.Q_TEXT_BOILERPLATE_SQL)
 register("q_x_train_shards", LP.q_x_train_shards, LP.Q_X_TRAIN_SHARDS_SQL)

@@ -158,3 +158,35 @@ def test_resample_ffill_semantics(spark):
     assert out[4].value == 20.0
     assert out[5].value == 30.0 and not out[5].filled
     assert out[7].value == 30.0 and out[7].filled
+
+
+def test_abtest_readout_hand_computed(spark):
+    from datetime import datetime
+
+    from bigdatagenomic_spark.operators.relational_ext import abtest_readout
+
+    # md5-hash parity of user ids: choose users landing in each arm
+    from bigdatagenomic_spark.functions import md5_long  # noqa: F401
+
+    rows = []
+    i = 0
+    for uid in range(20):
+        # every user gets a view; users 0-4 also a high-value purchase
+        rows.append((i, datetime(2024, 1, 1, 1), uid, "view", 1.0, "{}")); i += 1
+        if uid < 5:
+            rows.append(
+                (i, datetime(2024, 1, 1, 2), uid, "purchase", 500.0, "{}")
+            ); i += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = {r.variant: r for r in abtest_readout(events).collect()}
+    assert set(out) == {"A", "B"}
+    assert out["A"].n_users + out["B"].n_users == 20
+    assert out["A"].n_converted + out["B"].n_converted == 5
+    # control arm's lift over itself is exactly 0
+    assert out["A"].lift_pct == 0.0 and out["A"].z_score == 0.0
+    for r in out.values():
+        assert abs(r.cvr - r.n_converted / r.n_users) < 1e-4
