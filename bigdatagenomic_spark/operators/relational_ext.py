@@ -2187,3 +2187,82 @@ SELECT g.variant, g.n_users, g.n_converted,
                     * (1.0 / g.n_users + 1.0 / a.na)), 4) AS z_score
 FROM g, a ORDER BY g.variant
 """
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing over the resampled grid (alpha = 1/2, engine-exact)
+# ---------------------------------------------------------------------------
+def ewma_half(grid: DataFrame) -> DataFrame:
+    """(user_id, slot, value, ewma) — exponentially weighted moving
+    average with alpha = 1/2 over each user's dense slot grid
+    (s_t = x_t/2 + s_{t-1}/2, s_0 = x_0), via the closed form
+
+        s_t = (x_0 + sum_{k=1..t} x_k * 2^(k-1)) / 2^t
+
+    alpha = 1/2 is chosen deliberately: every weight is a power of two,
+    so each product x_k * 2^(k-1) is EXACT in IEEE doubles and the two
+    engines' identical-order cumulative sums agree bit-for-bit — a
+    general alpha would make the smoothing a float-pow ulp lottery.
+    One bounded per-user window (the grid is n_slots rows per user),
+    same scale shape as the resample that feeds it. NULL slots (before
+    a user's first observation) contribute 0.
+    """
+    cum = W.partitionBy("user_id").orderBy("slot").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    x = F.coalesce(F.col("value"), F.lit(0.0))
+    term = F.when(F.col("slot") == 0, x).otherwise(
+        x * F.pow(F.lit(2.0), F.col("slot") - 1)
+    )
+    return (
+        grid.withColumn("_term", term)
+        .withColumn(
+            "ewma",
+            F.round(
+                F.sum("_term").over(cum) / F.pow(F.lit(2.0), F.col("slot")), 4
+            ),
+        )
+        .drop("_term")
+    )
+
+
+def q_x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = resample_ffill(load_table(spark, sf_dir, "events")).select(
+        "user_id", "slot", "value"
+    )
+    return ewma_half(grid).orderBy("user_id", "slot")
+
+
+Q_X_EWMA_SQL = f"""
+WITH day1 AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(extract(hour FROM ts) AS INT) AS slot
+  FROM events
+  WHERE user_id < {RESAMPLE_USERS}
+    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'),
+obs AS (
+  SELECT user_id, slot, value AS obs_value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM day1) WHERE rn = 1),
+grid AS (
+  SELECT u.user_id, CAST(s.slot AS INT) AS slot
+  FROM (SELECT DISTINCT user_id FROM day1) u,
+       (SELECT unnest(range(0, 24)) AS slot) s),
+filled AS (
+  SELECT g.user_id, g.slot,
+         last_value(o.obs_value IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.slot
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.slot = o.slot),
+terms AS (
+  SELECT user_id, slot, value,
+         CASE WHEN slot = 0 THEN coalesce(value, 0.0)
+              ELSE coalesce(value, 0.0) * pow(2.0, slot - 1) END AS term
+  FROM filled)
+SELECT user_id, slot, value,
+       round(sum(term) OVER (PARTITION BY user_id ORDER BY slot
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / pow(2.0, slot), 4) AS ewma
+FROM terms ORDER BY user_id, slot
+"""

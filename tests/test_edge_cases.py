@@ -190,3 +190,20 @@ def test_abtest_readout_hand_computed(spark):
     assert out["A"].lift_pct == 0.0 and out["A"].z_score == 0.0
     for r in out.values():
         assert abs(r.cvr - r.n_converted / r.n_users) < 1e-4
+
+
+def test_ewma_half_matches_recurrence(spark):
+    from bigdatagenomic_spark.operators.relational_ext import ewma_half
+
+    vals = [4.0, 8.0, None, 2.0]  # None contributes 0
+    grid = spark.createDataFrame(
+        [(0, i, v) for i, v in enumerate(vals)],
+        "user_id LONG, slot INT, value DOUBLE",
+    )
+    out = [r.ewma for r in ewma_half(grid).orderBy("slot").collect()]
+    s, want = None, []
+    for v in vals:
+        x = 0.0 if v is None else v
+        s = x if s is None else x / 2 + s / 2
+        want.append(round(s, 4))
+    assert out == want
