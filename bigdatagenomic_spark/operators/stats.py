@@ -33,8 +33,10 @@ on top of the SURVEY.md §2.B surface:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from bigdatagenomic_spark.functions import md5_long
 from bigdatagenomic_spark.operators.relational import round2_portable
 from bigdatagenomic_spark.sources.tables import load_table
 
@@ -739,4 +741,123 @@ SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour, count(*) AS n
 FROM events
 GROUP BY 1, 2
 ORDER BY dow, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (the scalable bootstrap)
+# ---------------------------------------------------------------------------
+BOOT_B = 100  # bootstrap replicas
+# Poisson(1) inverse-CDF thresholds scaled by 1e9 — the uniform draw is an
+# INTEGER hash residue compared against integer thresholds, so replica
+# weights are engine-exact (no float CDF anywhere)
+_POIS_T = (367879441, 735758882, 919698603, 981011843, 996340153)
+
+
+def bootstrap_ci_mean(orders: DataFrame, n_reps: int = BOOT_B) -> DataFrame:
+    """One-row (n_replicas, point_mean, ci_lo, ci_hi): 95% bootstrap CI
+    for the mean order value. Classic resampling draws n rows n times
+    per replica — unshardable; the POISSON bootstrap (Chamandy et al.,
+    Google 2012) instead gives every (row, replica) an independent
+    Poisson(1) weight, which is a map-side explode followed by one
+    partial-aggregated group-by on the replica id: the 100 TB-correct
+    formulation. Weights come from an integer hash residue against
+    integer inverse-CDF thresholds; replica sums stay in exact integer
+    cents, so each replica mean is one exact division and the engines
+    agree bit-for-bit. The final rank-and-pick runs over n_reps rows —
+    a bounded single window by construction (same documented class as
+    q_x_funnel_rates' 3-row window).
+    """
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("b")
+    u = F.pmod(
+        md5_long(
+            F.concat(
+                F.lit("boot:"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("key").cast("string"),
+            )
+        ),
+        F.lit(1_000_000_000),
+    )
+    w = (
+        F.when(u < _POIS_T[0], 0)
+        .when(u < _POIS_T[1], 1)
+        .when(u < _POIS_T[2], 2)
+        .when(u < _POIS_T[3], 3)
+        .when(u < _POIS_T[4], 4)
+        .otherwise(5)
+    )
+    reps = (
+        base.select("key", "cents", b)
+        .select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("sc"),
+            F.sum("w").alias("n"),
+        )
+        .select("b", (F.col("sc") / (F.col("n") * 100.0)).alias("m"))
+    )
+    ranked = reps.select(
+        "m", F.row_number().over(W.orderBy(F.asc("m"), F.asc("b"))).alias("rk")
+    )
+    ci = ranked.agg(
+        F.min(F.when(F.col("rk") == 3, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == n_reps - 2, F.col("m"))).alias("ci_hi"),
+    )
+    point = base.agg(
+        (F.sum("cents") / (F.count("*") * 100.0)).alias("point_mean")
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        F.lit(n_reps).cast("long").alias("n_replicas"),
+        F.round("point_mean", 4).alias("point_mean"),
+        F.round("ci_lo", 4).alias("ci_lo"),
+        F.round("ci_hi", 4).alias("ci_hi"),
+    )
+
+
+def q_x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bootstrap_ci_mean(load_table(spark, sf_dir, "orders"))
+
+
+Q_X_BOOTSTRAP_CI_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS key,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+drawn AS (
+  SELECT b.b, base.cents,
+         CAST(('0x' || substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':'
+                                  || CAST(base.key AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000000 AS u
+  FROM base, (SELECT unnest(range(0, {BOOT_B})) AS b) b),
+weighted AS (
+  SELECT b, cents,
+         CASE WHEN u < {_POIS_T[0]} THEN 0
+              WHEN u < {_POIS_T[1]} THEN 1
+              WHEN u < {_POIS_T[2]} THEN 2
+              WHEN u < {_POIS_T[3]} THEN 3
+              WHEN u < {_POIS_T[4]} THEN 4
+              ELSE 5 END AS w
+  FROM drawn),
+reps AS (
+  SELECT b, sum(w * cents) / (sum(w) * 100.0) AS m
+  FROM weighted GROUP BY b),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM reps),
+ci AS (
+  SELECT min(CASE WHEN rk = 3 THEN m END) AS ci_lo,
+         min(CASE WHEN rk = {BOOT_B} - 2 THEN m END) AS ci_hi
+  FROM ranked),
+pt AS (
+  SELECT sum(cents) / (count(*) * 100.0) AS point_mean FROM base)
+SELECT CAST({BOOT_B} AS BIGINT) AS n_replicas,
+       round(pt.point_mean, 4) AS point_mean,
+       round(ci.ci_lo, 4) AS ci_lo,
+       round(ci.ci_hi, 4) AS ci_hi
+FROM pt, ci
 """

@@ -207,3 +207,18 @@ def test_ewma_half_matches_recurrence(spark):
         s = x if s is None else x / 2 + s / 2
         want.append(round(s, 4))
     assert out == want
+
+
+def test_bootstrap_ci_brackets_point_mean(spark):
+    from bigdatagenomic_spark.operators.stats import bootstrap_ci_mean
+
+    orders = spark.createDataFrame(
+        [(i, 100.0 + (i % 7)) for i in range(300)],
+        "o_orderkey LONG, o_totalprice DOUBLE",
+    )
+    a = bootstrap_ci_mean(orders).collect()[0]
+    assert a.ci_lo < a.point_mean < a.ci_hi
+    # tight data -> tight interval
+    assert a.ci_hi - a.ci_lo < 2.0
+    b = bootstrap_ci_mean(orders).collect()[0]
+    assert (a.ci_lo, a.ci_hi) == (b.ci_lo, b.ci_hi)  # deterministic replay

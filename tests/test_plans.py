@@ -297,6 +297,7 @@ _BNLJ_ALLOWED = {
     "q_x_temperature_mix",   # 1-row (sum_w, n_total) scalar (skew_report pattern)
     "q_text_bpe_train",      # 1-row best-pair broadcast per merge round
     "q_x_abtest",            # 1-row control-arm scalar against the 2-row readout
+    "q_x_bootstrap_ci",      # 1-row point estimate x 1-row CI scalars
 }
 
 
