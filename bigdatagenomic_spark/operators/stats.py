@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from bigdatagenomic_spark.functions import md5_long
+from bigdatagenomic_spark.functions import md5_long, tokens
 from bigdatagenomic_spark.operators.relational import round2_portable
 from bigdatagenomic_spark.sources.tables import load_table
 
@@ -860,4 +860,117 @@ SELECT CAST({BOOT_B} AS BIGINT) AS n_replicas,
        round(ci.ci_lo, 4) AS ci_lo,
        round(ci.ci_hi, 4) AS ci_hi
 FROM pt, ci
+"""
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy-hitter monitor (deterministic, exact-checkable)
+# ---------------------------------------------------------------------------
+CMS_DEPTH = 4     # independent hash rows
+CMS_WIDTH = 1024  # buckets per row
+CMS_TOPK = 20
+
+
+def cms_word_monitor(
+    docs: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    k: int = CMS_TOPK,
+) -> DataFrame:
+    """(word, exact_count, cms_est, overestimate) for the corpus's top-k
+    words: builds a count-min sketch (depth x width counter grid) over
+    the token stream and reads the top words back through it, next to
+    their exact counts — the sketch-accuracy monitor a pipeline runs
+    before trusting CMS numbers at full scale. CMS never undercounts,
+    so overestimate >= 0 always; its size is the quality signal.
+
+    Unlike the HLL rollup (approximate BY ALGORITHM -> rows-only
+    check), CMS with fixed seeded hashes is a pure deterministic
+    fold: the whole sketch is groupBy((row, bucket)) over map-side
+    hashes — d*w = 4096 cells whatever the corpus size — and the
+    estimate is a min over d cells. Everything hash-checks against the
+    oracle replaying the same grid.
+    """
+    words = docs.where(F.col("text").isNotNull()).select(
+        F.explode(tokens(F.col("text"))).alias("word")
+    )
+    r = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+
+    def bucket(word: Column, row: Column) -> Column:
+        return F.pmod(
+            md5_long(
+                F.concat(F.lit("cms"), row.cast("string"), F.lit(":"), word)
+            ),
+            F.lit(width),
+        )
+
+    sketch = (
+        words.select("word", r)
+        .select("r", bucket(F.col("word"), F.col("r")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cell"))
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("word"))
+        .limit(k)
+    )
+    probes = top.select(
+        "word", "exact_count", r
+    ).select(
+        "word",
+        "exact_count",
+        "r",
+        bucket(F.col("word"), F.col("r")).alias("bucket"),
+    )
+    est = (
+        probes.join(sketch, ["r", "bucket"])
+        .groupBy("word", "exact_count")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        "word",
+        F.col("exact_count").cast("long").alias("exact_count"),
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_count")).cast("long").alias(
+            "overestimate"
+        ),
+    )
+
+
+def q_x_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_word_monitor(load_table(spark, sf_dir, "documents")).orderBy(
+        F.desc("exact_count"), F.asc("word")
+    )
+
+
+Q_X_CMS_WORDS_SQL = f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS word
+  FROM documents WHERE text IS NOT NULL),
+hashed AS (
+  SELECT word, r.r,
+         CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || ':'
+                                  || word), 1, 15)) AS BIGINT)
+           % {CMS_WIDTH} AS bucket
+  FROM words, (SELECT unnest(range(0, {CMS_DEPTH})) AS r) r),
+sketch AS (
+  SELECT r, bucket, count(*) AS cell FROM hashed GROUP BY r, bucket),
+top AS (
+  SELECT word, count(*) AS exact_count FROM words GROUP BY word
+  ORDER BY exact_count DESC, word LIMIT {CMS_TOPK}),
+probes AS (
+  SELECT t.word, t.exact_count, r.r,
+         CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || ':'
+                                  || t.word), 1, 15)) AS BIGINT)
+           % {CMS_WIDTH} AS bucket
+  FROM top t, (SELECT unnest(range(0, {CMS_DEPTH})) AS r) r)
+SELECT p.word, CAST(p.exact_count AS BIGINT) AS exact_count,
+       CAST(min(s.cell) AS BIGINT) AS cms_est,
+       CAST(min(s.cell) - p.exact_count AS BIGINT) AS overestimate
+FROM probes p JOIN sketch s USING (r, bucket)
+GROUP BY p.word, p.exact_count
+ORDER BY exact_count DESC, word
 """

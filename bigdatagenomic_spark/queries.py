@@ -1912,6 +1912,8 @@ register("q_x_outlier_flags", ST.q_x_outlier_flags, ST.Q_X_OUTLIER_FLAGS_SQL)
 register("q_x_hll_rollup", ST.q_x_hll_rollup, None)
 # Poisson bootstrap 95% CI for the mean (integer-threshold weights)
 register("q_x_bootstrap_ci", ST.q_x_bootstrap_ci, ST.Q_X_BOOTSTRAP_CI_SQL)
+# count-min sketch heavy-hitter monitor (deterministic grid, exact check)
+register("q_x_cms_words", ST.q_x_cms_words, ST.Q_X_CMS_WORDS_SQL)
 register("q_x_benford", ST.q_x_benford, ST.Q_X_BENFORD_SQL)
 register("q_x_dow_hour_heatmap", ST.q_x_dow_hour_heatmap, ST.Q_X_DOW_HOUR_HEATMAP_SQL)
 register("q_x_dq_report", ST.q_x_dq_report, ST.Q_X_DQ_REPORT_SQL)

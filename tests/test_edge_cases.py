@@ -222,3 +222,19 @@ def test_bootstrap_ci_brackets_point_mean(spark):
     assert a.ci_hi - a.ci_lo < 2.0
     b = bootstrap_ci_mean(orders).collect()[0]
     assert (a.ci_lo, a.ci_hi) == (b.ci_lo, b.ci_hi)  # deterministic replay
+
+
+def test_cms_never_undercounts_and_collides_when_narrow(spark):
+    from bigdatagenomic_spark.operators.stats import cms_word_monitor
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma " * (i % 3))) for i in range(30)],
+        "doc_id LONG, text STRING",
+    )
+    # roomy sketch: exact
+    wide = {r.word: r for r in cms_word_monitor(docs, width=1024).collect()}
+    assert all(r.overestimate == 0 for r in wide.values())
+    # 2-bucket rows force collisions: estimates may inflate, never deflate
+    narrow = {r.word: r for r in cms_word_monitor(docs, width=2).collect()}
+    assert all(r.cms_est >= r.exact_count for r in narrow.values())
+    assert any(r.overestimate > 0 for r in narrow.values())
