@@ -573,3 +573,91 @@ FROM l{n_iter} WHERE id < 1000000 ORDER BY id"""
 
 
 Q_GRAPH_LPA_SQL = _lpa_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# hierarchy closure (root + depth) via pointer doubling
+# --------------------------------------------------------------------------
+TREE_N = 1024
+TREE_DOUBLING_ROUNDS = 11  # ceil(log2(max depth)) + 1 for the 1024-node tree
+
+
+def tree_closure(parents: DataFrame, n_rounds: int = TREE_DOUBLING_ROUNDS) -> DataFrame:
+    """(node, root, depth) for a parent-pointer forest — org charts,
+    bill-of-materials, comment threads. The sequential walk is O(depth)
+    supersteps; POINTER DOUBLING halves the remaining distance each
+    round (anc <- anc's anc, depth <- depth + anc's depth), so a
+    depth-d hierarchy closes in ceil(log2 d) self-joins of the narrow
+    (node, anc, depth) state — the same doubling the assembly path walk
+    uses (operators/assembly.py), here with distance accumulation.
+    Roots carry (node, node, 0), which doubles into a fixpoint: joining
+    a root's state adds nothing, so extra rounds are no-ops rather than
+    drift.
+
+    ``parents``: (node, parent); roots are rows where parent == node.
+    """
+    state = parents.select(
+        F.col("node"),
+        F.col("parent").alias("anc"),
+        F.when(F.col("parent") == F.col("node"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("depth"),
+    ).localCheckpoint(eager=True)
+    for _ in range(n_rounds):
+        hop = state.select(
+            F.col("node").alias("_n"),
+            F.col("anc").alias("_a"),
+            F.col("depth").alias("_d"),
+        )
+        state = (
+            state.join(hop, state["anc"] == hop["_n"])
+            .select(
+                "node",
+                F.col("_a").alias("anc"),
+                (F.col("depth") + F.col("_d")).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("node", F.col("anc").alias("root"), "depth")
+
+
+def q_x_tree_closure(spark, sf_dir: str) -> DataFrame:
+    """Binary-heap hierarchy over the first TREE_N order keys
+    (parent(k) = k div 2, root 1): every node's root and depth via
+    pointer doubling, hash-checked against a recursive-CTE walk."""
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderkey") >= 1) & (F.col("o_orderkey") <= TREE_N)
+    )
+    parents = o.select(
+        F.col("o_orderkey").alias("node"),
+        F.when(F.col("o_orderkey") == 1, F.lit(1))
+        .otherwise(F.floor(F.col("o_orderkey") / 2))
+        .cast("long")
+        .alias("parent"),
+    )
+    return tree_closure(parents).orderBy("node")
+
+
+Q_X_TREE_CLOSURE_SQL = f"""
+WITH RECURSIVE nodes AS (
+  SELECT o_orderkey AS node,
+         CASE WHEN o_orderkey = 1 THEN 1
+              ELSE CAST(floor(o_orderkey / 2) AS BIGINT) END AS parent
+  FROM orders WHERE o_orderkey BETWEEN 1 AND {TREE_N}),
+walk AS (
+  SELECT node, parent AS anc,
+         CASE WHEN parent = node THEN 0 ELSE 1 END AS depth
+  FROM nodes
+  UNION ALL
+  SELECT w.node, n.parent, w.depth + 1
+  FROM walk w JOIN nodes n ON w.anc = n.node
+  WHERE n.parent <> w.anc)
+SELECT node, CAST(anc AS BIGINT) AS root, CAST(depth AS BIGINT) AS depth
+FROM (SELECT node, anc, depth,
+             row_number() OVER (PARTITION BY node ORDER BY depth DESC) AS rn
+      FROM walk)
+WHERE rn = 1 ORDER BY node
+"""

@@ -1422,6 +1422,8 @@ from bigdatagenomic_spark.operators import graph as G
 register("q_graph_cc", G.q_graph_cc, G.Q_GRAPH_CC_SQL)
 # synchronous least-label LPA community detection (loop-unrolled oracle)
 register("q_graph_lpa", G.q_graph_lpa, G.Q_GRAPH_LPA_SQL)
+# hierarchy closure (root + depth) via pointer doubling, recursive oracle
+register("q_x_tree_closure", G.q_x_tree_closure, G.Q_X_TREE_CLOSURE_SQL)
 
 
 # BPE-ish pretokenizer counts — same regex dialect subset (no lookaround,

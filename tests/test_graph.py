@@ -186,3 +186,24 @@ def test_label_propagation_isolated_pair(spark):
     assert a == b  # deterministic replay
     # even iterations of a 2-cycle return each vertex to its own label
     assert a == {(5, 5), (6, 6)}
+
+
+def test_tree_closure_depths_and_roots(spark):
+    """Two trees: a chain (max depth) and a star (depth 1), plus a
+    lone root; doubling must report exact depths for all."""
+    from bigdatagenomic_spark.operators.graph import tree_closure
+
+    rows = (
+        [(1, 1), (2, 1), (3, 2), (4, 3), (5, 4)]        # chain 1<-2<-3<-4<-5
+        + [(10, 10), (11, 10), (12, 10), (13, 10)]       # star rooted at 10
+        + [(99, 99)]                                     # isolated root
+    )
+    parents = spark.createDataFrame(rows, "node LONG, parent LONG")
+    out = {r.node: (r.root, r.depth) for r in tree_closure(parents, n_rounds=4).collect()}
+    assert out[5] == (1, 4) and out[4] == (1, 3) and out[2] == (1, 1)
+    assert out[1] == (1, 0)
+    assert out[11] == (10, 1) and out[10] == (10, 0)
+    assert out[99] == (99, 0)
+    # extra rounds are no-ops, not drift
+    again = {r.node: (r.root, r.depth) for r in tree_closure(parents, n_rounds=8).collect()}
+    assert again == out
