@@ -933,3 +933,85 @@ FROM ranked r JOIN budgets b USING (source)
 WHERE r.pick_rank <= b.budget
 ORDER BY r.source, r.doc_id
 """
+
+# --------------------------------------------------------------------------
+# ML feature prep: hashing-trick features + frequency label indexing
+# --------------------------------------------------------------------------
+FEATURE_BUCKETS = 256
+
+
+def feature_hash(docs: DataFrame, n_buckets: int = FEATURE_BUCKETS) -> DataFrame:
+    """(doc_id, bucket, weight) — the hashing trick: each token is
+    hashed into one of ``n_buckets`` feature slots, weights are the
+    per-doc slot counts. Sparse long format on purpose: a dense
+    n_buckets-wide vector per doc is what a trainer materializes
+    LOCALLY; at corpus scale the engine should move only occupied
+    (doc, slot) cells (vocabulary-free, collision-tolerant — the
+    standard Weinberger et al. 2009 trade).
+
+    Map-only explode + one map-side-combined count shuffle; no
+    vocabulary table, no fit step, nothing to broadcast.
+    """
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .select(
+            "doc_id",
+            F.pmod(md5_long(F.col("word")), F.lit(n_buckets)).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
+def q_x_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return feature_hash(_docs(spark, sf_dir)).orderBy("doc_id", "bucket")
+
+
+Q_X_FEATURE_HASH_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS word
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+       {_H_SQL.format(x='word')} % {FEATURE_BUCKETS} AS bucket,
+       CAST(count(*) AS BIGINT) AS weight
+FROM w GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+"""
+
+
+def label_index(df: DataFrame, col: str) -> DataFrame:
+    """(label, n_rows, idx) — frequency-ordered categorical indexing
+    (the StringIndexer fit step): most frequent label gets 0, ties
+    break on the label itself. The index is a TWO-PHASE rank over the
+    label-frequency table, so an unbounded category domain (user ids,
+    URLs) never funnels into one window task; downstream encoding is a
+    broadcast/equi-join of this table against the raw column.
+    """
+    from bigdatagenomic_spark.operators.scale import two_phase_rank
+
+    counts = df.groupBy(F.col(col).alias("label")).agg(
+        F.count("*").alias("n_rows")
+    )
+    ranked = two_phase_rank(
+        counts,
+        [F.desc("n_rows"), F.asc("label")],
+        rank_col="_rk",
+    )
+    return ranked.select(
+        "label", "n_rows", (F.col("_rk") - 1).cast("long").alias("idx")
+    )
+
+
+def q_x_label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_index(_docs(spark, sf_dir), "source").orderBy("idx")
+
+
+Q_X_LABEL_INDEX_SQL = """
+SELECT source AS label, count(*) AS n_rows,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, source) - 1 AS BIGINT)
+         AS idx
+FROM documents GROUP BY source ORDER BY idx
+"""

@@ -1991,6 +1991,9 @@ register("q_text_dup_spans", LP.q_text_dup_spans, LP.Q_TEXT_DUP_SPANS_SQL)
 register(
     "q_x_temperature_mix", LP.q_x_temperature_mix, LP.Q_X_TEMPERATURE_MIX_SQL
 )
+# hashing-trick sparse features + frequency label indexing (ML prep)
+register("q_x_feature_hash", LP.q_x_feature_hash, LP.Q_X_FEATURE_HASH_SQL)
+register("q_x_label_index", LP.q_x_label_index, LP.Q_X_LABEL_INDEX_SQL)
 
 
 # ---------------------------------------------------------------------------

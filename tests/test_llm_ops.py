@@ -715,3 +715,30 @@ def test_k_anonymize_generalizes_and_suppresses(spark):
     assert not any(t == "buy" for t, _ in out)
     # every released group satisfies k
     assert all(r.n_users >= 5 for r in out.values())
+
+
+def test_feature_hash_sparse_counts(spark):
+    from bigdatagenomic_spark.operators.llm_prep import feature_hash
+
+    docs = spark.createDataFrame(
+        [(0, "cat cat dog"), (1, "cat")], "doc_id LONG, text STRING"
+    )
+    out = feature_hash(docs, n_buckets=64).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.weight
+    # same word -> same bucket in every doc; weights are per-doc counts
+    cat_bucket = next(b for b, w in by_doc[1].items())
+    assert by_doc[0][cat_bucket] == 2
+    assert sum(by_doc[0].values()) == 3 and sum(by_doc[1].values()) == 1
+
+
+def test_label_index_frequency_order(spark):
+    from bigdatagenomic_spark.operators.llm_prep import label_index
+
+    rows = [(i, "c") for i in range(5)] + [(10 + i, "a") for i in range(3)] + [
+        (20 + i, "b") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    out = {r.label: r.idx for r in label_index(df, "source").collect()}
+    assert out == {"c": 0, "a": 1, "b": 2}  # freq desc, then label asc
