@@ -2266,3 +2266,70 @@ SELECT user_id, slot, value,
              / pow(2.0, slot), 4) AS ewma
 FROM terms ORDER BY user_id, slot
 """
+
+
+# ---------------------------------------------------------------------------
+# null imputation (per-group mean, integer-exact)
+# ---------------------------------------------------------------------------
+def impute_group_mean(events: DataFrame) -> DataFrame:
+    """(event_id, event_type, value_raw, value_imputed, was_imputed) —
+    fill NULL metric values with their group's mean, the baseline ML
+    imputation. The demo plants NULLs deterministically (every 7th
+    event) since the table has none; the operator is the general shape.
+
+    The group mean is computed in EXACT integer cents with half-up
+    rounding ((2*sum + n) div (2n), the q_pipeline_curation pattern):
+    averaging doubles lets partial-sum association order flip a
+    half-cent boundary between engines. One aggregate + one broadcast
+    join of the |groups|-row mean table; map-only otherwise.
+    """
+    base = events.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_raw"),
+    )
+    means = (
+        base.where(F.col("value_raw").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.round(F.col("value_raw") * 100).cast("long")).alias("_sc"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            "event_type",
+            (F.expr("(2 * _sc + _n) div (2 * _n)") / 100.0).alias("_mean"),
+        )
+    )
+    return base.join(F.broadcast(means), "event_type", "left").select(
+        "event_id",
+        "event_type",
+        "value_raw",
+        F.coalesce("value_raw", "_mean").alias("value_imputed"),
+        F.col("value_raw").isNull().alias("was_imputed"),
+    )
+
+
+def q_x_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return impute_group_mean(load_table(spark, sf_dir, "events")).orderBy(
+        "event_id"
+    )
+
+
+Q_X_IMPUTE_SQL = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_raw
+  FROM events),
+means AS (
+  SELECT event_type,
+         ((2 * sum(CAST(round(value_raw * 100) AS BIGINT)) + count(*))
+          // (2 * count(*))) / 100.0 AS _mean
+  FROM base WHERE value_raw IS NOT NULL GROUP BY event_type)
+SELECT b.event_id, b.event_type, b.value_raw,
+       coalesce(b.value_raw, m._mean) AS value_imputed,
+       b.value_raw IS NULL AS was_imputed
+FROM base b LEFT JOIN means m USING (event_type)
+ORDER BY b.event_id
+"""

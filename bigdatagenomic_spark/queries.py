@@ -1978,6 +1978,8 @@ register("q_x_resample_ffill", RX.q_x_resample_ffill, RX.Q_X_RESAMPLE_FFILL_SQL)
 register("q_x_abtest", RX.q_x_abtest, RX.Q_X_ABTEST_SQL)
 # EWMA (alpha=1/2, power-of-two-exact) over the resampled grid
 register("q_x_ewma", RX.q_x_ewma, RX.Q_X_EWMA_SQL)
+# per-group mean imputation with integer-exact means
+register("q_x_impute", RX.q_x_impute, RX.Q_X_IMPUTE_SQL)
 register("q_x_revenue_deciles", RX.q_x_revenue_deciles, RX.Q_X_REVENUE_DECILES_SQL)
 register("q_text_boilerplate", LP.q_text_boilerplate, LP.Q_TEXT_BOILERPLATE_SQL)
 register("q_x_train_shards", LP.q_x_train_shards, LP.Q_X_TRAIN_SHARDS_SQL)

@@ -238,3 +238,28 @@ def test_cms_never_undercounts_and_collides_when_narrow(spark):
     narrow = {r.word: r for r in cms_word_monitor(docs, width=2).collect()}
     assert all(r.cms_est >= r.exact_count for r in narrow.values())
     assert any(r.overestimate > 0 for r in narrow.values())
+
+
+def test_impute_group_mean_exact(spark):
+    from datetime import datetime
+
+    from bigdatagenomic_spark.operators.relational_ext import impute_group_mean
+
+    ts = datetime(2024, 1, 1)
+    rows = [
+        (1, ts, 0, "a", 10.0, "{}"),
+        (2, ts, 0, "a", 20.01, "{}"),
+        (7, ts, 0, "a", 99.0, "{}"),   # id % 7 == 0 -> planted null
+        (14, ts, 0, "b", 5.0, "{}"),   # null; group b has no observed rows
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = {r.event_id: r for r in impute_group_mean(events).collect()}
+    # mean of (10.00, 20.01) = 15.005 -> half-up to 15.01
+    assert out[7].was_imputed and out[7].value_imputed == 15.01
+    assert not out[1].was_imputed and out[1].value_imputed == 10.0
+    # a group with zero observed rows stays NULL (nothing to impute from)
+    assert out[14].was_imputed and out[14].value_imputed is None
