@@ -444,3 +444,66 @@ def phash_pairs(mm: DataFrame, max_hamming: int = PHASH_MAX_HAMMING) -> DataFram
 def q_mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = attach_payloads(load_table(spark, sf_dir, "documents"))
     return phash_pairs(mm).orderBy("a_id", "b_id")
+
+
+# --- silence/flat-region trimming (variance-gated frame filter) ------------
+TRIM_FRAME_BYTES = 64
+# keep a frame when n*sum(x^2) - sum(x)^2 > TRIM_VAR_T * n^2  (i.e. byte
+# variance > TRIM_VAR_T) — the comparison stays in exact integers
+TRIM_VAR_T = 150
+
+
+def trim_flat_frames(
+    mm: DataFrame,
+    frame_bytes: int = TRIM_FRAME_BYTES,
+    var_threshold: int = TRIM_VAR_T,
+) -> DataFrame:
+    """(doc_id, frame_idx, frame_len, variance_num, kept) — the audio
+    silence-removal shape: cut each payload into fixed frames and gate
+    on per-frame energy/variance, keeping only 'active' frames. A real
+    audio pipeline swaps the byte-variance for decoded-sample RMS with
+    the same Arrow contract (payload in, per-frame verdicts out).
+
+    The gate is the integer cross-multiplied variance test
+    ``n*Σx² − (Σx)² > T·n²`` — byte sums and squares are exact
+    integers, so the verdict is engine-exact with no float epsilon,
+    and the oracle replays it directly on ascii codes.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, nums, keeps = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n_frames = (len(buf) + frame_bytes - 1) // frame_bytes
+                for i in range(n_frames):
+                    fr = buf[i * frame_bytes : (i + 1) * frame_bytes]
+                    n = len(fr)
+                    s = sum(fr)
+                    sq = sum(b * b for b in fr)
+                    num = n * sq - s * s
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(n)
+                    nums.append(num)
+                    keeps.append(num > var_threshold * n * n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "variance_num": pd.Series(nums, dtype="int64"),
+                    "kept": pd.Series(keeps, dtype="bool"),
+                }
+            )
+
+    return mm.mapInPandas(
+        gen,
+        "doc_id BIGINT, frame_idx INT, frame_len INT,"
+        " variance_num BIGINT, kept BOOLEAN",
+    )
+
+
+def q_mm_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = attach_payloads(load_table(spark, sf_dir, "documents"))
+    return trim_flat_frames(mm).orderBy("doc_id", "frame_idx")

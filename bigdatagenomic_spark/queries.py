@@ -1743,6 +1743,31 @@ register("q_text_bpe_encode", BPE.q_text_bpe_encode, BPE.Q_TEXT_BPE_ENCODE_SQL)
 # are integer-valued sums so the oracle rebuilds the hash bit-for-bit,
 # then replays the same 8-bit-chunk pigeonhole blocking as simhash
 register(
+    "q_mm_silence_trim",
+    MM.q_mm_silence_trim,
+    f"""WITH c AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) + 1),
+                                i -> ascii(substring(text, i, 1))) AS codes
+          FROM documents),
+        fr AS (
+          SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                 codes[(i*{MM.TRIM_FRAME_BYTES}+1):((i+1)*{MM.TRIM_FRAME_BYTES})]
+                   AS f
+          FROM c, unnest(range(0, CAST(ceil(len(codes)
+                   / {MM.TRIM_FRAME_BYTES}.0) AS BIGINT))) u(i)),
+        stats AS (
+          SELECT doc_id, frame_idx,
+                 CAST(len(f) AS INT) AS frame_len,
+                 CAST(len(f) * list_sum(list_transform(f, x -> x * x))
+                      - list_sum(f) * list_sum(f) AS BIGINT) AS variance_num
+          FROM fr)
+        SELECT doc_id, frame_idx, frame_len, variance_num,
+               variance_num > {MM.TRIM_VAR_T} * frame_len * frame_len AS kept
+        FROM stats ORDER BY doc_id, frame_idx""",
+)
+
+register(
     "q_mm_phash_pairs",
     MM.q_mm_phash_pairs,
     f"""WITH c AS (

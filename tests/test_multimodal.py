@@ -170,3 +170,18 @@ def test_ahash32_deterministic_and_integer_exact(spark):
     b = {r.doc_id: r.h for r in df.select("doc_id", ahash32("payload").alias("h")).collect()}
     assert a == b
     assert a[2] == 0  # empty payload -> zero hash, not an error
+
+
+def test_trim_flat_frames_gates_on_variance(spark):
+    from bigdatagenomic_spark.operators.multimodal import trim_flat_frames
+
+    flat = bytes([100] * 64)            # zero variance frame
+    noisy = bytes(range(64))            # high variance frame
+    df = spark.createDataFrame(
+        [(1, bytearray(flat + noisy + flat))], "doc_id LONG, payload BINARY"
+    )
+    out = {r.frame_idx: r for r in trim_flat_frames(df).collect()}
+    assert len(out) == 3
+    assert not out[0].kept and out[0].variance_num == 0
+    assert out[1].kept
+    assert not out[2].kept
