@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("list", help="list every registry query")
 
+    pl = sub.add_parser(
+        "pipeline", help="run the resumable curation pipeline"
+    )
+    pl.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pl.add_argument("--workdir", required=True,
+                    help="stage materialization dir (resume point)")
+    pl.add_argument("--cpus", type=int, default=None)
+
     s = sub.add_parser("sql", help="run ad-hoc SQL over the test tables")
     s.add_argument("statement", help="ANSI SQL; tables region..embeddings are views")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -158,6 +166,18 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_pipeline(args: argparse.Namespace) -> int:
+    from bigdatagenomic_spark.pipelines import run_curation_pipeline
+
+    spark = get_spark(app_name="bdg-pipeline", cpus=args.cpus)
+    final, audit = run_curation_pipeline(spark, args.sf_dir, args.workdir)
+    for a in audit:
+        state = "resumed" if a["resumed"] else f"{a['seconds']}s"
+        print(f"{a['stage']:24s} {a['rows']:>10d} rows  {state}")
+    print(f"final: {final.count()} rows in {args.workdir}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "assemble":
@@ -168,6 +188,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_list()
     if args.command == "sql":
         return cmd_sql(args)
+    if args.command == "pipeline":
+        return cmd_pipeline(args)
     return 1
 
 

@@ -62,3 +62,17 @@ def test_cli_query_writes_result(spark, tmp_path, capsys):
     assert rc == 0
     back = spark.read.parquet(out)
     assert back.count() > 0 and set(back.columns) == {"n_name", "cnt"}
+
+
+def test_cli_pipeline_runs_and_reports(spark, tmp_path, capsys):
+    wd = str(tmp_path / "plwd")
+    rc = main(["pipeline", "--sf-dir", "/root/testdata/sf0.001",
+               "--workdir", wd])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "quality_dedup_sample" in out and "shard_assign" in out
+    assert "final:" in out
+    rc2 = main(["pipeline", "--sf-dir", "/root/testdata/sf0.001",
+                "--workdir", wd])
+    assert rc2 == 0
+    assert "resumed" in capsys.readouterr().out
