@@ -1015,3 +1015,73 @@ SELECT source AS label, count(*) AS n_rows,
          AS idx
 FROM documents GROUP BY source ORDER BY idx
 """
+
+# --------------------------------------------------------------------------
+# length-bucketed batch assignment (padding-efficient training batches)
+# --------------------------------------------------------------------------
+LEN_BUCKET_W = 64        # tokens per length bucket
+BATCH_TOKEN_BUDGET = 512  # token budget per batch within a bucket
+
+
+def length_batches(
+    docs: DataFrame,
+    bucket_w: int = LEN_BUCKET_W,
+    budget: int = BATCH_TOKEN_BUDGET,
+) -> DataFrame:
+    """(doc_id, n_tok, bucket, batch) — group docs into LENGTH buckets
+    (floor(n_tok / bucket_w)) and cut each bucket into batches of
+    ~budget tokens: batching similar-length sequences together is how
+    training loops keep padding waste down (docs in one batch differ
+    by < bucket_w tokens). Deterministic order inside a bucket
+    (doc_id), batch boundary where the cumulative END token lands.
+
+    Both the bucket id (integer division, map-only) and the in-bucket
+    running token count (scale.two_phase_cumsum, grouped by bucket)
+    avoid any single-partition step — a 100 TB corpus's biggest length
+    bucket is still range-partitioned across the cluster.
+    """
+    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
+
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"CAST(n_tok div {bucket_w} AS BIGINT)").alias("bucket"),
+    )
+    cum = two_phase_cumsum(
+        base,
+        "n_tok",
+        [F.asc("doc_id")],
+        group_cols=["bucket"],
+        out_col="_ct",
+    )
+    return cum.select(
+        "doc_id",
+        "n_tok",
+        "bucket",
+        F.expr(f"CAST((_ct - 1) div {budget} AS BIGINT)").alias("batch"),
+    )
+
+
+def q_x_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_batches(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+Q_X_LENGTH_BATCHES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL),
+b AS (
+  SELECT doc_id, n_tok, n_tok // {LEN_BUCKET_W} AS bucket FROM t),
+c AS (
+  SELECT doc_id, n_tok, bucket,
+         CAST(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _ct
+  FROM b)
+SELECT doc_id, n_tok, bucket, (_ct - 1) // {BATCH_TOKEN_BUDGET} AS batch
+FROM c ORDER BY doc_id
+"""

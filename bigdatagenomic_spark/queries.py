@@ -2021,6 +2021,8 @@ register(
 # hashing-trick sparse features + frequency label indexing (ML prep)
 register("q_x_feature_hash", LP.q_x_feature_hash, LP.Q_X_FEATURE_HASH_SQL)
 register("q_x_label_index", LP.q_x_label_index, LP.Q_X_LABEL_INDEX_SQL)
+# length-bucketed token-budget batches (padding-efficient batching)
+register("q_x_length_batches", LP.q_x_length_batches, LP.Q_X_LENGTH_BATCHES_SQL)
 
 
 # ---------------------------------------------------------------------------

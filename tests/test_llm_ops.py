@@ -742,3 +742,20 @@ def test_label_index_frequency_order(spark):
     df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
     out = {r.label: r.idx for r in label_index(df, "source").collect()}
     assert out == {"c": 0, "a": 1, "b": 2}  # freq desc, then label asc
+
+
+def test_length_batches_bound_padding_waste(spark):
+    from bigdatagenomic_spark.operators.llm_prep import length_batches
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([10, 12, 70, 75, 200])]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in length_batches(docs, bucket_w=64, budget=100).collect()}
+    # docs 0,1 (10,12 tok) -> bucket 0; docs 2,3 (70,75) -> bucket 1; doc 4 -> bucket 3
+    assert out[0].bucket == 0 and out[1].bucket == 0
+    assert out[2].bucket == 1 and out[3].bucket == 1
+    assert out[4].bucket == 3
+    # within bucket 1: cum 70 -> batch 0; cum 145 -> batch 1 (budget 100)
+    assert out[2].batch == 0 and out[3].batch == 1
+    # a batch never mixes buckets
+    pairs = {(r.bucket, r.batch) for r in out.values()}
+    assert len(pairs) == len({(r.bucket, r.batch, r.bucket) for r in out.values()})
