@@ -189,3 +189,91 @@ FROM afinal GROUP BY cluster ORDER BY cluster"""
 
 
 Q_CLUSTER_KMEANS_SQL = _kmeans_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# nearest-centroid classifier evaluation (confusion matrix)
+# --------------------------------------------------------------------------
+NCC_ROUND = 6  # centroid quantization decimals (see kmeans round_decimals)
+
+
+def nearest_centroid_eval(vectors: DataFrame) -> DataFrame:
+    """(label, pred, n) — confusion matrix of the nearest-centroid
+    classifier: fit one centroid per TRUE label (per-dim mean, half-up
+    quantized at NCC_ROUND decimals — same ulp-compounding defense as
+    kmeans' round_decimals), then re-assign every vector to its nearest
+    centroid and cross-tabulate truth vs prediction. The standard
+    eval-loop readout (accuracy/per-class recall derive from this
+    table), and a leak-check on the embedding space: a label whose own
+    centroid does not reclaim its vectors is not linearly separated.
+
+    Scale: one per-(label, dim) mean aggregate, a broadcast of the
+    |labels| x dims centroid table, and one count aggregate — the same
+    shapes as kmeans' update + assign, no iteration.
+    """
+    v = vectors.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).localCheckpoint(eager=False)
+    scale = 10 ** NCC_ROUND
+    dims = (
+        v.select("label", F.posexplode("e").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg((F.floor(F.avg("val") * scale + F.lit(0.5)) / scale).alias("mean"))
+    )
+    centroids = dims.groupBy(F.col("label").alias("cluster")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+            lambda s: s["mean"],
+        ).alias("centroid")
+    )
+    assigned = assign_clusters(
+        v.select("vec_id", F.col("e").alias("embedding")), centroids
+    )
+    return (
+        v.select("vec_id", "label")
+        .join(assigned.select("vec_id", F.col("cluster").alias("pred")), "vec_id")
+        .groupBy("label", "pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_x_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return nearest_centroid_eval(emb).orderBy("label", "pred")
+
+
+def _ncc_oracle_sql(dims: int = 64) -> str:
+    d2 = (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> (v.e[i] - c.centroid[i]) * (v.e[i] - c.centroid[i])))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(label AS INT) AS label,
+         CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings),
+cent AS (
+  SELECT label AS cluster, list(mean ORDER BY dim) AS centroid FROM (
+    SELECT v.label, t.dim,
+           floor(avg(v.e[t.dim]) * 1e{NCC_ROUND} + 0.5) / 1e{NCC_ROUND}
+             AS mean
+    FROM v CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS dim) t
+    GROUP BY v.label, t.dim)
+  GROUP BY label),
+assigned AS (
+  SELECT vec_id, cluster AS pred FROM (
+    SELECT v.vec_id, c.cluster, {d2} AS dist,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2}, c.cluster) AS rn
+    FROM v CROSS JOIN cent c)
+  WHERE rn = 1)
+SELECT v.label, a.pred, CAST(count(*) AS BIGINT) AS n
+FROM v JOIN assigned a USING (vec_id)
+GROUP BY v.label, a.pred
+ORDER BY v.label, a.pred
+"""
+
+
+Q_X_CONFUSION_SQL = _ncc_oracle_sql()

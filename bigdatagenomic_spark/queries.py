@@ -1824,6 +1824,8 @@ register("q_graph_pagerank", _q_pr, Q_GRAPH_PAGERANK_SQL)
 # fixed-iteration Lloyd's: loop-unrolled into chained CTEs -> full hash
 # check (was rows-only); distances share the same left-to-right fold
 register("q_cluster_kmeans", CL.q_cluster_kmeans, CL.Q_CLUSTER_KMEANS_SQL)
+# nearest-centroid classifier confusion matrix (embedding-space eval)
+register("q_x_confusion", CL.q_x_confusion, CL.Q_X_CONFUSION_SQL)
 from bigdatagenomic_spark.operators.graph import Q_GRAPH_TRIANGLES_SQL, q_graph_triangles
 
 # degree-oriented wedge closure: pure joins, replayed verbatim in SQL

@@ -57,3 +57,24 @@ def test_kmeans_dispersion_decreases(spark):
     s1 = a1.agg(F.sum("dist")).collect()[0][0]
     s3 = a3.agg(F.sum("dist")).collect()[0][0]
     assert s3 <= s1 + 1e-9
+
+
+def test_nearest_centroid_eval_separable_fixture(spark):
+    """Perfectly separated labels -> diagonal confusion matrix; an
+    off-center vector near the wrong class -> off-diagonal cell."""
+    from bigdatagenomic_spark.operators.clustering import nearest_centroid_eval
+
+    def vec(base, eps):
+        return [float(base)] * 4 + [eps] * 0  # 4-dim
+
+    rows = [
+        (1, vec(0.0, 0), 0), (2, [0.1, 0.0, 0.0, 0.0], 0),
+        (3, [5.0, 5.0, 5.0, 5.0], 1), (4, [5.1, 5.0, 5.0, 5.0], 1),
+        # label-0 vector sitting on top of class 1's centroid
+        (5, [5.0, 5.0, 5.0, 5.1], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    out = {(r.label, r.pred): r.n for r in nearest_centroid_eval(df).collect()}
+    assert out[(1, 1)] == 2
+    assert out[(0, 1)] == 1  # the planted confusion
+    assert out[(0, 0)] == 2

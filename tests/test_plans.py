@@ -298,6 +298,7 @@ _BNLJ_ALLOWED = {
     "q_text_bpe_train",      # 1-row best-pair broadcast per merge round
     "q_x_abtest",            # 1-row control-arm scalar against the 2-row readout
     "q_x_bootstrap_ci",      # 1-row point estimate x 1-row CI scalars
+    "q_x_confusion",         # broadcast |labels|-row centroid table (kmeans pattern)
 }
 
 
