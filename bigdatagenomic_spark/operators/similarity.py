@@ -1060,3 +1060,74 @@ ORDER BY query_id, rank"""
 
 
 Q_SIM_IVFPQ_TOPK_SQL = _ivfpq_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+HN_QUERIES = 8
+HN_K = 3
+
+
+def hard_negatives(
+    vectors: DataFrame, n_queries: int = HN_QUERIES, k: int = HN_K
+) -> DataFrame:
+    """(query_id, query_label, vec_id, neg_label, sim, rn) — for each
+    query vector, the k most-similar vectors with a DIFFERENT label:
+    contrastive-training hard negatives (the near-misses that actually
+    move a metric-learning loss, vs easy random negatives). Same
+    broadcast-bounded-query-set shape as q26's exact top-k with a
+    label-inequality predicate in the pair filter; the scale path swaps
+    the exact scan for the IVF/LSH candidate generation exactly as the
+    positive-pair path does.
+    """
+    from bigdatagenomic_spark.functions import dot
+
+    def norm(v):
+        return F.sqrt(dot(v, v))
+
+    base = vectors.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
+    )
+    c = base.select(
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.col("v").alias("cv"),
+        norm(F.col("v")).alias("cn"),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_label") != F.col("neg_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "neg_label",
+            F.round(
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+                ),
+                4,
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "query_label", "vec_id", "neg_label", "sim", "rn")
+    )
+
+
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb).orderBy("query_id", "rn")

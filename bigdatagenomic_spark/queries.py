@@ -1133,6 +1133,26 @@ _Q26_COSINE_TOPK_SQL = (
 
 register("q26_cosine_topk", S.q26_cosine_topk, _Q26_COSINE_TOPK_SQL)
 
+# contrastive hard negatives: top-k most-similar vectors of another label
+register(
+    "q_sim_hard_negatives",
+    S.q_sim_hard_negatives,
+    f"""WITH s AS (SELECT vec_id, CAST(label AS INT) AS label,
+                          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+              FROM s WHERE vec_id < {S.HN_QUERIES}),
+        sims AS (
+          SELECT query_id, query_label, vec_id, label AS neg_label,
+                 round({_COS.format(a='qv', b='v')}, 4) AS sim
+          FROM q CROSS JOIN s WHERE query_label <> label),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, vec_id) AS rn
+              FROM sims)
+        SELECT query_id, query_label, vec_id, neg_label, sim,
+               CAST(rn AS INT) AS rn
+        FROM r WHERE rn <= {S.HN_K} ORDER BY query_id, rn""",
+)
+
 # approximate by contract: LSH bucketing changes the candidate set; checked
 # rows-only by the driver, recall-vs-exact in tests
 # approximate vs exact top-k, but deterministically computed (md5-derived

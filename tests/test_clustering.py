@@ -78,3 +78,19 @@ def test_nearest_centroid_eval_separable_fixture(spark):
     assert out[(1, 1)] == 2
     assert out[(0, 1)] == 1  # the planted confusion
     assert out[(0, 0)] == 2
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from bigdatagenomic_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # same label, most similar -> must be excluded
+        (2, [0.9, 0.3], 1),    # different label, next most similar
+        (3, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    out = [r for r in hard_negatives(df, n_queries=1, k=2).collect()]
+    assert all(r.neg_label != r.query_label for r in out)
+    assert out[0].vec_id == 2  # hardest negative first
+    assert [r.rn for r in out] == [1, 2]
