@@ -768,3 +768,112 @@ def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero exact dups — the report correctly says so; the positive-rate
     behavior is pinned on a synthetic corpus in tests/test_llm_ops.py)."""
     return dedup_rate_report(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter tuning report (bands x rows sweep over one signature set)
+# ---------------------------------------------------------------------------
+LSH_TUNE_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+LSH_TUNE_JACC = 0.2  # "true pair" threshold for the precision/recall readout
+
+
+def lsh_tuning_report(d: DataFrame) -> DataFrame:
+    """(bands, rows, n_candidates, n_true_found, n_true_total,
+    precision_bps, recall_bps) — the banding-parameter sweep every LSH
+    deployment needs: the SAME 16 minhash values re-banded as 16x1,
+    8x2, 4x4 and 2x8, each config's candidate set counted and verified
+    against exact Jaccard >= LSH_TUNE_JACC. More rows per band raises
+    the collision bar (precision up, recall down); this table is how
+    you pick the operating point BEFORE burning a corpus-scale pass on
+    the wrong one.
+
+    Cost shape: the signature table is computed once (map-only) and
+    checkpointed; each config adds one narrow band-key self-join over
+    it — the sweep is 4 bucketed joins on a BOUNDED sample
+    (PAIR_SAMPLE_DOCS), never all-pairs. The ground-truth pair set is
+    the one all-pairs join, bounded by the same sample contract as
+    q_dedup_embcos (documented bounded oracle sample).
+    """
+    base = _shingle_base(d).localCheckpoint(eager=False)
+    sigs = base.select("doc_id", *_signature_exprs()).localCheckpoint(
+        eager=False
+    )
+    # exact ground truth on the bounded sample (all-pairs, by contract)
+    sets = base.select("doc_id", F.size("shs").alias("n_sh"), "shs")
+    a = sets.select(
+        F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"),
+        F.col("shs").alias("shs_a"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"),
+        F.col("shs").alias("shs_b"),
+    )
+    common = F.size(F.array_intersect("shs_a", "shs_b"))
+    jacc = common / (F.col("n_a") + F.col("n_b") - common)
+    truth = (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(jacc >= LSH_TUNE_JACC)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    per_config = []
+    for bands, rows in LSH_TUNE_CONFIGS:
+        keys = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",", *[f"s{band * rows + r}" for r in range(rows)]
+                    )
+                )
+                for band in range(bands)
+            ]
+        )
+        bt = sigs.select("doc_id", F.posexplode(keys).alias("band", "bkey"))
+        ca = bt.select(F.col("doc_id").alias("a_id"), "band", "bkey")
+        cb = bt.select(F.col("doc_id").alias("b_id"), "band", "bkey")
+        cand = (
+            ca.join(cb, ["band", "bkey"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        found = cand.join(truth, ["a_id", "b_id"], "left_semi")
+        stats = cand.agg(F.count("*").alias("n_candidates")).crossJoin(
+            F.broadcast(found.agg(F.count("*").alias("n_true_found")))
+        )
+        per_config.append(
+            stats.select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rows).cast("long").alias("rows"),
+                F.col("n_candidates").cast("long"),
+                F.col("n_true_found").cast("long"),
+            )
+        )
+    swept = per_config[0]
+    for p in per_config[1:]:
+        swept = swept.unionByName(p)
+    total = truth.agg(F.count("*").alias("n_true_total"))
+    return swept.crossJoin(F.broadcast(total)).select(
+        "bands",
+        "rows",
+        "n_candidates",
+        "n_true_found",
+        F.col("n_true_total").cast("long").alias("n_true_total"),
+        F.expr(
+            "CAST(CASE WHEN n_candidates = 0 THEN 0 ELSE"
+            " (2 * n_true_found * 10000 + n_candidates)"
+            " div (2 * n_candidates) END AS BIGINT)"
+        ).alias("precision_bps"),
+        F.expr(
+            "CAST(CASE WHEN n_true_total = 0 THEN 0 ELSE"
+            " (2 * n_true_found * 10000 + n_true_total)"
+            " div (2 * n_true_total) END AS BIGINT)"
+        ).alias("recall_bps"),
+    )
+
+
+def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < PAIR_SAMPLE_DOCS
+    )
+    return lsh_tuning_report(d).orderBy("rows")

@@ -980,6 +980,61 @@ register(
         ORDER BY c.a_id, c.b_id""",
 )
 
+def _lsh_tune_oracle_sql() -> str:
+    """bands x rows sweep replay: each config re-bands the same 16-value
+    signature; cand CTEs are MATERIALIZED (each is referenced twice —
+    count + truth-join — and DuckDB 1.0 inlines plain CTEs)."""
+    import bigdatagenomic_spark.operators.dedup as _D
+
+    blocks, rows_sql = [], []
+    for i, (bands, rows) in enumerate(_D.LSH_TUNE_CONFIGS):
+        band_union = "\nUNION ALL\n".join(
+            "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bkey"
+            " FROM sig".format(
+                b=b, cols=", ".join(f"s{b * rows + r}" for r in range(rows))
+            )
+            for b in range(bands)
+        )
+        blocks.append(f"""
+  bands{i} AS ({band_union}),
+  cand{i} AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands{i} a JOIN bands{i} b USING (band, bkey)
+    WHERE a.doc_id < b.doc_id)""")
+        rows_sql.append(
+            f"SELECT {bands} AS bands, {rows} AS rows,"
+            f" (SELECT count(*) FROM cand{i}) AS n_candidates,"
+            f" (SELECT count(*) FROM cand{i} c"
+            f"  JOIN truth t ON c.a_id = t.a_id AND c.b_id = t.b_id)"
+            f" AS n_true_found"
+        )
+    swept = "\nUNION ALL\n".join(rows_sql)
+    return f"""WITH {_SHINGLES_CTE}, {_SIG_CTE},
+  truth AS MATERIALIZED (
+    SELECT c.a_id, c.b_id
+    FROM common c
+    JOIN sizes sa ON c.a_id = sa.doc_id
+    JOIN sizes sb ON c.b_id = sb.doc_id
+    WHERE c.n_common / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE)
+          >= {_D.LSH_TUNE_JACC}),
+  {','.join(blocks)},
+  swept AS ({swept}),
+  tot AS (SELECT count(*) AS n_true_total FROM truth)
+SELECT CAST(bands AS BIGINT) AS bands, CAST(rows AS BIGINT) AS rows,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true_found AS BIGINT) AS n_true_found,
+       CAST(tot.n_true_total AS BIGINT) AS n_true_total,
+       CAST(CASE WHEN n_candidates = 0 THEN 0 ELSE
+            (2 * n_true_found * 10000 + n_candidates)
+            // (2 * n_candidates) END AS BIGINT) AS precision_bps,
+       CAST(CASE WHEN tot.n_true_total = 0 THEN 0 ELSE
+            (2 * n_true_found * 10000 + tot.n_true_total)
+            // (2 * tot.n_true_total) END AS BIGINT) AS recall_bps
+FROM swept, tot ORDER BY rows"""
+
+
+register("q_dedup_lsh_tuning", D.q_dedup_lsh_tuning, _lsh_tune_oracle_sql())
+
 register(
     "q_dedup_lsh_incremental",
     D.q_dedup_lsh_incremental,

@@ -759,3 +759,22 @@ def test_length_batches_bound_padding_waste(spark):
     # a batch never mixes buckets
     pairs = {(r.bucket, r.batch) for r in out.values()}
     assert len(pairs) == len({(r.bucket, r.batch, r.bucket) for r in out.values()})
+
+
+def test_lsh_tuning_precision_recall_tradeoff(spark):
+    """More rows per band must be monotonically no-worse in precision
+    and no-better in recall; exact dups are found by every config."""
+    from bigdatagenomic_spark.operators.dedup import lsh_tuning_report
+
+    rows = [(i, f"unique text number {i} with filler words alpha beta gamma delta epsilon") for i in range(30)]
+    rows += [(100, rows[0][1]), (101, rows[1][1])]  # two exact dups
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = sorted(lsh_tuning_report(docs).collect(), key=lambda r: r.rows)
+    assert all(r.n_true_total == out[0].n_true_total for r in out)
+    assert out[0].n_true_total >= 2
+    # identical docs collide in every band at every config
+    assert all(r.n_true_found >= 2 for r in out)
+    prec = [r.precision_bps for r in out]
+    rec = [r.recall_bps for r in out]
+    assert prec == sorted(prec)            # precision rises with rows
+    assert rec == sorted(rec, reverse=True)  # recall falls with rows

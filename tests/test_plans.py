@@ -300,6 +300,7 @@ _BNLJ_ALLOWED = {
     "q_x_bootstrap_ci",      # 1-row point estimate x 1-row CI scalars
     "q_x_confusion",         # broadcast |labels|-row centroid table (kmeans pattern)
     "q_sim_hard_negatives",  # bounded broadcast query set (q26 pattern)
+    "q_dedup_lsh_tuning",    # bounded-sample all-pairs ground truth (embcos contract)
 }
 
 
