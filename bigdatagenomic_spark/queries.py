@@ -499,6 +499,71 @@ register(
 )
 
 
+def q_asm_overlap_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of overlap lengths between consecutive aligned reads
+    (reads sorted by alignment start; overlap = prev_end - start,
+    negative = gap): the assembly pre-check that says whether a merge
+    path can exist at all — the reference's merge cases A1-D
+    (assembly_final.cpp:473-595) branch exactly on this sign. Same
+    derived interval set as q_asm_coverage_depth.
+
+    The adjacent-pair pass is a lag window over the BOUNDED 200-read
+    sample (documented bounded-window contract); the production form
+    partitions by contig/chromosome, which bounds every partition the
+    same way.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    iv = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 37) % 1000).cast("long").alias("start"),
+        (F.lit(20) + F.col("doc_id") % 31).cast("long").alias("len"),
+    )
+    w = W.orderBy("start", "doc_id")
+    adj = iv.select(
+        "start",
+        (F.lag(F.col("start") + F.col("len")).over(w) - F.col("start")).alias(
+            "overlap"
+        ),
+    ).where(F.col("overlap").isNotNull())
+    return (
+        adj.groupBy(F.floor(F.col("overlap") / 10).cast("long").alias("bin"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("overlap").cast("long").alias("min_ov"),
+            F.max("overlap").cast("long").alias("max_ov"),
+        )
+        .orderBy("bin")
+    )
+
+
+register(
+    "q_asm_overlap_hist",
+    q_asm_overlap_hist,
+    """
+    WITH iv AS (
+      SELECT doc_id, CAST((doc_id * 37) % 1000 AS BIGINT) AS start,
+             CAST(20 + doc_id % 31 AS BIGINT) AS len
+      FROM documents WHERE doc_id < 200
+    ), adj AS (
+      SELECT start,
+             lag(start + len) OVER (ORDER BY start, doc_id) - start AS overlap
+      FROM iv
+    )
+    SELECT CAST(floor(overlap / 10.0) AS BIGINT) AS bin,
+           count(*) AS n_pairs,
+           CAST(min(overlap) AS BIGINT) AS min_ov,
+           CAST(max(overlap) AS BIGINT) AS max_ov
+    FROM adj WHERE overlap IS NOT NULL
+    GROUP BY 1 ORDER BY bin
+    """,
+)
+
+
 def q_asm_n50(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contig-length statistics with N50 over the derived read set —
     the standard assembly-quality summary (the reference's `result`
