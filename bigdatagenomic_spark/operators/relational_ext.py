@@ -2333,3 +2333,174 @@ SELECT b.event_id, b.event_type, b.value_raw,
 FROM base b LEFT JOIN means m USING (event_type)
 ORDER BY b.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# sequence pattern detection (MATCH_RECOGNIZE shape)
+# ---------------------------------------------------------------------------
+PATTERN = ("error", "error", "purchase")  # A A B within one user's stream
+
+
+def event_pattern_matches(events: DataFrame) -> DataFrame:
+    """(user_id, match_at, ts0) — occurrences of the fixed event-type
+    pattern ``error, error, purchase`` at CONSECUTIVE positions of each
+    user's time-ordered stream: the MATCH_RECOGNIZE shape (fraud rules,
+    rage-click detection, crash-then-convert funnels) expressed as a
+    lead-chain over one per-user window — no self-joins, one shuffle
+    on user_id, each partition bounded by a user's event count (the
+    production form adds a time/session cut exactly like q_x_sessionize
+    to bound it further).
+
+    Overlapping matches all report (a run of 3 errors + purchase yields
+    one match at the last two errors' start); ``match_at`` is the
+    0-based position of the pattern's first event.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        (F.row_number().over(w) - 1).alias("pos"),
+    )
+    hit = (
+        (F.col("event_type") == PATTERN[0])
+        & (F.col("t1") == PATTERN[1])
+        & (F.col("t2") == PATTERN[2])
+    )
+    return seq.where(hit).select(
+        "user_id",
+        F.col("pos").cast("long").alias("match_at"),
+        F.col("ts").alias("ts0"),
+    )
+
+
+def q_x_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_pattern_matches(load_table(spark, sf_dir, "events")).orderBy(
+        "user_id", "match_at"
+    )
+
+
+Q_X_EVENT_PATTERN_SQL = """
+WITH seq AS (
+  SELECT user_id, ts, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         row_number() OVER w - 1 AS pos
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(pos AS BIGINT) AS match_at, ts AS ts0
+FROM seq
+WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'purchase'
+ORDER BY user_id, match_at
+"""
+
+
+# ---------------------------------------------------------------------------
+# entity resolution: normalize -> match -> cluster -> golden record
+# ---------------------------------------------------------------------------
+def golden_records(records: DataFrame) -> DataFrame:
+    """(cluster, n_members, golden_name, golden_acctbal, golden_segment)
+    — the MDM survivorship pipeline: normalize the match key, link
+    records whose normalized names agree, close the links into entity
+    clusters (transitively — A~B, B~C puts A,C together), and emit ONE
+    golden record per entity with field-level survivorship rules
+    (canonical id = lowest member id; balance = max; segment = the
+    canonical record's). The text-corpus twin is q_dedup_survivors;
+    this is the warehouse-records form with per-field merge rules.
+
+    Scale: the match is an equi-join on the normalized key (never
+    fuzzy all-pairs — a fuzzy rule would plug in the blocked
+    q_dedup_fuzzy pairs instead), the closure is hash-min pointer
+    jumping (O(log diameter) rounds, operators/graph.py), survivorship
+    one aggregate.
+    """
+    from bigdatagenomic_spark.functions import normalize_text
+    from bigdatagenomic_spark.operators.graph import connected_components
+
+    base = records.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        normalize_text(F.col("c_name")).alias("norm"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    ).localCheckpoint(eager=False)
+    a = base.select(F.col("id").alias("src"), "norm")
+    b = base.select(F.col("id").alias("dst"), "norm")
+    edges = (
+        a.join(b, "norm")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    cc = connected_components(edges)
+    labeled = base.join(cc, "id", "left").select(
+        F.coalesce("component", F.col("id")).alias("cluster"),
+        "id",
+        "name",
+        "acctbal",
+        "segment",
+    )
+    return labeled.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min(F.struct("id", "name"))["name"].alias("golden_name"),
+        F.max("acctbal").alias("golden_acctbal"),
+        F.min(F.struct("id", "segment"))["segment"].alias("golden_segment"),
+    )
+
+
+ER_DUP_EVERY = 10  # plant a noisy duplicate of every 10th customer
+
+
+def q_x_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER demo: the customer table plus planted noisy duplicates (name
+    case/whitespace-mangled, id offset, balance drifted) — the
+    normalize step must reunite them and survivorship must pick the
+    original id's fields with the max balance."""
+    c = load_table(spark, sf_dir, "customer")
+    dup = c.where(F.col("c_custkey") % ER_DUP_EVERY == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("  "), F.upper("c_name"), F.lit(" ")).alias("c_name"),
+        (F.col("c_acctbal") + 7.5).alias("c_acctbal"),
+        F.lit("DUPFEED").alias("c_mktsegment"),
+    )
+    both = c.select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    ).unionByName(dup)
+    return golden_records(both).orderBy("cluster")
+
+
+Q_X_GOLDEN_RECORD_SQL = f"""
+WITH RECURSIVE allrec AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, '  ' || upper(c_name) || ' ',
+         c_acctbal + 7.5, 'DUPFEED'
+  FROM customer WHERE c_custkey % {ER_DUP_EVERY} = 0),
+base AS (
+  SELECT c_custkey AS id, c_name AS name,
+         trim(regexp_replace(lower(c_name), '\\s+', ' ', 'g')) AS norm,
+         c_acctbal AS acctbal, c_mktsegment AS segment
+  FROM allrec),
+e AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM base a JOIN base b USING (norm) WHERE a.id < b.id),
+und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+reach AS (
+  SELECT src AS id, dst AS r FROM und
+  UNION
+  SELECT reach.id, u.dst FROM reach JOIN und u ON reach.r = u.src),
+cc AS (
+  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+labeled AS (
+  SELECT coalesce(cc.component, base.id) AS cluster, base.id, base.name,
+         base.acctbal, base.segment
+  FROM base LEFT JOIN cc USING (id))
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+       (min(struct_pack(i := id, v := name))).v AS golden_name,
+       max(acctbal) AS golden_acctbal,
+       (min(struct_pack(i := id, v := segment))).v AS golden_segment
+FROM labeled GROUP BY cluster ORDER BY cluster
+"""

@@ -2147,6 +2147,10 @@ register("q_x_abtest", RX.q_x_abtest, RX.Q_X_ABTEST_SQL)
 register("q_x_ewma", RX.q_x_ewma, RX.Q_X_EWMA_SQL)
 # per-group mean imputation with integer-exact means
 register("q_x_impute", RX.q_x_impute, RX.Q_X_IMPUTE_SQL)
+# MATCH_RECOGNIZE-shape sequence pattern over per-user streams
+register("q_x_event_pattern", RX.q_x_event_pattern, RX.Q_X_EVENT_PATTERN_SQL)
+# entity resolution: normalize -> link -> CC closure -> golden records
+register("q_x_golden_record", RX.q_x_golden_record, RX.Q_X_GOLDEN_RECORD_SQL)
 register("q_x_revenue_deciles", RX.q_x_revenue_deciles, RX.Q_X_REVENUE_DECILES_SQL)
 register("q_text_boilerplate", LP.q_text_boilerplate, LP.Q_TEXT_BOILERPLATE_SQL)
 register("q_x_train_shards", LP.q_x_train_shards, LP.Q_X_TRAIN_SHARDS_SQL)

@@ -263,3 +263,50 @@ def test_impute_group_mean_exact(spark):
     assert not out[1].was_imputed and out[1].value_imputed == 10.0
     # a group with zero observed rows stays NULL (nothing to impute from)
     assert out[14].was_imputed and out[14].value_imputed is None
+
+
+def test_event_pattern_consecutive_only(spark):
+    from datetime import datetime, timedelta
+
+    from bigdatagenomic_spark.operators.relational_ext import (
+        event_pattern_matches,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    seq_a = ["error", "error", "purchase", "view"]          # match at 0
+    seq_b = ["error", "view", "error", "purchase"]          # broken run: none
+    seq_c = ["error", "error", "error", "purchase"]         # match at 1 only
+    rows = []
+    eid = 0
+    for uid, seq in [(1, seq_a), (2, seq_b), (3, seq_c)]:
+        for i, et in enumerate(seq):
+            rows.append((eid, t0 + timedelta(minutes=i), uid, et, 0.0, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = {(r.user_id, r.match_at) for r in event_pattern_matches(events).collect()}
+    assert out == {(1, 0), (3, 1)}
+
+
+def test_golden_records_survivorship_rules(spark):
+    from bigdatagenomic_spark.operators.relational_ext import golden_records
+
+    rows = [
+        (1, "Customer#1", 100.0, "AUTO"),
+        (2, "  CUSTOMER#1  ", 250.0, "DUPFEED"),  # normalizes equal to id 1
+        (3, "Customer#3", 50.0, "HOUSE"),
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey LONG, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING"
+    )
+    out = {r.cluster: r for r in golden_records(df).collect()}
+    assert set(out) == {1, 3}
+    g = out[1]
+    assert g.n_members == 2
+    assert g.golden_name == "Customer#1"       # canonical id's fields
+    assert g.golden_segment == "AUTO"
+    assert g.golden_acctbal == 250.0           # max balance survives
+    assert out[3].n_members == 1
