@@ -409,3 +409,60 @@ def test_s12_streaming_pii_scrub_equals_batch(spark, replay_dir):
     assert s == b
     assert any(v[0] == 1 for v in b.values())  # redactions actually happened
     assert all("@" not in v[1] for v in b.values() if v[0])
+
+
+def test_s13_incremental_agg_maintenance_equals_batch(spark, replay_dir, tmp_path):
+    """S13: the materialized-view merge (q_x_incremental_agg's null-safe
+    full-outer + summed partials) driven by foreachBatch over the
+    replayed stream: after draining, the maintained state table equals
+    the one-pass batch aggregate — delta-cost view upkeep, streamed."""
+    import os
+
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def agg(df):
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n"), F.sum(cents).alias("cents")
+        )
+
+    def merge_batch(batch_df, batch_id):
+        delta = agg(batch_df)
+        sess = batch_df.sparkSession
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            state = sess.read.parquet(state_dir)
+        else:
+            state = delta.limit(0)
+        s, d = state.alias("s"), delta.alias("d")
+        merged = s.join(
+            d,
+            F.col("s.user_id").eqNullSafe(F.col("d.user_id"))
+            & F.col("s.event_type").eqNullSafe(F.col("d.event_type")),
+            "full_outer",
+        ).select(
+            F.coalesce("s.user_id", "d.user_id").alias("user_id"),
+            F.coalesce("s.event_type", "d.event_type").alias("event_type"),
+            (F.coalesce("s.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))).alias("n"),
+            (F.coalesce("s.cents", F.lit(0)) + F.coalesce("d.cents", F.lit(0))).alias("cents"),
+        )
+        rows = merged.collect()  # tiny state in tests; prod writes a temp dir + swap
+        sess.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        _stream_events(spark, replay_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_type): (r.n, r.cents)
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    want = {
+        (r.user_id, r.event_type): (r.n, r.cents)
+        for r in agg(_batch_events(spark)).collect()
+    }
+    assert got == want
