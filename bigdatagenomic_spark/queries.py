@@ -564,6 +564,67 @@ register(
 )
 
 
+def q_asm_debruijn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """de Bruijn graph construction over the derived read set: every
+    k-mer contributes the edge (k-1-mer prefix) -> (k-1-mer suffix),
+    weighted by multiplicity — the OTHER assembly paradigm next to the
+    reference's overlap graph (assembly_final.cpp builds overlaps from
+    aligned offsets; de Bruijn assemblers build this edge multiset and
+    walk Eulerian paths). Same derived reads as q_asm_kmer_counts.
+
+    Plan: map-only shingle per read, one map-side-combined count
+    shuffle on the (prefix, suffix) key — at most 4^k distinct edges
+    per partition after partial aggregation, any corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.functions import char_shingles
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    n, k = 60, 5
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < n)
+    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    reads = docs.select(
+        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content")
+    )
+    kmers = reads.select(
+        F.explode(
+            F.filter(char_shingles(F.col("content"), k), lambda s: F.length(s) == k)
+        ).alias("kmer")
+    )
+    return (
+        kmers.select(
+            F.substring("kmer", 1, k - 1).alias("prefix"),
+            F.substring("kmer", 2, k - 1).alias("suffix"),
+        )
+        .groupBy("prefix", "suffix")
+        .agg(F.count("*").cast("long").alias("multiplicity"))
+        .orderBy("prefix", "suffix")
+    )
+
+
+register(
+    "q_asm_debruijn_edges",
+    q_asm_debruijn_edges,
+    """
+    WITH r AS (
+      SELECT substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'), 17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    ), km AS (
+      SELECT unnest(list_transform(range(1, greatest(length(content) - 4, 1) + 1),
+                                   i -> substr(content, i, 5))) AS kmer
+      FROM r
+    )
+    SELECT substr(kmer, 1, 4) AS prefix, substr(kmer, 2, 4) AS suffix,
+           CAST(count(*) AS BIGINT) AS multiplicity
+    FROM km WHERE length(kmer) = 5
+    GROUP BY 1, 2 ORDER BY prefix, suffix
+    """,
+)
+
+
 def q_asm_n50(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contig-length statistics with N50 over the derived read set —
     the standard assembly-quality summary (the reference's `result`
