@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from bigdatagenomic_spark.functions import (
     char_shingles,
+    let_bound,
     md5_long,
     normalize_text,
     tokens,
@@ -862,4 +863,116 @@ SELECT d.doc_id,
        coalesce(r.n_kept, 0) AS n_kept
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003, MOSS)
+# --------------------------------------------------------------------------
+WIN_K = 5   # chars per k-gram
+WIN_W = 4   # hashes per winnowing window
+_WIN_POS_BITS = 20  # supports docs up to 2^20 grams (docstring contract)
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = WIN_K, w: int = WIN_W) -> DataFrame:
+    """(doc_id, sel_pos, sel_h) — winnowing: hash every char k-gram,
+    slide a w-hash window, keep each window's MINIMUM hash (rightmost
+    on ties), emit the distinct selected (position, hash) pairs. The
+    guarantee (Schleimer et al. 2003): any substring match of length
+    >= w + k - 1 between two documents shares at least one selected
+    fingerprint — so the index stores ~2/(w+1) of all grams instead of
+    every shingle, with NO loss on long matches (the MOSS trade).
+
+    The rightmost-tie minimum inside a sliding frame is not directly
+    expressible as a window aggregate, so position is packed into the
+    hash key: ``key = h * 2^20 + (2^20-1-pos)`` — an integer ``min``
+    over the frame then decodes to (min hash, rightmost pos). The
+    30-bit gram hash keeps the packed key under 2^50; docs are bounded
+    at 2^20 grams by contract (chunk longer docs first —
+    q_text_chunks). All windows partition by doc — bounded frames, one
+    shuffle, no UDF.
+    """
+    from pyspark.sql import Window as W
+
+    pos_mod = 1 << _WIN_POS_BITS
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", normalize_text(F.col("text")).alias("s")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            let_bound(
+                F.col("s"),
+                lambda s: F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1))),
+                    lambda i: F.substring(s, i, k),
+                ),
+            )
+        ).alias("pos", "gram"),
+    ).where(F.length("gram") == k)
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        (
+            F.pmod(md5_long(F.col("gram")), F.lit(1 << 30)) * pos_mod
+            + (F.lit(pos_mod - 1) - F.col("pos"))
+        ).alias("key"),
+    )
+    frame = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, w - 1)
+    )
+    n_grams = W.partitionBy("doc_id")
+    wins = keyed.select(
+        "doc_id",
+        "pos",
+        F.min("key").over(frame).alias("win_min"),
+        F.count("*").over(n_grams).alias("_n"),
+    ).where(F.col("pos") <= F.col("_n") - w)
+    return (
+        wins.select(
+            "doc_id",
+            (F.lit(pos_mod - 1) - F.pmod(F.col("win_min"), F.lit(pos_mod)))
+            .cast("long")
+            .alias("sel_pos"),
+            (F.col("win_min") / pos_mod).cast("long").alias("sel_h"),
+        )
+        .distinct()
+    )
+
+
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    ).orderBy("doc_id", "sel_pos")
+
+
+Q_TEXT_WINNOW_SQL = f"""
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents WHERE text IS NOT NULL AND doc_id < 100),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, substr(s, CAST(i AS INT), {WIN_K}) AS gram
+  FROM t, unnest(range(1, greatest(length(s) - {WIN_K - 1}, 1) + 1)) u(i)
+  WHERE length(substr(s, CAST(i AS INT), {WIN_K})) = {WIN_K}),
+keyed AS (
+  SELECT doc_id, pos,
+         (CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % {1 << 30})
+           * {1 << _WIN_POS_BITS}
+           + ({(1 << _WIN_POS_BITS) - 1} - pos) AS key
+  FROM g),
+wins AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING)
+           AS win_min,
+         count(*) OVER (PARTITION BY doc_id) AS _n
+  FROM keyed)
+SELECT DISTINCT doc_id,
+       CAST({(1 << _WIN_POS_BITS) - 1} - (win_min % {1 << _WIN_POS_BITS})
+            AS BIGINT) AS sel_pos,
+       CAST(win_min // {1 << _WIN_POS_BITS} AS BIGINT) AS sel_h
+FROM wins WHERE pos <= _n - {WIN_W}
+ORDER BY doc_id, sel_pos
 """

@@ -2171,6 +2171,8 @@ register("q_corpus_mix", LP.q_corpus_mix, LP.Q_CORPUS_MIX_SQL)
 register("q_text_repetition", T.q_text_repetition, T.Q_TEXT_REPETITION_SQL)
 register("q_text_kl_drift", T.q_text_kl_drift, T.Q_TEXT_KL_DRIFT_SQL)
 register("q_text_zipf", T.q_text_zipf, T.Q_TEXT_ZIPF_SQL)
+# winnowing fingerprints (MOSS): guaranteed-coverage selective shingles
+register("q_text_winnow", T.q_text_winnow, T.Q_TEXT_WINNOW_SQL)
 register("q_text_vocab_prune", T.q_text_vocab_prune, T.Q_TEXT_VOCAB_PRUNE_SQL)
 register("q_x_snapshot_diff", LP.q_x_snapshot_diff, LP.Q_X_SNAPSHOT_DIFF_SQL)
 register("q_x_apply_changes", RX.q_x_apply_changes, RX.Q_X_APPLY_CHANGES_SQL)

@@ -778,3 +778,31 @@ def test_lsh_tuning_precision_recall_tradeoff(spark):
     rec = [r.recall_bps for r in out]
     assert prec == sorted(prec)            # precision rises with rows
     assert rec == sorted(rec, reverse=True)  # recall falls with rows
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Schleimer et al. guarantee: docs sharing a substring of length
+    >= w + k - 1 (= 8 at k=5, w=4) must share at least one selected
+    fingerprint hash; and selection keeps roughly 2/(w+1) of grams."""
+    from bigdatagenomic_spark.operators.text import winnow_fingerprints
+
+    shared = "xqzvbnmk"  # 8 chars >= w + k - 1
+    rows = [
+        (0, "aaa" + shared + "padding text one two"),
+        (1, "completely different lead " + shared + " tail"),
+        (2, "no overlap with the others at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.sel_h)
+    assert by_doc[0] & by_doc[1], "guaranteed shared fingerprint missing"
+    # density: selected counts are a strict subset of gram counts
+    n_grams_0 = len(rows[0][1]) - 4
+    assert 0 < len(by_doc[0]) < n_grams_0
+    # deterministic replay
+    again = winnow_fingerprints(docs).collect()
+    assert {(r.doc_id, r.sel_pos, r.sel_h) for r in again} == {
+        (r.doc_id, r.sel_pos, r.sel_h) for r in out
+    }
