@@ -976,3 +976,84 @@ SELECT DISTINCT doc_id,
 FROM wins WHERE pos <= _n - {WIN_W}
 ORDER BY doc_id, sel_pos
 """
+
+
+WINNOW_MAX_POSTING = 20  # drop fingerprints shared by more docs (too common)
+
+
+def winnow_pairs(docs: DataFrame, max_posting: int = WINNOW_MAX_POSTING) -> DataFrame:
+    """(a_id, b_id, n_shared) — the MOSS match step over the winnowing
+    index: candidate document pairs ranked by how many selected
+    fingerprints they share. Fingerprints whose posting list exceeds
+    ``max_posting`` docs are dropped first (ubiquitous boilerplate
+    grams pair everyone with everyone — the same hub-protection as the
+    boilerplate scrub's frequency cut), so the pair join is bounded at
+    max_posting^2 per fingerprint, never corpus^2.
+
+    Index (winnow_fingerprints) is ~2/(w+1) of gram volume; this join
+    shuffles only (sel_h, doc_id) pairs.
+    """
+    fp = (
+        winnow_fingerprints(docs)
+        .select("doc_id", "sel_h")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rare = (
+        fp.groupBy("sel_h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") <= max_posting)
+        .select("sel_h")
+    )
+    keep = fp.join(rare, "sel_h", "left_semi")
+    a = keep.select(F.col("sel_h"), F.col("doc_id").alias("a_id"))
+    b = keep.select(F.col("sel_h"), F.col("doc_id").alias("b_id"))
+    return (
+        a.join(b, "sel_h")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_pairs(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    ).orderBy("a_id", "b_id")
+
+
+Q_TEXT_WINNOW_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents WHERE text IS NOT NULL AND doc_id < 100),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, substr(s, CAST(i AS INT), {WIN_K}) AS gram
+  FROM t, unnest(range(1, greatest(length(s) - {WIN_K - 1}, 1) + 1)) u(i)
+  WHERE length(substr(s, CAST(i AS INT), {WIN_K})) = {WIN_K}),
+keyed AS (
+  SELECT doc_id, pos,
+         (CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % {1 << 30})
+           * {1 << _WIN_POS_BITS}
+           + ({(1 << _WIN_POS_BITS) - 1} - pos) AS key
+  FROM g),
+wins AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING)
+           AS win_min,
+         count(*) OVER (PARTITION BY doc_id) AS _n
+  FROM keyed),
+fp AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         CAST(win_min // {1 << _WIN_POS_BITS} AS BIGINT) AS sel_h
+  FROM wins WHERE pos <= _n - {WIN_W}),
+rare AS (
+  SELECT sel_h FROM fp GROUP BY sel_h
+  HAVING count(*) <= {WINNOW_MAX_POSTING})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b USING (sel_h)
+WHERE a.doc_id < b.doc_id AND sel_h IN (SELECT sel_h FROM rare)
+GROUP BY a.doc_id, b.doc_id
+ORDER BY a_id, b_id
+"""

@@ -564,6 +564,45 @@ register(
 )
 
 
+def q_asm_kmer_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-mer multiplicity spectrum: how many distinct k-mers occur
+    exactly m times — the coverage histogram every assembler inspects
+    to separate sequencing errors (multiplicity 1 spike) from true
+    coverage (the main mode); q_asm_error_correct's threshold is read
+    off this plot. Second-order aggregate of q_asm_kmer_counts: two
+    map-side-combined shuffles, output bounded by max multiplicity.
+    """
+    from pyspark.sql import functions as F
+
+    counts = q_asm_kmer_counts(spark, sf_dir)
+    return (
+        counts.groupBy(F.col("c").alias("multiplicity"))
+        .agg(F.count("*").cast("long").alias("n_kmers"))
+        .orderBy("multiplicity")
+    )
+
+
+register(
+    "q_asm_kmer_spectrum",
+    q_asm_kmer_spectrum,
+    """
+    WITH r AS (
+      SELECT substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'), 17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    ), km AS (
+      SELECT unnest(list_transform(range(1, greatest(length(content) - 4, 1) + 1),
+                                   i -> substr(content, i, 5))) AS kmer
+      FROM r
+    ), kc AS (
+      SELECT kmer, count(*) AS c FROM km WHERE length(kmer) = 5 GROUP BY kmer
+    )
+    SELECT c AS multiplicity, CAST(count(*) AS BIGINT) AS n_kmers
+    FROM kc GROUP BY c ORDER BY multiplicity
+    """,
+)
+
+
 def q_asm_debruijn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """de Bruijn graph construction over the derived read set: every
     k-mer contributes the edge (k-1-mer prefix) -> (k-1-mer suffix),
@@ -2173,6 +2212,8 @@ register("q_text_kl_drift", T.q_text_kl_drift, T.Q_TEXT_KL_DRIFT_SQL)
 register("q_text_zipf", T.q_text_zipf, T.Q_TEXT_ZIPF_SQL)
 # winnowing fingerprints (MOSS): guaranteed-coverage selective shingles
 register("q_text_winnow", T.q_text_winnow, T.Q_TEXT_WINNOW_SQL)
+# the MOSS match step: pair candidates by shared winnow fingerprints
+register("q_text_winnow_pairs", T.q_text_winnow_pairs, T.Q_TEXT_WINNOW_PAIRS_SQL)
 register("q_text_vocab_prune", T.q_text_vocab_prune, T.Q_TEXT_VOCAB_PRUNE_SQL)
 register("q_x_snapshot_diff", LP.q_x_snapshot_diff, LP.Q_X_SNAPSHOT_DIFF_SQL)
 register("q_x_apply_changes", RX.q_x_apply_changes, RX.Q_X_APPLY_CHANGES_SQL)

@@ -806,3 +806,22 @@ def test_winnowing_guarantee_and_density(spark):
     assert {(r.doc_id, r.sel_pos, r.sel_h) for r in again} == {
         (r.doc_id, r.sel_pos, r.sel_h) for r in out
     }
+
+
+def test_winnow_pairs_hub_protection_and_ranking(spark):
+    """Shared rare fingerprints pair docs; a gram present in EVERY doc
+    must be cut by the posting cap and pair nobody on its own."""
+    from bigdatagenomic_spark.operators.text import winnow_pairs
+
+    shared = "xqzvbnmkje"
+    rows = [
+        (0, "aa" + shared + " unique tail zero zero"),
+        (1, "bb" + shared + " other middle one one"),
+        (2, "totally unrelated text body here two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {(r.a_id, r.b_id): r.n_shared for r in winnow_pairs(docs).collect()}
+    assert (0, 1) in out and out[(0, 1)] >= 1
+    # with a posting cap of 1, nothing shared by 2+ docs survives
+    none = winnow_pairs(docs, max_posting=1).collect()
+    assert none == []
