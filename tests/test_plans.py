@@ -571,3 +571,23 @@ def test_basket_pairs_topk_and_no_cartesian(spark):
     kinds = join_kinds(df)
     assert "CartesianProduct" not in kinds and "BroadcastNestedLoopJoin" not in kinds, kinds
     assert has_operator(df, "TakeOrderedAndProject"), formatted_plan(df)
+
+
+def test_dup_spans_frequency_shuffle_is_narrow(spark):
+    """q_text_dup_spans' corpus-wide frequency pass must shuffle only
+    the 28-byte (doc_id, pos, h1, h2) fingerprint rows — span TEXT in a
+    span-keyed exchange would multiply the payload by the span width
+    (the boilerplate-pass invariant, applied to the overlapping-span
+    variant)."""
+    import re
+
+    df = _df(spark, "q_text_dup_spans")
+    plan = formatted_plan(df)
+    sections = re.split(r"\n\(\d+\) ", plan)
+    h_exchanges = [
+        s for s in sections
+        if s.startswith("Exchange") and "hashpartitioning(h1" in s
+    ]
+    assert h_exchanges, "expected an (h1, h2)-keyed exchange in:\n" + plan
+    for s in h_exchanges:
+        assert "span" not in s.split("Arguments:")[0], s
