@@ -974,3 +974,75 @@ FROM probes p JOIN sketch s USING (r, bucket)
 GROUP BY p.word, p.exact_count
 ORDER BY exact_count DESC, word
 """
+
+
+# ---------------------------------------------------------------------------
+# pipeline volume anomaly monitor (daily-count 3-sigma control test)
+# ---------------------------------------------------------------------------
+def volume_anomalies(events: DataFrame) -> DataFrame:
+    """(event_type, day, n_rows, is_anomaly) — data-ops volume
+    monitoring: each event type's DAILY row count tested against that
+    type's own daily-count distribution at 3 sigma; the alarm that
+    catches a dead producer or a double-delivery day before a training
+    run ingests it. Complements q_x_outlier_flags (which scores VALUES;
+    this scores pipeline VOLUME over time).
+
+    The 3-sigma test is exact integer arithmetic — counts are integers,
+    so with S = sum of daily counts, Q = sum of squares, n = number of
+    days, the breach |x - S/n| > 3*sigma cross-multiplies to
+
+        (n*x - S)^2 * (n-1) > 9 * n * (n*Q - S^2)
+
+    and no float summation order can flip a verdict. Two aggregates
+    (daily counts, then per-type moments) + one broadcast join of the
+    |types|-row moment table.
+    """
+    daily = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_rows").alias("s"),
+        F.sum(F.col("n_rows") * F.col("n_rows")).alias("q"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    dev = (F.col("n_days") * F.col("n_rows") - F.col("s")).cast("long")
+    lhs = dev * dev * (F.col("n_days") - 1)
+    rhs = (
+        9
+        * F.col("n_days")
+        * (F.col("n_days") * F.col("q") - F.col("s") * F.col("s"))
+    )
+    return j.select(
+        "event_type",
+        "day",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        ((F.col("n_days") > 1) & (lhs > rhs)).alias("is_anomaly"),
+    )
+
+
+def q_x_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return volume_anomalies(load_table(spark, sf_dir, "events")).orderBy(
+        "event_type", "day"
+    )
+
+
+Q_X_VOLUME_ANOMALIES_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_rows
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)),
+stats AS (
+  SELECT event_type, count(*) AS n_days, sum(n_rows) AS s,
+         sum(n_rows * n_rows) AS q
+  FROM daily GROUP BY event_type)
+SELECT d.event_type, d.day, CAST(d.n_rows AS BIGINT) AS n_rows,
+       (st.n_days > 1 AND
+        (st.n_days * d.n_rows - st.s) * (st.n_days * d.n_rows - st.s)
+          * (st.n_days - 1)
+        > 9 * st.n_days * (st.n_days * st.q - st.s * st.s)) AS is_anomaly
+FROM daily d JOIN stats st USING (event_type)
+ORDER BY d.event_type, d.day
+"""

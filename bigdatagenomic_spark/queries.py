@@ -2183,6 +2183,10 @@ register("q_x_hll_rollup", ST.q_x_hll_rollup, None)
 register("q_x_bootstrap_ci", ST.q_x_bootstrap_ci, ST.Q_X_BOOTSTRAP_CI_SQL)
 # count-min sketch heavy-hitter monitor (deterministic grid, exact check)
 register("q_x_cms_words", ST.q_x_cms_words, ST.Q_X_CMS_WORDS_SQL)
+# pipeline volume anomaly monitor (integer-exact daily 3-sigma test)
+register(
+    "q_x_volume_anomalies", ST.q_x_volume_anomalies, ST.Q_X_VOLUME_ANOMALIES_SQL
+)
 register("q_x_benford", ST.q_x_benford, ST.Q_X_BENFORD_SQL)
 register("q_x_dow_hour_heatmap", ST.q_x_dow_hour_heatmap, ST.Q_X_DOW_HOUR_HEATMAP_SQL)
 register("q_x_dq_report", ST.q_x_dq_report, ST.Q_X_DQ_REPORT_SQL)

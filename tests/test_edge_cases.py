@@ -310,3 +310,26 @@ def test_golden_records_survivorship_rules(spark):
     assert g.golden_segment == "AUTO"
     assert g.golden_acctbal == 250.0           # max balance survives
     assert out[3].n_members == 1
+
+
+def test_volume_anomalies_flags_planted_spike(spark):
+    from datetime import datetime
+
+    from bigdatagenomic_spark.operators.stats import volume_anomalies
+
+    rows = []
+    eid = 0
+    # 10 steady days of 10 events, then one day with 100 (a 3-sigma spike)
+    for d in range(1, 11):
+        for _ in range(10):
+            rows.append((eid, datetime(2024, 1, d, 12), 0, "click", 0.0, "{}")); eid += 1
+    for _ in range(100):
+        rows.append((eid, datetime(2024, 1, 11, 12), 0, "click", 0.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = {str(r.day): r.is_anomaly for r in volume_anomalies(events).collect()}
+    assert out["2024-01-11"] is True
+    assert sum(out.values()) == 1  # steady days stay quiet
