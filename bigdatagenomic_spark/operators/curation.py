@@ -158,8 +158,11 @@ FROM sampled GROUP BY source ORDER BY source
 # --------------------------------------------------------------------------
 # Conservative patterns valid in BOTH regex dialects the engine pairs
 # (Java for Spark, RE2 for the DuckDB oracle): character classes, bounded
-# repetition, \b word boundaries — no lookaround (RE2 has none).
-PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# repetition, \b word boundaries, (?i) case-insensitive flag — no
+# lookaround (RE2 has none). The email pattern is (?i) so mixed-case
+# addresses ('User@Example.COM') cannot escape redaction; phone/IPv4
+# patterns contain no letters and need no flag.
+PII_EMAIL = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PII_PHONE = r"\b555-[0-9]{4}\b"
 PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 

@@ -434,10 +434,15 @@ def phash_pairs(mm: DataFrame, max_hamming: int = PHASH_MAX_HAMMING) -> DataFram
     on one of four 8-bit chunks, exact popcount verify after. Recall is
     guaranteed for max_hamming <= 3; the candidate join is never
     all-pairs, so the image-dedup pass scales exactly like the text
-    one."""
+    one. NULL/empty payloads are excluded up front (they would all
+    hash to the degenerate signature 0 and pair with each other,
+    which the oracle's ``n > 0`` guard rightly rejects)."""
     from bigdatagenomic_spark.operators.dedup import simhash_pairs
 
-    sigs = mm.select("doc_id", ahash32("payload").alias("simhash"))
+    hashable = mm.where(
+        F.col("payload").isNotNull() & (F.octet_length("payload") > 0)
+    )
+    sigs = hashable.select("doc_id", ahash32("payload").alias("simhash"))
     return simhash_pairs(sigs, max_hamming=max_hamming)
 
 
@@ -474,7 +479,10 @@ def trim_flat_frames(
         for pdf in batches:
             ids, idxs, lens, nums, keeps = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                buf = bytes(payload)
+                # NULL payloads (NULL-text docs) yield zero frames, like
+                # the empty payload — mirrors the oracle, where a NULL
+                # codes list unnests to no frame rows.
+                buf = bytes(payload) if payload is not None else b""
                 n_frames = (len(buf) + frame_bytes - 1) // frame_bytes
                 for i in range(n_frames):
                     fr = buf[i * frame_bytes : (i + 1) * frame_bytes]

@@ -767,7 +767,15 @@ def bootstrap_ci_mean(orders: DataFrame, n_reps: int = BOOT_B) -> DataFrame:
     agree bit-for-bit. The final rank-and-pick runs over n_reps rows —
     a bounded single window by construction (same documented class as
     q_x_funnel_rates' 3-row window).
+
+    The CI endpoints are the 2.5%/97.5% replica-mean order statistics,
+    DERIVED from ``n_reps`` (lo = ceil(0.025*n_reps), hi = n_reps+1-lo;
+    100 replicas -> ranks 3/98) so a non-default replica count still
+    yields a 95% interval rather than silently shifting the confidence
+    level.
     """
+    lo_rank = -((-25 * n_reps) // 1000)  # ceil(0.025 * n_reps), exact integer
+    hi_rank = n_reps + 1 - lo_rank
     base = orders.select(
         F.col("o_orderkey").alias("key"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -806,8 +814,8 @@ def bootstrap_ci_mean(orders: DataFrame, n_reps: int = BOOT_B) -> DataFrame:
         "m", F.row_number().over(W.orderBy(F.asc("m"), F.asc("b"))).alias("rk")
     )
     ci = ranked.agg(
-        F.min(F.when(F.col("rk") == 3, F.col("m"))).alias("ci_lo"),
-        F.min(F.when(F.col("rk") == n_reps - 2, F.col("m"))).alias("ci_hi"),
+        F.min(F.when(F.col("rk") == lo_rank, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == hi_rank, F.col("m"))).alias("ci_hi"),
     )
     point = base.agg(
         (F.sum("cents") / (F.count("*") * 100.0)).alias("point_mean")
@@ -850,8 +858,9 @@ reps AS (
 ranked AS (
   SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM reps),
 ci AS (
-  SELECT min(CASE WHEN rk = 3 THEN m END) AS ci_lo,
-         min(CASE WHEN rk = {BOOT_B} - 2 THEN m END) AS ci_hi
+  SELECT min(CASE WHEN rk = {-((-25 * BOOT_B) // 1000)} THEN m END) AS ci_lo,
+         min(CASE WHEN rk = {BOOT_B + 1 + ((-25 * BOOT_B) // 1000)} THEN m END)
+           AS ci_hi
   FROM ranked),
 pt AS (
   SELECT sum(cents) / (count(*) * 100.0) AS point_mean FROM base)

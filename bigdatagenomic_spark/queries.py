@@ -1979,9 +1979,8 @@ from bigdatagenomic_spark.operators import bpe as BPE  # noqa: E402
 register("q_text_bpe_train", BPE.q_text_bpe_train, BPE.Q_TEXT_BPE_TRAIN_SQL)
 register("q_text_bpe_encode", BPE.q_text_bpe_encode, BPE.Q_TEXT_BPE_ENCODE_SQL)
 
-# perceptual-hash (aHash) near-dup payload pairs; cell/global byte means
-# are integer-valued sums so the oracle rebuilds the hash bit-for-bit,
-# then replays the same 8-bit-chunk pigeonhole blocking as simhash
+# variance-gated frame trimming (audio silence-removal shape); the
+# integer cross-multiplied variance test is replayed on ascii codes
 register(
     "q_mm_silence_trim",
     MM.q_mm_silence_trim,
@@ -2007,6 +2006,9 @@ register(
         FROM stats ORDER BY doc_id, frame_idx""",
 )
 
+# perceptual-hash (aHash) near-dup payload pairs; cell/global byte means
+# are integer-valued sums so the oracle rebuilds the hash bit-for-bit,
+# then replays the same 8-bit-chunk pigeonhole blocking as simhash
 register(
     "q_mm_phash_pairs",
     MM.q_mm_phash_pairs,

@@ -333,3 +333,22 @@ def test_volume_anomalies_flags_planted_spike(spark):
     out = {str(r.day): r.is_anomaly for r in volume_anomalies(events).collect()}
     assert out["2024-01-11"] is True
     assert sum(out.values()) == 1  # steady days stay quiet
+
+
+def test_bootstrap_ci_ranks_derive_from_n_reps(spark):
+    from bigdatagenomic_spark.operators.stats import bootstrap_ci_mean
+
+    orders = spark.createDataFrame(
+        [(i, 100.0 + (i % 7)) for i in range(120)],
+        "o_orderkey LONG, o_totalprice DOUBLE",
+    )
+    # n_reps=2: the old hardcoded rank 3 never matched -> NULL ci_lo.
+    # Derived ranks give (lo=1, hi=2) = (min, max) replica mean.
+    tiny = bootstrap_ci_mean(orders, n_reps=2).collect()[0]
+    assert tiny.ci_lo is not None and tiny.ci_hi is not None
+    assert tiny.ci_lo <= tiny.ci_hi
+    # n_reps=200 stays a 95% CI (ranks 5/196), not a ~99.5% one: the
+    # interval must still bracket the point mean and stay tight.
+    wide = bootstrap_ci_mean(orders, n_reps=200).collect()[0]
+    assert wide.ci_lo < wide.point_mean < wide.ci_hi
+    assert wide.ci_hi - wide.ci_lo < 2.0

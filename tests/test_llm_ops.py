@@ -629,6 +629,8 @@ def test_scrub_pii_redacts_and_counts(spark):
         # the email's dotted-quad-free domain must not trip the IP rule,
         # and an IP inside an email must be redacted AS the email
         (3, "root@10.0.0.1.net plus bare 10.0.0.1"),
+        # mixed-case addresses must not escape redaction ((?i) pattern)
+        (4, "Reach User@Example.COM or ADMIN@HOST.ORG now"),
     ]
     df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
     out = {r.doc_id: r for r in scrub_pii(df).collect()}
@@ -640,6 +642,8 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert (out[2].n_email, out[2].n_phone, out[2].n_ip) == (0, 0, 0)
     assert out[3].n_email == 1 and out[3].n_ip == 1
     assert out[3].clean_text == "<EMAIL> plus bare <IP>"
+    assert out[4].n_email == 2
+    assert out[4].clean_text == "Reach <EMAIL> or <EMAIL> now"
 
 
 def test_temperature_mix_upweights_small_sources(spark):

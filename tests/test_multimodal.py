@@ -185,3 +185,38 @@ def test_trim_flat_frames_gates_on_variance(spark):
     assert not out[0].kept and out[0].variance_num == 0
     assert out[1].kept
     assert not out[2].kept
+
+
+def test_phash_pairs_excludes_null_and_empty_payloads(spark):
+    """NULL/empty payloads must not enter the candidate join: they all
+    hash to signature 0 and would pair with each other, which the
+    oracle's n > 0 guard excludes."""
+    from bigdatagenomic_spark.operators.multimodal import phash_pairs
+
+    base = bytes(range(64)) * 4
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(bytes([1]) + base[1:])),  # near-dup of 1
+        (3, None),                              # NULL payload
+        (4, bytearray(b"")),                    # empty payload
+        (5, None),                              # second NULL: would pair w/ 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    got = {(r.a_id, r.b_id) for r in phash_pairs(df).collect()}
+    assert (1, 2) in got
+    assert all(a not in (3, 4, 5) and b not in (3, 4, 5) for a, b in got)
+
+
+def test_trim_flat_frames_null_payload_yields_no_frames(spark):
+    """A NULL payload (NULL-text doc) produces zero frame rows instead
+    of raising inside mapInPandas — mirroring the oracle, where a NULL
+    codes list unnests to nothing."""
+    from bigdatagenomic_spark.operators.multimodal import trim_flat_frames
+
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(bytes(range(64))))],
+        "doc_id LONG, payload BINARY",
+    )
+    out = trim_flat_frames(df).collect()
+    assert {r.doc_id for r in out} == {2}
+    assert len(out) == 1 and out[0].kept
