@@ -2401,7 +2401,54 @@ ORDER BY user_id, match_at
 # ---------------------------------------------------------------------------
 # entity resolution: normalize -> match -> cluster -> golden record
 # ---------------------------------------------------------------------------
-def golden_records(records: DataFrame) -> DataFrame:
+ER_MAX_BLOCK = 64  # per-block record cap before key refinement kicks in
+ER_KEY_SEP = "\x01"
+
+
+def er_candidate_edges(base: DataFrame, max_block: int = ER_MAX_BLOCK) -> DataFrame:
+    """(src, dst) candidate links from hub-protected blocking.
+
+    The naive match (`a.join(b, "norm")`) is quadratic in the largest
+    block: one hub key — thousands of records normalizing to the same
+    name, routine in real MDM feeds — and the self-join explodes. Same
+    frequency-cap discipline as winnow_pairs' ``max_posting``
+    (operators/text.py) and the boilerplate frequency cut, applied to
+    blocking keys:
+
+    1. count records per ``norm``; blocks within ``max_block`` link on
+       ``norm`` as before;
+    2. oversized blocks REFINE the key to (norm, segment) — a second
+       quasi-identifier splits the hub;
+    3. blocks still oversized after refinement are routed out of
+       linking entirely (their records surface as singleton clusters —
+       the human-review queue), so no block ever generates more than
+       C(max_block, 2) pairs.
+
+    Both count passes aggregate to one row per key (map-side combined);
+    the pair join stays an equi-join on the final block key. `base`
+    must carry (id, norm, segment).
+    """
+    bn = base.groupBy("norm").agg(F.count("*").alias("n_norm"))
+    keyed = base.join(bn, "norm").select(
+        "id",
+        F.when(F.col("n_norm") <= max_block, F.col("norm"))
+        .otherwise(F.concat("norm", F.lit(ER_KEY_SEP), "segment"))
+        .alias("bkey"),
+    )
+    kn = keyed.groupBy("bkey").agg(F.count("*").alias("n_bkey"))
+    linkable = (
+        keyed.join(kn, "bkey")
+        .where(F.col("n_bkey") <= max_block)
+        .select("id", "bkey")
+    )
+    a = linkable.select(F.col("id").alias("src"), "bkey")
+    b = linkable.select(F.col("id").alias("dst"), "bkey")
+    return (
+        a.join(b, "bkey").where(F.col("src") < F.col("dst")).select("src", "dst")
+    )
+
+
+def golden_records(records: DataFrame, max_block: int = ER_MAX_BLOCK) -> DataFrame:
     """(cluster, n_members, golden_name, golden_acctbal, golden_segment)
     — the MDM survivorship pipeline: normalize the match key, link
     records whose normalized names agree, close the links into entity
@@ -2411,11 +2458,13 @@ def golden_records(records: DataFrame) -> DataFrame:
     canonical record's). The text-corpus twin is q_dedup_survivors;
     this is the warehouse-records form with per-field merge rules.
 
-    Scale: the match is an equi-join on the normalized key (never
-    fuzzy all-pairs — a fuzzy rule would plug in the blocked
-    q_dedup_fuzzy pairs instead), the closure is hash-min pointer
-    jumping (O(log diameter) rounds, operators/graph.py), survivorship
-    one aggregate.
+    Scale: the match is an equi-join on the HUB-PROTECTED block key
+    (:func:`er_candidate_edges` — per-key frequency cap, oversize
+    blocks refined by segment, still-oversize blocks routed to
+    singleton/review instead of a quadratic self-join; never fuzzy
+    all-pairs — a fuzzy rule would plug in the blocked q_dedup_fuzzy
+    pairs instead), the closure is hash-min pointer jumping (O(log
+    diameter) rounds, operators/graph.py), survivorship one aggregate.
     """
     from bigdatagenomic_spark.functions import normalize_text
     from bigdatagenomic_spark.operators.graph import connected_components
@@ -2427,13 +2476,7 @@ def golden_records(records: DataFrame) -> DataFrame:
         F.col("c_acctbal").alias("acctbal"),
         F.col("c_mktsegment").alias("segment"),
     ).localCheckpoint(eager=False)
-    a = base.select(F.col("id").alias("src"), "norm")
-    b = base.select(F.col("id").alias("dst"), "norm")
-    edges = (
-        a.join(b, "norm")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-    )
+    edges = er_candidate_edges(base, max_block=max_block)
     cc = connected_components(edges)
     labeled = base.join(cc, "id", "left").select(
         F.coalesce("component", F.col("id")).alias("cluster"),
@@ -2483,9 +2526,21 @@ base AS (
          trim(regexp_replace(lower(c_name), '\\s+', ' ', 'g')) AS norm,
          c_acctbal AS acctbal, c_mktsegment AS segment
   FROM allrec),
+bn AS (
+  SELECT norm, count(*) AS n_norm FROM base GROUP BY norm),
+keyed AS (
+  SELECT base.id, base.segment,
+         CASE WHEN bn.n_norm <= {ER_MAX_BLOCK} THEN base.norm
+              ELSE base.norm || chr(1) || base.segment END AS bkey
+  FROM base JOIN bn USING (norm)),
+kn AS (
+  SELECT bkey, count(*) AS n_bkey FROM keyed GROUP BY bkey),
+linkable AS (
+  SELECT keyed.id, keyed.bkey FROM keyed JOIN kn USING (bkey)
+  WHERE kn.n_bkey <= {ER_MAX_BLOCK}),
 e AS (
   SELECT a.id AS src, b.id AS dst
-  FROM base a JOIN base b USING (norm) WHERE a.id < b.id),
+  FROM linkable a JOIN linkable b USING (bkey) WHERE a.id < b.id),
 und AS (
   SELECT src, dst FROM e UNION SELECT dst, src FROM e),
 reach AS (

@@ -312,6 +312,50 @@ def test_golden_records_survivorship_rules(spark):
     assert out[3].n_members == 1
 
 
+def test_er_hub_key_blocks_stay_bounded(spark):
+    """A 1k-record hub key (every record normalizes to the same name)
+    must NOT self-join quadratically: oversized blocks refine to
+    (norm, segment); refined blocks still over the cap are routed out
+    of linking as singletons."""
+    from bigdatagenomic_spark.functions import normalize_text
+    from bigdatagenomic_spark.operators.relational_ext import (
+        er_candidate_edges,
+        golden_records,
+    )
+    from pyspark.sql import functions as F
+
+    # hub A: 1000 records over 100 segments (10 each) -> refinement
+    # splits it into linkable blocks; hub B: 1000 records over 2
+    # segments (500 each) -> still oversized after refinement -> no
+    # links; plus one normal duplicate pair.
+    rows = (
+        [(i, "ACME Corp", 1.0 * i, f"SEG{i % 100}") for i in range(1000)]
+        + [(2000 + i, "Hub B Inc", 1.0, f"S{i % 2}") for i in range(1000)]
+        + [(5001, "Solo Ltd", 10.0, "AUTO"), (5002, " solo  ltd ", 20.0, "WEB")]
+    )
+    df = spark.createDataFrame(
+        rows, "c_custkey LONG, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING"
+    )
+    base = df.select(
+        F.col("c_custkey").alias("id"),
+        normalize_text(F.col("c_name")).alias("norm"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    edges = er_candidate_edges(base).collect()
+    # hub A: 100 refined blocks x C(10,2) = 4500 pairs, not C(1000,2);
+    # hub B: zero pairs; solo pair: 1
+    a_edges = [e for e in edges if e.src < 1000]
+    b_edges = [e for e in edges if 2000 <= e.src < 3000]
+    assert len(a_edges) == 4500
+    assert len(b_edges) == 0
+    assert len(edges) == 4501
+    out = golden_records(df).collect()
+    # hub A -> 100 clusters, hub B -> 1000 singletons, solo -> 1 cluster
+    assert len(out) == 100 + 1000 + 1
+    solo = [r for r in out if r.cluster == 5001]
+    assert solo and solo[0].n_members == 2
+
+
 def test_volume_anomalies_flags_planted_spike(spark):
     from datetime import datetime
 
