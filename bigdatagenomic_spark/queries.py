@@ -1200,6 +1200,29 @@ FROM swept, tot ORDER BY rows"""
 
 register("q_dedup_lsh_tuning", D.q_dedup_lsh_tuning, _lsh_tune_oracle_sql())
 
+
+def _lsh_autoconfig_oracle_sql() -> str:
+    """Sweep + the picker's deterministic total order replayed in SQL:
+    eligible configs (recall >= target) first by (n_candidates, bands);
+    if none is eligible, highest recall then cheapest. Mirrors
+    dedup.pick_lsh_config's order_key verbatim."""
+    t = D.LSH_TARGET_RECALL_BPS
+    return f"""SELECT CAST({t} AS BIGINT) AS target_recall_bps,
+       bands, rows, n_candidates, recall_bps
+FROM ({_lsh_tune_oracle_sql()}) sw
+ORDER BY (recall_bps >= {t}) DESC,
+         CASE WHEN recall_bps >= {t} THEN n_candidates ELSE 0 END,
+         CASE WHEN recall_bps >= {t} THEN 0 ELSE -recall_bps END,
+         n_candidates, bands
+LIMIT 1"""
+
+
+# sweep-driven banding choice (VERDICT r6 #3): the picker's decision is
+# itself an oracle-checked row
+register(
+    "q_dedup_lsh_autoconfig", D.q_dedup_lsh_autoconfig, _lsh_autoconfig_oracle_sql()
+)
+
 register(
     "q_dedup_lsh_incremental",
     D.q_dedup_lsh_incremental,

@@ -829,3 +829,48 @@ def test_winnow_pairs_hub_protection_and_ranking(spark):
     # with a posting cap of 1, nothing shared by 2+ docs survives
     none = winnow_pairs(docs, max_posting=1).collect()
     assert none == []
+
+
+def test_pick_lsh_config_target_flips_choice(spark):
+    """The picker reads the sweep: a raised recall target must flip the
+    chosen config to a more-recall/more-cost banding, and an unmeetable
+    target falls back to the highest-recall config."""
+    from bigdatagenomic_spark.operators.dedup import pick_lsh_config
+
+    rep = spark.createDataFrame(
+        [
+            (16, 1, 1000, 9500),
+            (8, 2, 300, 9200),
+            (4, 4, 50, 8000),
+            (2, 8, 10, 4000),
+        ],
+        "bands LONG, rows LONG, n_candidates LONG, recall_bps LONG",
+    )
+    assert pick_lsh_config(rep, 9000) == (8, 2)    # cheapest meeting 90%
+    assert pick_lsh_config(rep, 7000) == (4, 4)    # lower bar -> cheaper
+    assert pick_lsh_config(rep, 9900) == (16, 1)   # unmeetable -> max recall
+
+
+def test_minhash_band_pairs_auto_equals_explicit(spark):
+    """Auto-config pair generation == explicitly passing the config the
+    picker chose; and the 4x4 explicit form matches the flagship
+    q_dedup_minhash_pairs formulation."""
+    from bigdatagenomic_spark.operators.dedup import (
+        lsh_tuning_report,
+        minhash_band_pairs,
+        pick_lsh_config,
+    )
+
+    rows = [
+        (i, f"unique text number {i} filler alpha beta gamma delta")
+        for i in range(25)
+    ]
+    rows += [(100, rows[0][1]), (101, rows[1][1])]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    cfg = pick_lsh_config(lsh_tuning_report(docs))
+    auto = {(r.a_id, r.b_id) for r in minhash_band_pairs(docs).collect()}
+    explicit = {
+        (r.a_id, r.b_id) for r in minhash_band_pairs(docs, config=cfg).collect()
+    }
+    assert auto == explicit
+    assert {(0, 100), (1, 101)} <= auto  # exact dups always survive
