@@ -1022,10 +1022,14 @@ def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
-Q_TEXT_WINNOW_PAIRS_SQL = f"""
-WITH t AS (
+# the winnow index + posting-capped pair CTEs (t .. wpairs), shared by
+# the standalone pair oracle (100-doc bound) and the winnow-survivors
+# closure oracle (the wider PAIR_SAMPLE_DOCS bound, where sf0.01 actually
+# contains near-dups) so the fingerprint/pair formulas can never drift
+def winnow_pair_ctes_for(bound: int) -> str:
+    return f"""t AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
-  FROM documents WHERE text IS NOT NULL AND doc_id < 100),
+  FROM documents WHERE text IS NOT NULL AND doc_id < {bound}),
 g AS (
   SELECT doc_id, CAST(i - 1 AS INT) AS pos, substr(s, CAST(i AS INT), {WIN_K}) AS gram
   FROM t, unnest(range(1, greatest(length(s) - {WIN_K - 1}, 1) + 1)) u(i)
@@ -1049,11 +1053,17 @@ fp AS MATERIALIZED (
   FROM wins WHERE pos <= _n - {WIN_W}),
 rare AS (
   SELECT sel_h FROM fp GROUP BY sel_h
-  HAVING count(*) <= {WINNOW_MAX_POSTING})
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       CAST(count(*) AS BIGINT) AS n_shared
-FROM fp a JOIN fp b USING (sel_h)
-WHERE a.doc_id < b.doc_id AND sel_h IN (SELECT sel_h FROM rare)
-GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) <= {WINNOW_MAX_POSTING}),
+wpairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fp a JOIN fp b USING (sel_h)
+  WHERE a.doc_id < b.doc_id AND sel_h IN (SELECT sel_h FROM rare)
+  GROUP BY a.doc_id, b.doc_id)"""
+
+
+Q_TEXT_WINNOW_PAIRS_SQL = f"""
+WITH {winnow_pair_ctes_for(100)}
+SELECT a_id, b_id, n_shared FROM wpairs
 ORDER BY a_id, b_id
 """

@@ -1056,10 +1056,13 @@ register(
 )
 
 # shared oracle fragments for shingle-based dedup (doc_id < sample bound)
-_SHINGLES_CTE = f"""
+def _shingles_cte_for(bound: int) -> str:
+    """The tok/sh/sizes/common shingle CTEs at an explicit doc bound —
+    the 400-doc default below plus the 100-doc winnow-survivors oracle."""
+    return f"""
   tok AS (SELECT doc_id, {_TOK} AS t
           FROM documents
-          WHERE doc_id < {D.PAIR_SAMPLE_DOCS} AND text IS NOT NULL),
+          WHERE doc_id < {bound} AND text IS NOT NULL),
   sh AS (
     SELECT doc_id, unnest(list_distinct(
         list_transform(range(1, greatest(len(t) - 2, 1) + 1),
@@ -1070,6 +1073,9 @@ _SHINGLES_CTE = f"""
     SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
     FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
 """
+
+
+_SHINGLES_CTE = _shingles_cte_for(D.PAIR_SAMPLE_DOCS)
 
 register(
     "q_dedup_ngram_jaccard",
@@ -1765,6 +1771,42 @@ WHERE doc_id NOT IN (SELECT id FROM dropped)
 ORDER BY doc_id"""
 
 register("q_dedup_survivors", D.q_dedup_survivors, _SURVIVORS_SQL)
+
+# winnow-index near-dedup (VERDICT r6 #8): the MOSS fingerprint index as
+# the candidate generator — winnow pair CTEs (shared with the standalone
+# q_text_winnow_pairs oracle), the shingle-Jaccard verify at the winnow
+# sample bound, and the same recursive-CTE transitive closure as
+# _SURVIVORS_SQL
+_WINNOW_SURVIVORS_SQL = f"""WITH RECURSIVE {T.winnow_pair_ctes_for(D.WINNOW_SURV_DOCS)},
+  {_shingles_cte_for(D.WINNOW_SURV_DOCS).strip().rstrip()},
+  pairs AS (
+    SELECT c.a_id, c.b_id
+    FROM (SELECT a_id, b_id FROM wpairs
+          WHERE n_shared >= {D.WINNOW_MIN_SHARED}) c
+    LEFT JOIN common cm ON c.a_id = cm.a_id AND c.b_id = cm.b_id
+    JOIN sizes sa ON c.a_id = sa.doc_id
+    JOIN sizes sb ON c.b_id = sb.doc_id
+    WHERE round(coalesce(cm.n_common, 0)
+                / CAST(sa.n_sh + sb.n_sh - coalesce(cm.n_common, 0) AS DOUBLE),
+                4) >= {D.JACCARD_THRESHOLD}),
+  undirected AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                 UNION SELECT b_id AS src, a_id AS dst FROM pairs),
+  reach AS (SELECT src AS id, dst AS r FROM undirected
+            UNION
+            SELECT reach.id, u.dst AS r FROM reach
+            JOIN undirected u ON reach.r = u.src),
+  comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+  dropped AS (
+    SELECT id FROM comp
+    WHERE id NOT IN (SELECT min(id) FROM comp GROUP BY component))
+SELECT doc_id FROM documents
+WHERE doc_id < {D.WINNOW_SURV_DOCS}
+  AND doc_id NOT IN (SELECT id FROM dropped)
+ORDER BY doc_id"""
+
+register(
+    "q_dedup_winnow_survivors", D.q_dedup_winnow_survivors, _WINNOW_SURVIVORS_SQL
+)
 
 _MH_AGREE = " + ".join(
     f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(16)

@@ -874,3 +874,19 @@ def test_minhash_band_pairs_auto_equals_explicit(spark):
     }
     assert auto == explicit
     assert {(0, 100), (1, 101)} <= auto  # exact dups always survive
+
+
+def test_winnow_survivors_drops_planted_dups(spark):
+    """Winnow-index dedup end-to-end: three verbatim copies of one long
+    doc collapse to the lowest id; an unrelated doc and a NULL-text doc
+    survive untouched."""
+    from bigdatagenomic_spark.operators.dedup import winnow_survivors
+
+    long_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    long_b = " ".join(f"omega{i} sigma{i} kappa{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, long_a), (2, long_b), (5, long_a), (9, long_a), (11, None)],
+        "doc_id LONG, text STRING",
+    )
+    kept = sorted(r.doc_id for r in winnow_survivors(docs).collect())
+    assert kept == [1, 2, 11]
