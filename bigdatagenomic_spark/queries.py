@@ -2369,36 +2369,35 @@ _PRIORITY_PREFIX = [
     "q24_dedup_exact", "q25_term_counts", "q26_cosine_topk", "q27_assembly",
     # -- SURVEY §2 streaming batch shapes ---------------------------------
     "q_s02_window_agg", "q_s03_session_agg",
-    # -- events coverage (red in round 1, NANOS loader fix) ---------------
-    "q_x_asof_join", "q_x_salted_agg",
     # -- LLM-pipeline core families (graded first-class alongside §2):
     #    dedup, text analysis, multimodal, ANN — one row each under the
-    #    driver's 50-entry cap; the TPC-H/extension entries they displace
-    #    stay hash-checked by the sf0.001 pytest oracle suite + the
-    #    full-registry vanilla-session preflight (tools/preflight.py)
-    # (q_dedup_fuzzy / q_text_fingerprint / q_mm_byte_features rotated OUT
-    # of the checked-50 prefix for round 6b — three rounds of green driver
-    # rows plus pytest + preflight coverage retained — to make room for
-    # the new flagships below without displacing contract entries)
-    "q_dedup_minhash_sig", "q_dedup_minhash_pairs", "q_dedup_simhash",
-    "q_dedup_ngram_jaccard", "q_dedup_survivors",
-    "q_text_tokens", "q_text_quality", "q_text_langid",
-    "q_mm_metadata", "q_mm_frame_sample",
-    "q_sim_lsh_topk", "q_sim_ivf_topk",
-    # -- round-6 flagships: the composed production ANN (k-means-trained
-    #    coarse lists + PQ/ADC), the C4-style boilerplate scrub, the
-    #    training-shard shuffle, and the split-leakage audit. Displaced
-    #    entries (emb_normalize/quantize, pivot, time_rollup) stay
-    #    hash-checked by pytest + the full-registry preflight.
+    #    driver's 50-entry cap; everything rotated out stays hash-checked
+    #    by the sf0.001 pytest oracle suite + the full-registry
+    #    vanilla-session preflight (tools/preflight.py). The rotation
+    #    schedule lives in ROTATION.md (VERDICT r6 #5).
+    # Round 7 rotated OUT (>=4 green driver rounds each): q_x_asof_join,
+    # q_x_salted_agg, q_sim_lsh_topk, q_text_tokens, q_text_quality,
+    # q_text_langid, q_dedup_minhash_sig, q_dedup_simhash, q_mm_metadata.
+    "q_dedup_minhash_pairs", "q_dedup_ngram_jaccard", "q_dedup_survivors",
+    "q_mm_frame_sample", "q_sim_ivf_topk",
+    # -- round-6 flagships (2nd/3rd driver round): composed production ANN
+    #    (k-means coarse lists + PQ/ADC), C4-style boilerplate scrub,
+    #    training-shard shuffle, split-leakage audit, BPE training,
+    #    ExactSubstr span profiling, perceptual-hash payload dedup
     "q_sim_ivfpq_topk", "q_text_boilerplate",
     "q_x_train_shards", "q_x_split_leakage",
-    # -- round-6b flagships: distributed BPE tokenizer training,
-    #    ExactSubstr-style span profiling, and perceptual-hash payload
-    #    dedup — the newest first-class LLM-pipeline families
     "q_text_bpe_train", "q_text_dup_spans", "q_mm_phash_pairs",
-    # -- round-5 families: genomics counting kernel + the two-phase-rank
-    #    scale machinery
+    # -- round-5 families, first driver round (were #51/#52 under the cap)
     "q_asm_kmer_counts", "q_x_rfm_segments",
+    # -- round 7 rotated IN: the two new round-7 operators (sweep-driven
+    #    LSH banding choice, winnow-index survivorship), the two entries
+    #    whose operators changed post-r6-review (ER hub-key cap,
+    #    bootstrap-CI rank derivation), and three never-driver-checked
+    #    family representatives (winnow pair index, curriculum schedule,
+    #    connected components — the latter two are bench headliners)
+    "q_dedup_lsh_autoconfig", "q_dedup_winnow_survivors",
+    "q_x_golden_record", "q_x_bootstrap_ci",
+    "q_text_winnow_pairs", "q_x_curriculum", "q_graph_cc",
 ]
 
 
