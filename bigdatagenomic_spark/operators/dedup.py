@@ -1020,3 +1020,85 @@ def q_dedup_winnow_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < WINNOW_SURV_DOCS
     )
     return winnow_survivors(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup, Abbas et al. 2023): embedding k-means blocking
+# -> within-cluster cosine near-dup pairs -> survivorship
+# ---------------------------------------------------------------------------
+
+SEM_K = 8        # blocking clusters (scale k with corpus: bounded blocks)
+SEM_ITER = 2     # fixed Lloyd's iterations (deterministic, oracle-unrolled)
+SEM_ROUND = 6    # centroid quantization decimals (cross-engine ulp guard)
+
+
+def semantic_survivors(
+    vectors: DataFrame,
+    k: int = SEM_K,
+    n_iter: int = SEM_ITER,
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """(vec_id, cluster) — SemDeDup-style semantic dedup over an
+    embedding table: deterministic k-means assigns every vector to a
+    blocking cluster, cosine runs only WITHIN clusters (the SemDeDup
+    trade: k grows with the corpus so block sizes stay bounded and the
+    pair step never goes corpus-quadratic), pairs at/above ``threshold``
+    cluster transitively, and the lowest vec_id per group survives.
+
+    Same bucket-then-verify scale shape as every dedup family here: the
+    k-means stages are one scan + a K*dims-row shuffle per iteration
+    (clustering.kmeans), the pair stage is an equi-join on the cluster
+    key, and survivorship is hash-min CC on the near-dup edges.
+    Centroids are quantized per update (``SEM_ROUND``) so a replayed
+    oracle cannot diverge in the argmin at the last ulp.
+    """
+    from bigdatagenomic_spark.functions import dot
+    from bigdatagenomic_spark.operators.clustering import kmeans
+
+    assigned, _ = kmeans(
+        vectors, k=k, n_iter=n_iter, round_decimals=SEM_ROUND
+    )
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    en = vectors.select("vec_id", emb_d.alias("v")).withColumn(
+        "n", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    memb = (
+        assigned.select("vec_id", "cluster")
+        .join(en, "vec_id")
+        .localCheckpoint(eager=False)  # 3 consumers; never replay kmeans
+    )
+    a = memb.select(
+        "cluster", F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = memb.select(
+        "cluster", F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+    from bigdatagenomic_spark.operators.graph import connected_components
+
+    comp = connected_components(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    drop = (
+        comp.join(
+            comp.groupBy("component").agg(F.min("id").alias("keep_id")),
+            comp["id"] == F.col("keep_id"),
+            "left_anti",
+        )
+        .select(F.col("id").alias("vec_id"))
+    )
+    return memb.select("vec_id", "cluster").join(drop, "vec_id", "left_anti")
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_survivors(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).orderBy("vec_id")

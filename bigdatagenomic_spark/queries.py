@@ -1808,6 +1808,90 @@ register(
     "q_dedup_winnow_survivors", D.q_dedup_winnow_survivors, _WINNOW_SURVIVORS_SQL
 )
 
+
+def _semantic_oracle_sql() -> str:
+    """SemDeDup replay: loop-unrolled Lloyd's with per-update centroid
+    quantization (floor(x*10^SEM_ROUND + 0.5) — the same half-up floor
+    as clustering.kmeans(round_decimals=SEM_ROUND), which stops a
+    last-ulp avg divergence from flipping an argmin), then the
+    within-cluster cosine pairs and the same recursive-CTE closure as
+    _SURVIVORS_SQL. ``norm`` is MATERIALIZED: it is referenced three
+    times and each plain-CTE reference would re-run the whole unrolled
+    k-means chain."""
+    k, n_iter, dims = D.SEM_K, D.SEM_ITER, 64
+    scale = 10 ** D.SEM_ROUND
+    d2 = (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> (v.e[i] - c.centroid[i]) * (v.e[i] - c.centroid[i])))"
+    )
+    parts = [
+        f"""
+  v AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                e AS centroid
+         FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for it in range(1, n_iter + 1):
+        parts.append(f"""
+  a{it} AS (
+    SELECT vec_id, cluster FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM (SELECT v.vec_id, c.cluster, {d2} AS dist
+            FROM v CROSS JOIN c{it - 1} c))
+    WHERE rn = 1),
+  c{it} AS (
+    SELECT cluster, list(mean ORDER BY dim) AS centroid FROM (
+      SELECT a.cluster, t.dim,
+             floor(avg(v.e[t.dim]) * {scale} + 0.5) / {scale} AS mean
+      FROM a{it} a JOIN v USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS dim) t
+      GROUP BY a.cluster, t.dim)
+    GROUP BY cluster)""")
+    parts.append(f"""
+  afinal AS (
+    SELECT vec_id, cluster FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM (SELECT v.vec_id, c.cluster, {d2} AS dist
+            FROM v CROSS JOIN c{n_iter} c))
+    WHERE rn = 1),
+  norm AS MATERIALIZED (
+    SELECT a.vec_id, a.cluster, v.e,
+           sqrt(list_dot_product(v.e, v.e)) AS n
+    FROM afinal a JOIN v USING (vec_id)),
+  pairs AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM norm a JOIN norm b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e) / (a.n * b.n), 4)
+          >= {D.COSINE_DUP_THRESHOLD}),
+  undirected AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                 UNION SELECT b_id AS src, a_id AS dst FROM pairs),
+  reach AS (SELECT src AS id, dst AS r FROM undirected
+            UNION
+            SELECT reach.id, u.dst AS r FROM reach
+            JOIN undirected u ON reach.r = u.src),
+  comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+  dropped AS (
+    SELECT id FROM comp
+    WHERE id NOT IN (SELECT min(id) FROM comp GROUP BY component))""")
+    return (
+        "WITH RECURSIVE" + ",".join(parts)
+        + """
+SELECT vec_id, cluster FROM norm
+WHERE vec_id NOT IN (SELECT id FROM dropped)
+ORDER BY vec_id"""
+    )
+
+
+# SemDeDup (Abbas et al. 2023): embedding k-means blocking -> in-cluster
+# cosine near-dup pairs -> CC survivorship
+register("q_dedup_semantic", D.q_dedup_semantic, _semantic_oracle_sql())
+
 _MH_AGREE = " + ".join(
     f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(16)
 )

@@ -890,3 +890,32 @@ def test_winnow_survivors_drops_planted_dups(spark):
     )
     kept = sorted(r.doc_id for r in winnow_survivors(docs).collect())
     assert kept == [1, 2, 11]
+
+
+def test_semantic_survivors_planted_clusters(spark):
+    """SemDeDup end-to-end on planted geometry: two tight direction
+    groups plus two orthogonal singletons — each tight group collapses
+    to its lowest vec_id, singletons survive."""
+    from bigdatagenomic_spark.operators.dedup import semantic_survivors
+
+    def vec(base, eps=0.0):
+        v = [0.0] * 64
+        v[base] = 1.0
+        if eps:
+            v[(base + 1) % 64] = eps
+        return v
+
+    # k-means init takes the k LOWEST vec_ids, so ids 1 and 2 seed the
+    # two blocks; the near-dups (3,4 ~ 1; 5 ~ 2) land with their seeds
+    rows = [
+        (1, vec(0)), (2, vec(7)),                            # seeds A, B
+        (3, vec(0, 0.01)), (4, vec(0, 0.02)),                # dups of A
+        (5, vec(7, 0.015)),                                  # dup of B
+        (6, vec(20)), (7, vec(33)),                          # singletons
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    kept = sorted(
+        r.vec_id
+        for r in semantic_survivors(vecs, k=2, n_iter=2, threshold=0.9).collect()
+    )
+    assert kept == [1, 2, 6, 7]

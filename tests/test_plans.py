@@ -302,6 +302,7 @@ _BNLJ_ALLOWED = {
     "q_sim_hard_negatives",  # bounded broadcast query set (q26 pattern)
     "q_dedup_lsh_tuning",    # bounded-sample all-pairs ground truth (embcos contract)
     "q_dedup_lsh_autoconfig",  # embeds the tuning sweep (same bounded contract)
+    "q_dedup_semantic",      # broadcast K-row centroid table (kmeans pattern)
 }
 
 
