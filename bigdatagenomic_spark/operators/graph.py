@@ -661,3 +661,55 @@ FROM (SELECT node, anc, depth,
       FROM walk)
 WHERE rn = 1 ORDER BY node
 """
+
+
+def unitig_compaction(edges: DataFrame) -> DataFrame:
+    """Compact the maximal non-branching paths ("unitigs") of a directed
+    graph. An edge u->v is unambiguous iff u's out-degree is 1 AND v's
+    in-degree is 1, computed over DISTINCT edges — compaction is a
+    property of the graph structure, not edge multiplicity. Inside the
+    unambiguous subgraph every vertex has undirected degree <= 2, so
+    its connected components are exactly the simple paths and cycles an
+    assembler calls unitigs; hash-min CC labels both (a head-chasing
+    pointer walk would never terminate on an isolated cycle). Vertices
+    touching no unambiguous edge are singleton unitigs.
+
+    This is the de Bruijn-side analog of the reference's overlap-path
+    merge (assembly_final.cpp:402-624 compacts unbranched overlap
+    chains vertex by vertex); here the whole compaction is declared
+    relationally and Catalyst schedules it.
+
+    Scale shape: two map-side-combined degree aggregates and two narrow
+    equi-joins select the unambiguous subgraph (keys are the vertex
+    ids), then connected_components runs O(log chain-length)
+    pointer-jumping rounds over a subgraph no larger than the edge set.
+    Nothing is quadratic in the graph at any size.
+
+    Returns one row per unitig: (unitig_id = min member id, n_nodes,
+    members = ','-joined sorted member ids).
+    """
+    e = edges.select("src", "dst").distinct()
+    out1 = (
+        e.groupBy("src").agg(F.count("*").alias("od"))
+        .where(F.col("od") == 1)
+        .select("src")
+    )
+    in1 = (
+        e.groupBy("dst").agg(F.count("*").alias("idg"))
+        .where(F.col("idg") == 1)
+        .select("dst")
+    )
+    ue = e.join(out1, "src").join(in1, "dst").select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(ue)
+    labeled = nodes.join(cc, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("unitig_id")
+    )
+    return labeled.groupBy("unitig_id").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.array_join(F.array_sort(F.collect_list("id")), ",").alias("members"),
+    )

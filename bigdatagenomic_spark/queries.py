@@ -603,6 +603,28 @@ register(
 )
 
 
+def _derived_kmers(spark: SparkSession, sf_dir: str, n: int = 60, k: int = 5):
+    """Shared k-mer derivation for the de Bruijn family (the same
+    derived read set as q_asm_kmer_counts): map-only shingle per read,
+    exact-length k-mers only."""
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.functions import char_shingles
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < n)
+    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    reads = docs.select(
+        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content")
+    )
+    return reads.select(
+        F.explode(
+            F.filter(char_shingles(F.col("content"), k), lambda s: F.length(s) == k)
+        ).alias("kmer")
+    )
+
+
 def q_asm_debruijn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """de Bruijn graph construction over the derived read set: every
     k-mer contributes the edge (k-1-mer prefix) -> (k-1-mer suffix),
@@ -617,21 +639,8 @@ def q_asm_debruijn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from bigdatagenomic_spark.functions import char_shingles
-    from bigdatagenomic_spark.sources.tables import load_table
-
-    n, k = 60, 5
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < n)
-    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
-    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
-    reads = docs.select(
-        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content")
-    )
-    kmers = reads.select(
-        F.explode(
-            F.filter(char_shingles(F.col("content"), k), lambda s: F.length(s) == k)
-        ).alias("kmer")
-    )
+    k = 5
+    kmers = _derived_kmers(spark, sf_dir, n=60, k=k)
     return (
         kmers.select(
             F.substring("kmer", 1, k - 1).alias("prefix"),
@@ -660,6 +669,65 @@ register(
            CAST(count(*) AS BIGINT) AS multiplicity
     FROM km WHERE length(kmer) = 5
     GROUP BY 1, 2 ORDER BY prefix, suffix
+    """,
+)
+
+
+def q_asm_unitigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unitig compaction over the derived de Bruijn graph — collapse
+    every maximal non-branching path (and isolated cycle) of the
+    (k-1)-mer graph into one labeled unitig, the core kernel a
+    distributed de Bruijn assembler runs between graph construction
+    and contig output (the de Bruijn analog of the reference's
+    overlap-chain merge, assembly_final.cpp:402-624). Semantics and
+    scale shape in operators/graph.py:unitig_compaction; the oracle
+    replays it as a recursive-CTE min-label closure over the
+    symmetrized unambiguous edge set plus singleton fill-in.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.operators.graph import unitig_compaction
+
+    k = 5
+    kmers = _derived_kmers(spark, sf_dir, n=60, k=k)
+    edges = kmers.select(
+        F.substring("kmer", 1, k - 1).alias("src"),
+        F.substring("kmer", 2, k - 1).alias("dst"),
+    )
+    return unitig_compaction(edges).orderBy("unitig_id")
+
+
+register(
+    "q_asm_unitigs",
+    q_asm_unitigs,
+    """
+    WITH RECURSIVE r AS (
+      SELECT substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'), 17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    ), km AS (
+      SELECT unnest(list_transform(range(1, greatest(length(content) - 4, 1) + 1),
+                                   i -> substr(content, i, 5))) AS kmer
+      FROM r
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT substr(kmer, 1, 4) AS src, substr(kmer, 2, 4) AS dst
+      FROM km WHERE length(kmer) = 5
+    ), o1 AS (SELECT src FROM e GROUP BY src HAVING count(*) = 1
+    ), i1 AS (SELECT dst FROM e GROUP BY dst HAVING count(*) = 1
+    ), ue AS (SELECT e.src, e.dst FROM e
+              JOIN o1 USING (src) JOIN i1 USING (dst)
+    ), sym AS MATERIALIZED (
+      SELECT src, dst FROM ue UNION SELECT dst AS src, src AS dst FROM ue
+    ), nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e
+    ), reach AS (
+      SELECT id AS root, id AS node FROM nodes
+      UNION
+      SELECT reach.root, sym.dst AS node
+      FROM reach JOIN sym ON sym.src = reach.node
+    ), lab AS (SELECT root AS id, min(node) AS unitig_id FROM reach GROUP BY root)
+    SELECT unitig_id, CAST(count(*) AS BIGINT) AS n_nodes,
+           string_agg(id, ',' ORDER BY id) AS members
+    FROM lab GROUP BY unitig_id ORDER BY unitig_id
     """,
 )
 

@@ -207,3 +207,34 @@ def test_tree_closure_depths_and_roots(spark):
     # extra rounds are no-ops, not drift
     again = {r.node: (r.root, r.depth) for r in tree_closure(parents, n_rounds=8).collect()}
     assert again == out
+
+
+def test_unitig_compaction_planted(spark):
+    """Planted graph: a 4-node chain (one junction-ended unitig), a
+    branch whose two targets stay singletons, a 2-cycle (the case a
+    head-chasing walk cannot terminate on), and an in-degree-2 merge
+    point — all hand-checkable."""
+    from bigdatagenomic_spark.operators.graph import unitig_compaction
+
+    e = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),       # chain a-b-c-d
+            ("d", "e"), ("d", "f"),                    # branch at d
+            ("g", "h"), ("h", "g"),                    # isolated 2-cycle
+            ("x", "y"), ("z", "y"),                    # merge at y
+        ],
+        "src STRING, dst STRING",
+    )
+    got = {
+        (r.unitig_id, r.n_nodes, r.members)
+        for r in unitig_compaction(e).collect()
+    }
+    assert got == {
+        ("a", 4, "a,b,c,d"),
+        ("e", 1, "e"),
+        ("f", 1, "f"),
+        ("g", 2, "g,h"),
+        ("x", 1, "x"),
+        ("y", 1, "y"),
+        ("z", 1, "z"),
+    }
