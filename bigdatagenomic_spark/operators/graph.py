@@ -689,17 +689,7 @@ def unitig_compaction(edges: DataFrame) -> DataFrame:
     members = ','-joined sorted member ids).
     """
     e = edges.select("src", "dst").distinct()
-    out1 = (
-        e.groupBy("src").agg(F.count("*").alias("od"))
-        .where(F.col("od") == 1)
-        .select("src")
-    )
-    in1 = (
-        e.groupBy("dst").agg(F.count("*").alias("idg"))
-        .where(F.col("idg") == 1)
-        .select("dst")
-    )
-    ue = e.join(out1, "src").join(in1, "dst").select("src", "dst")
+    ue = _unambiguous_edges(e)
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -713,3 +703,66 @@ def unitig_compaction(edges: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_nodes"),
         F.array_join(F.array_sort(F.collect_list("id")), ",").alias("members"),
     )
+
+
+def _unambiguous_edges(e: DataFrame) -> DataFrame:
+    """The unambiguous subgraph of a DISTINCT edge set: edge u->v
+    survives iff u has out-degree 1 and v has in-degree 1. Two
+    map-side-combined degree aggregates + two equi-joins on the vertex
+    keys; every vertex has undirected degree <= 2 inside the result, so
+    its components are simple paths and cycles."""
+    out1 = (
+        e.groupBy("src").agg(F.count("*").alias("od"))
+        .where(F.col("od") == 1)
+        .select("src")
+    )
+    in1 = (
+        e.groupBy("dst").agg(F.count("*").alias("idg"))
+        .where(F.col("idg") == 1)
+        .select("dst")
+    )
+    return e.join(out1, "src").join(in1, "dst").select("src", "dst")
+
+
+def chain_paths(edges: DataFrame, n_rounds: int = TREE_DOUBLING_ROUNDS) -> DataFrame:
+    """(node, root, depth) for every vertex on a PATH unitig of the
+    unambiguous subgraph — root is the chain head (the member with no
+    unambiguous in-edge) and depth its position along the chain, the
+    ordering unitig_compaction's membership labels lack. Vertices
+    touching no unambiguous edge are depth-0 singleton chains; members
+    of isolated unambiguous CYCLES are excluded (a cycle has no head,
+    so there is no well-defined linear order — unitig_compaction still
+    reports them as membership groups).
+
+    Plan: degree filter + one CC pass to find and drop cycle
+    components (a component is a cycle iff no member lacks an
+    unambiguous in-edge), then tree_closure's pointer doubling orders
+    every chain in ceil(log2 depth) self-joins of narrow
+    (node, anc, depth) rows. ``n_rounds`` bounds the orderable chain
+    length at 2^n_rounds.
+    """
+    e = edges.select("src", "dst").distinct()
+    ue = _unambiguous_edges(e)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ind = ue.select(F.col("dst").alias("id"), F.col("src").alias("parent"))
+    cc = connected_components(ue)
+    heads_in_cc = cc.join(ind.select("id"), "id", "left_anti")
+    cycle_comps = (
+        cc.select("component")
+        .distinct()
+        .join(heads_in_cc.select("component").distinct(), "component", "left_anti")
+    )
+    cycle_nodes = cc.join(cycle_comps, "component").select("id")
+    parents = (
+        nodes.join(cycle_nodes, "id", "left_anti")
+        .join(ind, "id", "left")
+        .select(
+            F.col("id").alias("node"),
+            F.coalesce("parent", F.col("id")).alias("parent"),
+        )
+    )
+    return tree_closure(parents, n_rounds)

@@ -732,6 +732,90 @@ register(
 )
 
 
+def q_asm_contig_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contig spelling: turn each PATH unitig of the de Bruijn graph
+    into its assembled sequence — head (k-1)-mer plus the last base of
+    every subsequent node in chain order — the step that converts
+    compacted paths into contig strings (the de Bruijn counterpart of
+    the reference's per-vertex sequence stitching,
+    assembly_final.cpp:402-624,631-645). Chain order comes from
+    operators/graph.py:chain_paths (pointer-doubled head + depth;
+    isolated cycles have no head and are excluded there); spelling is
+    a single sort-free aggregate over (depth, chunk) structs. Oracle:
+    recursive-CTE walk from the chain heads with an ordered string_agg.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.operators.graph import chain_paths
+
+    k = 5
+    kmers = _derived_kmers(spark, sf_dir, n=60, k=k)
+    edges = kmers.select(
+        F.substring("kmer", 1, k - 1).alias("src"),
+        F.substring("kmer", 2, k - 1).alias("dst"),
+    )
+    ordered = chain_paths(edges)
+    chunk = F.when(F.col("depth") == 0, F.col("node")).otherwise(
+        F.substring("node", k - 1, 1)
+    )
+    return (
+        ordered.select("root", "depth", chunk.alias("chunk"))
+        .groupBy(F.col("root").alias("unitig_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("depth", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                "",
+            ).alias("sequence"),
+        )
+        .withColumn("seq_len", F.length("sequence").cast("long"))
+        .orderBy("unitig_id")
+    )
+
+
+register(
+    "q_asm_contig_spell",
+    q_asm_contig_spell,
+    """
+    WITH RECURSIVE r AS (
+      SELECT substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'), 17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    ), km AS (
+      SELECT unnest(list_transform(range(1, greatest(length(content) - 4, 1) + 1),
+                                   i -> substr(content, i, 5))) AS kmer
+      FROM r
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT substr(kmer, 1, 4) AS src, substr(kmer, 2, 4) AS dst
+      FROM km WHERE length(kmer) = 5
+    ), o1 AS (SELECT src FROM e GROUP BY src HAVING count(*) = 1
+    ), i1 AS (SELECT dst FROM e GROUP BY dst HAVING count(*) = 1
+    ), ue AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e JOIN o1 USING (src) JOIN i1 USING (dst)
+    ), nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e
+    ), heads AS (
+      SELECT id FROM nodes WHERE id NOT IN (SELECT dst FROM ue)
+    ), walk AS (
+      SELECT id AS root, id AS node, 0 AS depth FROM heads
+      UNION ALL
+      SELECT walk.root, ue.dst AS node, walk.depth + 1
+      FROM walk JOIN ue ON ue.src = walk.node
+    )
+    SELECT root AS unitig_id, CAST(count(*) AS BIGINT) AS n_nodes,
+           string_agg(CASE WHEN depth = 0 THEN node
+                           ELSE substr(node, 4, 1) END, '' ORDER BY depth)
+             AS sequence,
+           CAST(length(string_agg(CASE WHEN depth = 0 THEN node
+                                       ELSE substr(node, 4, 1) END,
+                                  '' ORDER BY depth)) AS BIGINT) AS seq_len
+    FROM walk GROUP BY root ORDER BY unitig_id
+    """,
+)
+
+
 def q_asm_n50(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contig-length statistics with N50 over the derived read set —
     the standard assembly-quality summary (the reference's `result`

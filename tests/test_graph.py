@@ -238,3 +238,26 @@ def test_unitig_compaction_planted(spark):
         ("y", 1, "y"),
         ("z", 1, "z"),
     }
+
+
+def test_chain_paths_planted(spark):
+    """Same planted graph as unitig compaction: the chain is ordered
+    head-first by depth, singletons are depth-0 roots, and the isolated
+    2-cycle (headless) is excluded entirely."""
+    from bigdatagenomic_spark.operators.graph import chain_paths
+
+    e = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),
+            ("d", "e"), ("d", "f"),
+            ("g", "h"), ("h", "g"),
+            ("x", "y"), ("z", "y"),
+        ],
+        "src STRING, dst STRING",
+    )
+    got = {(r.node, r.root, r.depth) for r in chain_paths(e).collect()}
+    assert got == {
+        ("a", "a", 0), ("b", "a", 1), ("c", "a", 2), ("d", "a", 3),
+        ("e", "e", 0), ("f", "f", 0),
+        ("x", "x", 0), ("y", "y", 0), ("z", "z", 0),
+    }
