@@ -766,3 +766,48 @@ def chain_paths(edges: DataFrame, n_rounds: int = TREE_DOUBLING_ROUNDS) -> DataF
         )
     )
     return tree_closure(parents, n_rounds)
+
+
+def spell_contigs(edges: DataFrame, k: int) -> DataFrame:
+    """Spell every PATH unitig of a (k-1)-mer de Bruijn edge set into
+    its assembled sequence: the head (k-1)-mer followed by the last
+    base of each subsequent node in chain order — the step that turns
+    compacted paths into contig strings (the de Bruijn counterpart of
+    the reference's per-vertex sequence stitching,
+    assembly_final.cpp:402-624,631-645).
+
+    Contract (pinned by tests/test_graph.py planted chain+cycle parity
+    test): members of isolated unambiguous CYCLES are EXCLUDED — a
+    cycle has no head, so there is no well-defined spelling start;
+    singleton vertices spell themselves. This matches the DuckDB
+    oracle's head-anchored recursive walk (queries.py
+    q_asm_contig_spell), whose `heads` CTE never seeds a cycle.
+
+    Scale shape: chain_paths orders every chain with O(log depth)
+    pointer-doubling self-joins of narrow (node, root, depth) rows;
+    the spelling itself is ONE sort-free hash aggregate — per-group
+    (depth, chunk) structs are array_sort'ed inside the aggregate
+    buffer, never a global orderBy — so nothing here exceeds the
+    chain-member row width on the wire.
+
+    Returns (unitig_id, n_nodes, sequence, seq_len), one row per path.
+    """
+    ordered = chain_paths(edges)
+    chunk = F.when(F.col("depth") == 0, F.col("node")).otherwise(
+        F.substring("node", k - 1, 1)
+    )
+    return (
+        ordered.select("root", "depth", chunk.alias("chunk"))
+        .groupBy(F.col("root").alias("unitig_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("depth", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                "",
+            ).alias("sequence"),
+        )
+        .withColumn("seq_len", F.length("sequence").cast("long"))
+    )

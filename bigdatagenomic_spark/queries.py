@@ -717,8 +717,12 @@ register(
     ), ue AS (SELECT e.src, e.dst FROM e
               JOIN o1 USING (src) JOIN i1 USING (dst)
     ), sym AS MATERIALIZED (
-      SELECT src, dst FROM ue UNION SELECT dst AS src, src AS dst FROM ue
-    ), nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e
+      -- Inside WITH RECURSIVE, DuckDB may inline plain-UNION CTEs without
+      -- dedup (commit b453be9 gotcha); MATERIALIZED + DISTINCT pin the set
+      -- semantics so correctness doesn't lean on the downstream GROUP BY.
+      SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM ue UNION ALL SELECT dst AS src, src AS dst FROM ue)
+    ), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst AS id FROM e
     ), reach AS (
       SELECT id AS root, id AS node FROM nodes
       UNION
@@ -738,15 +742,16 @@ def q_asm_contig_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
     every subsequent node in chain order — the step that converts
     compacted paths into contig strings (the de Bruijn counterpart of
     the reference's per-vertex sequence stitching,
-    assembly_final.cpp:402-624,631-645). Chain order comes from
-    operators/graph.py:chain_paths (pointer-doubled head + depth;
-    isolated cycles have no head and are excluded there); spelling is
-    a single sort-free aggregate over (depth, chunk) structs. Oracle:
-    recursive-CTE walk from the chain heads with an ordered string_agg.
+    assembly_final.cpp:402-624,631-645). Chain order + spelling live in
+    operators/graph.py:spell_contigs (pointer-doubled head + depth;
+    isolated cycles have no head and are excluded there — the contract
+    is pinned by the planted chain+cycle parity test in test_graph.py).
+    Oracle: recursive-CTE walk from the chain heads with an ordered
+    string_agg.
     """
     from pyspark.sql import functions as F
 
-    from bigdatagenomic_spark.operators.graph import chain_paths
+    from bigdatagenomic_spark.operators.graph import spell_contigs
 
     k = 5
     kmers = _derived_kmers(spark, sf_dir, n=60, k=k)
@@ -754,26 +759,7 @@ def q_asm_contig_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("kmer", 1, k - 1).alias("src"),
         F.substring("kmer", 2, k - 1).alias("dst"),
     )
-    ordered = chain_paths(edges)
-    chunk = F.when(F.col("depth") == 0, F.col("node")).otherwise(
-        F.substring("node", k - 1, 1)
-    )
-    return (
-        ordered.select("root", "depth", chunk.alias("chunk"))
-        .groupBy(F.col("root").alias("unitig_id"))
-        .agg(
-            F.count("*").cast("long").alias("n_nodes"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("depth", "chunk"))),
-                    lambda s: s["chunk"],
-                ),
-                "",
-            ).alias("sequence"),
-        )
-        .withColumn("seq_len", F.length("sequence").cast("long"))
-        .orderBy("unitig_id")
-    )
+    return spell_contigs(edges, k).orderBy("unitig_id")
 
 
 register(
@@ -797,7 +783,12 @@ register(
       SELECT e.src, e.dst FROM e JOIN o1 USING (src) JOIN i1 USING (dst)
     ), nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e
     ), heads AS (
-      SELECT id FROM nodes WHERE id NOT IN (SELECT dst FROM ue)
+      -- DuckDB recursive-CTE inlining gotcha (commit b453be9): inside a
+      -- WITH RECURSIVE block, non-materialized plain-UNION CTEs can lose
+      -- their dedup when inlined, so `nodes` may carry duplicate ids here.
+      -- The walk below is UNION ALL (depth must not dedup), so duplicate
+      -- heads would multiply every path -- DISTINCT is load-bearing.
+      SELECT DISTINCT id FROM nodes WHERE id NOT IN (SELECT dst FROM ue)
     ), walk AS (
       SELECT id AS root, id AS node, 0 AS depth FROM heads
       UNION ALL
@@ -2614,26 +2605,35 @@ _PRIORITY_PREFIX = [
     # Round 7 rotated OUT (>=4 green driver rounds each): q_x_asof_join,
     # q_x_salted_agg, q_sim_lsh_topk, q_text_tokens, q_text_quality,
     # q_text_langid, q_dedup_minhash_sig, q_dedup_simhash, q_mm_metadata.
-    "q_dedup_minhash_pairs", "q_dedup_ngram_jaccard", "q_dedup_survivors",
-    "q_mm_frame_sample", "q_sim_ivf_topk",
-    # -- round-6 flagships (2nd/3rd driver round): composed production ANN
+    # Round 8 rotated OUT (ROTATION.md): q_dedup_minhash_pairs (5 green),
+    # q_dedup_ngram_jaccard (5), q_mm_frame_sample (5), q_sim_ivf_topk (6),
+    # plus the six round-7 rule-2 one-shots that earned their driver row
+    # in CORRECTNESS_r07: q_dedup_lsh_autoconfig, q_dedup_winnow_survivors,
+    # q_x_golden_record, q_x_bootstrap_ci, q_text_winnow_pairs,
+    # q_x_curriculum. All stay hash-checked every round by the sf0.001
+    # pytest oracle suite + the full-registry preflight.
+    "q_dedup_survivors",
+    # -- round-6 flagships (3rd/4th driver round): composed production ANN
     #    (k-means coarse lists + PQ/ADC), C4-style boilerplate scrub,
     #    training-shard shuffle, split-leakage audit, BPE training,
     #    ExactSubstr span profiling, perceptual-hash payload dedup
     "q_sim_ivfpq_topk", "q_text_boilerplate",
     "q_x_train_shards", "q_x_split_leakage",
     "q_text_bpe_train", "q_text_dup_spans", "q_mm_phash_pairs",
-    # -- round-5 families, first driver round (were #51/#52 under the cap)
+    # -- round-5 families (2nd driver round)
     "q_asm_kmer_counts", "q_x_rfm_segments",
-    # -- round 7 rotated IN: the two new round-7 operators (sweep-driven
-    #    LSH banding choice, winnow-index survivorship), the two entries
-    #    whose operators changed post-r6-review (ER hub-key cap,
-    #    bootstrap-CI rank derivation), and three never-driver-checked
-    #    family representatives (winnow pair index, curriculum schedule,
-    #    connected components — the latter two are bench headliners)
-    "q_dedup_lsh_autoconfig", "q_dedup_winnow_survivors",
-    "q_x_golden_record", "q_x_bootstrap_ci",
-    "q_text_winnow_pairs", "q_x_curriculum", "q_graph_cc",
+    # -- bench headliners kept under rule 4 (2nd driver round for CC)
+    "q_graph_cc",
+    # -- round 8 rotated IN (ROTATION.md round-8 tranche + ADVICE r7):
+    #    rule-2 rows for the round-7 operators that never faced the
+    #    driver or changed this round — semantic dedup (adaptive k landed
+    #    round 8), unitig compaction, and the contig speller whose oracle
+    #    was fixed this round (DISTINCT heads, b453be9 gotcha) — plus the
+    #    scheduled never-driver-checked tranche
+    "q_dedup_semantic", "q_asm_unitigs", "q_asm_contig_spell",
+    "q_tpch_q9_shape", "q_text_bpe_encode", "q_mm_resize",
+    "q_sim_pq_topk", "q_x_cms_words", "q_x_token_budget_mix",
+    "q_pipeline_curation",
 ]
 
 

@@ -261,3 +261,108 @@ def test_chain_paths_planted(spark):
         ("e", "e", 0), ("f", "f", 0),
         ("x", "x", 0), ("y", "y", 0), ("z", "z", 0),
     }
+
+
+# Planted reads for the contig-spelling parity test: a linear chain
+# (spells itself back), an ambiguous branch (2 singleton leaves + a
+# 2-node head chain), and a pure 3-cycle (ATGATGATGA's de Bruijn graph
+# is ATGA->TGAT->GATG->ATGA). Reads are DUPLICATED on purpose: dup
+# k-mers put duplicate ids into the oracle's plain-UNION `nodes` CTE,
+# which DuckDB may inline WITHOUT dedup inside WITH RECURSIVE (the
+# b453be9 gotcha) — exactly the hazard that made q_asm_contig_spell red
+# in round 7. The DISTINCT in `heads` below is load-bearing.
+_SPELL_READS = [
+    "AAAACGTT", "AAAACGTT",              # chain AAAA->AAAC->AACG->ACGT->CGTT
+    "CCCCAG", "CCCCAT",                  # branch at CCCA; CCCC->CCCA unambig
+    "ATGATGATGA", "ATGATGATGA",          # isolated 3-cycle (headless)
+]
+
+# Mirrors the registered q_asm_contig_spell oracle (queries.py) from the
+# k-mer expansion down, over planted reads instead of `documents`.
+_SPELL_ORACLE = """
+WITH RECURSIVE km AS (
+  SELECT unnest(list_transform(range(1, greatest(length(content) - 4, 1) + 1),
+                               i -> substr(content, i, 5))) AS kmer
+  FROM reads
+), e AS MATERIALIZED (
+  SELECT DISTINCT substr(kmer, 1, 4) AS src, substr(kmer, 2, 4) AS dst
+  FROM km WHERE length(kmer) = 5
+), o1 AS (SELECT src FROM e GROUP BY src HAVING count(*) = 1
+), i1 AS (SELECT dst FROM e GROUP BY dst HAVING count(*) = 1
+), ue AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e JOIN o1 USING (src) JOIN i1 USING (dst)
+), nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e
+), heads AS (
+  SELECT DISTINCT id FROM nodes WHERE id NOT IN (SELECT dst FROM ue)
+), walk AS (
+  SELECT id AS root, id AS node, 0 AS depth FROM heads
+  UNION ALL
+  SELECT walk.root, ue.dst AS node, walk.depth + 1
+  FROM walk JOIN ue ON ue.src = walk.node
+)
+SELECT root AS unitig_id, CAST(count(*) AS BIGINT) AS n_nodes,
+       string_agg(CASE WHEN depth = 0 THEN node
+                       ELSE substr(node, 4, 1) END, '' ORDER BY depth)
+         AS sequence,
+       CAST(length(string_agg(CASE WHEN depth = 0 THEN node
+                                   ELSE substr(node, 4, 1) END,
+                              '' ORDER BY depth)) AS BIGINT) AS seq_len
+FROM walk GROUP BY root ORDER BY unitig_id
+"""
+
+
+def test_spell_contigs_planted_chain_cycle_oracle_parity(spark):
+    """Oracle parity on a planted chain + branch + isolated cycle
+    (VERDICT r7 #1/#6): spell_contigs and the DuckDB head-anchored
+    recursive walk must agree row-for-row, including the contract that
+    CYCLE members are excluded from spelling entirely (a cycle has no
+    head). The planted reads are duplicated to arm the recursive-CTE
+    duplicate-UNION hazard the round-7 oracle bug shipped with."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.operators.graph import spell_contigs
+
+    k = 5
+    reads = spark.createDataFrame(
+        [(r,) for r in _SPELL_READS], "content STRING"
+    )
+    kmers = (
+        reads.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(content) - {k - 1}, 1)),"
+                    f" i -> substring(content, i, {k}))"
+                )
+            ).alias("kmer")
+        )
+        .where(F.length("kmer") == k)
+    )
+    edges = kmers.select(
+        F.substring("kmer", 1, k - 1).alias("src"),
+        F.substring("kmer", 2, k - 1).alias("dst"),
+    )
+    got = [
+        (r.unitig_id, r.n_nodes, r.sequence, r.seq_len)
+        for r in spell_contigs(edges, k).orderBy("unitig_id").collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE reads AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{r}')" for r in _SPELL_READS)
+        + ") t(content)"
+    )
+    want = con.sql(_SPELL_ORACLE).fetchall()
+    assert got == [tuple(r) for r in want]
+
+    # pin the hand-checkable expectation AND the cycle exclusion
+    assert got == [
+        ("AAAA", 5, "AAAACGTT", 8),
+        ("CCAG", 1, "CCAG", 4),
+        ("CCAT", 1, "CCAT", 4),
+        ("CCCC", 2, "CCCCA", 5),
+    ]
+    spelled = {u for (u, _, _, _) in got}
+    assert spelled.isdisjoint({"ATGA", "TGAT", "GATG"})
