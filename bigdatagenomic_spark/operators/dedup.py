@@ -1027,16 +1027,32 @@ def q_dedup_winnow_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -> within-cluster cosine near-dup pairs -> survivorship
 # ---------------------------------------------------------------------------
 
-SEM_K = 8        # blocking clusters (scale k with corpus: bounded blocks)
+SEM_K_MIN = 8          # floor on blocking clusters (small-corpus regime)
+SEM_TARGET_BLOCK = 128  # target vectors per blocking cluster
 SEM_ITER = 2     # fixed Lloyd's iterations (deterministic, oracle-unrolled)
 SEM_ROUND = 6    # centroid quantization decimals (cross-engine ulp guard)
 
 
+def sem_k_for(
+    n: int, target_block: int = SEM_TARGET_BLOCK, k_min: int = SEM_K_MIN
+) -> int:
+    """Blocking-cluster count as a DETERMINISTIC function of corpus
+    size: k = max(k_min, ceil(n / target_block)). Within-cluster
+    pairing is O(block^2) per block, so holding the EXPECTED block
+    size constant keeps total pair work ~O(n * target_block) as the
+    corpus grows — a fixed k would be corpus-quadratic/k (VERDICT r7
+    item 2). Deterministic-in-n so the DuckDB oracle can replay the
+    same k from the same count (queries.py _semantic_oracle_sql
+    computes it inside the seeding LIMIT)."""
+    return max(k_min, -(-n // target_block))
+
+
 def semantic_survivors(
     vectors: DataFrame,
-    k: int = SEM_K,
+    k: int | None = None,
     n_iter: int = SEM_ITER,
     threshold: float = COSINE_DUP_THRESHOLD,
+    target_block: int = SEM_TARGET_BLOCK,
 ) -> DataFrame:
     """(vec_id, cluster) — SemDeDup-style semantic dedup over an
     embedding table: deterministic k-means assigns every vector to a
@@ -1044,6 +1060,12 @@ def semantic_survivors(
     trade: k grows with the corpus so block sizes stay bounded and the
     pair step never goes corpus-quadratic), pairs at/above ``threshold``
     cluster transitively, and the lowest vec_id per group survives.
+
+    When ``k`` is None (the default) it is DERIVED from the corpus:
+    k = sem_k_for(count(vectors)) — one bounded 1-row count job on the
+    driver (the same bounded-collect class as the LSH autoconfig
+    sweep), so the expected block size stays ~``target_block`` at any
+    corpus scale instead of going corpus-quadratic at a fixed k.
 
     Same bucket-then-verify scale shape as every dedup family here: the
     k-means stages are one scan + a K*dims-row shuffle per iteration
@@ -1055,6 +1077,8 @@ def semantic_survivors(
     from bigdatagenomic_spark.functions import dot
     from bigdatagenomic_spark.operators.clustering import kmeans
 
+    if k is None:
+        k = sem_k_for(vectors.count(), target_block)
     assigned, _ = kmeans(
         vectors, k=k, n_iter=n_iter, round_decimals=SEM_ROUND
     )

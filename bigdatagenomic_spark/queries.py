@@ -1960,8 +1960,19 @@ def _semantic_oracle_sql() -> str:
     within-cluster cosine pairs and the same recursive-CTE closure as
     _SURVIVORS_SQL. ``norm`` is MATERIALIZED: it is referenced three
     times and each plain-CTE reference would re-run the whole unrolled
-    k-means chain."""
-    k, n_iter, dims = D.SEM_K, D.SEM_ITER, 64
+    k-means chain.
+
+    k is ADAPTIVE, replayed exactly: the Spark side derives
+    k = sem_k_for(n) = max(SEM_K_MIN, ceil(n / SEM_TARGET_BLOCK)) from
+    a corpus count, and the seeding CTE here computes the same formula
+    in a scalar-subquery LIMIT — only the seeding depends on k (the
+    unrolled assign/update CTEs are k-agnostic), so one SQL string
+    stays correct at every scale factor."""
+    n_iter, dims = D.SEM_ITER, 64
+    k_limit = (
+        f"(SELECT greatest({D.SEM_K_MIN}, "
+        f"CAST(ceil(count(*) / {D.SEM_TARGET_BLOCK}.0) AS BIGINT)) FROM v)"
+    )
     scale = 10 ** D.SEM_ROUND
     d2 = (
         f"list_sum(list_transform(range(1, {dims + 1}), "
@@ -1973,7 +1984,7 @@ def _semantic_oracle_sql() -> str:
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
   c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
                 e AS centroid
-         FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}))"""
+         FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k_limit}))"""
     ]
     for it in range(1, n_iter + 1):
         parts.append(f"""

@@ -919,3 +919,71 @@ def test_semantic_survivors_planted_clusters(spark):
         for r in semantic_survivors(vecs, k=2, n_iter=2, threshold=0.9).collect()
     )
     assert kept == [1, 2, 6, 7]
+
+
+def test_sem_k_scales_with_corpus_and_bounds_block_pairs(spark):
+    """VERDICT r7 item 2: k must be a deterministic function of the
+    corpus size so within-cluster pairing never goes corpus-quadratic.
+    Pins the formula (ceil-growth, k_min floor), then plants a corpus
+    of well-separated direction groups with a small target_block and
+    checks the derived-k run produces bounded blocks: total
+    within-cluster candidate pairs stay ~O(n * target_block), nowhere
+    near the n^2/(2*k_min_fixed) a fixed k would give."""
+    from bigdatagenomic_spark.operators.clustering import kmeans
+    from bigdatagenomic_spark.operators.dedup import (
+        SEM_K_MIN,
+        SEM_ROUND,
+        sem_k_for,
+        semantic_survivors,
+    )
+
+    # the formula itself: floor regime, then ceil(n / target_block)
+    assert sem_k_for(1) == SEM_K_MIN
+    assert sem_k_for(128 * SEM_K_MIN) == SEM_K_MIN
+    assert sem_k_for(128 * SEM_K_MIN + 1) == SEM_K_MIN + 1
+    assert sem_k_for(10_000_000) == 78_125  # 100-TB regime: k grows, not blocks
+    assert sem_k_for(640, target_block=8) == 80
+
+    # planted corpus: 32 direction groups x 8 members = 256 vectors
+    def vec(axis, eps):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[(axis + 1) % 64] = eps
+        return v
+
+    # member-major ids: vec_ids 0..31 are member 0 of each group, so the
+    # first-k seeding sees every direction once (kmeans seeds from the k
+    # lowest vec_ids)
+    rows = [
+        (i * 32 + g, vec(g * 2, 0.001 * i))
+        for g in range(32)
+        for i in range(8)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    n = len(rows)
+    k = sem_k_for(n, target_block=8)
+    assert k == 32  # derived from the corpus, not the SEM_K_MIN floor
+
+    assigned, _ = kmeans(vecs, k=k, n_iter=2, round_decimals=SEM_ROUND)
+    sizes = [
+        r["cnt"]
+        for r in assigned.groupBy("cluster").count().withColumnRenamed(
+            "count", "cnt"
+        ).collect()
+    ]
+    pair_work = sum(s * (s - 1) // 2 for s in sizes)
+    # fixed k=SEM_K_MIN would put ~n/8=32 vectors per block:
+    # 8 blocks * C(32,2) = 3968 candidate pairs. Derived k keeps the
+    # planted geometry at <= ~2 groups per block.
+    assert max(sizes) <= 16
+    assert pair_work <= n * 8  # ~O(n * target_block), not corpus-quadratic
+
+    # end-to-end with derived k: every planted group collapses to its
+    # lowest vec_id (members of one group are mutual near-dups)
+    kept = sorted(
+        r.vec_id
+        for r in semantic_survivors(
+            vecs, n_iter=2, threshold=0.9, target_block=8
+        ).collect()
+    )
+    assert kept == list(range(32))  # member 0 of each group survives
