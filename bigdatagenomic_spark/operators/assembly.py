@@ -153,6 +153,10 @@ def scatter_invalidation(reads_with_next: DataFrame, edges: DataFrame) -> DataFr
 DRIVER_WALK_ENTRY_BYTES = 90   # measured CPython dict-entry footprint for
                                # a (boxed long -> boxed long) pair incl. slots
 DRIVER_WALK_MEM_FRACTION = 16  # walk map may use at most 1/16 of driver heap
+DRIVER_WALK_TIME_CAP_ROWS = 20_000_000  # measured walk/doubling crossover
+                               # (SCALING.md path-extraction sweep: walk's
+                               # per-row driver cost ~7.8 us/row overtakes
+                               # pointer doubling around ~20M rows)
 
 
 def _driver_mem_bytes(spark) -> int:
@@ -167,16 +171,27 @@ def _driver_mem_bytes(spark) -> int:
 def driver_walk_row_budget(spark, bytes_budget: int | None = None) -> int:
     """Max successor-table rows the driver-walk strategy may collect.
 
-    Derived from a BYTES budget, not a row constant (VERDICT r5 #4): by
-    default 1/DRIVER_WALK_MEM_FRACTION of ``spark.driver.memory``,
-    divided by the ~90 B a (vid -> succ) dict entry costs in CPython.
-    A 4 GiB driver thus walks up to ~3M rows; a 1 GiB driver ~745k —
-    the same "fits comfortably in one node's memory" regime where Spark
-    would broadcast, scaled to the actual heap instead of assumed.
+    TWO bounds, the tighter governs (VERDICT r5 #4 + r7 #8):
+
+    * **memory** — 1/DRIVER_WALK_MEM_FRACTION of ``spark.driver.memory``
+      divided by the ~90 B a (vid -> succ) dict entry costs in CPython.
+      A 4 GiB driver thus walks up to ~3M rows; a 1 GiB driver ~745k —
+      the same "fits comfortably in one node's memory" regime where
+      Spark would broadcast, scaled to the actual heap.
+    * **time** — ``DRIVER_WALK_TIME_CAP_ROWS``: the walk is a SERIAL
+      per-row driver loop (py4j collect + dict walk + createDataFrame),
+      and SCALING.md's path-extraction sweep measured its crossover
+      against the distributed pointer-doubling path at ~20M rows. On a
+      big driver (128 GiB -> ~95M memory-budget rows) memory alone
+      would pick the slower strategy in the 20-95M band, so the
+      measured crossover caps the budget regardless of heap.
     """
     if bytes_budget is None:
         bytes_budget = _driver_mem_bytes(spark) // DRIVER_WALK_MEM_FRACTION
-    return max(1, bytes_budget // DRIVER_WALK_ENTRY_BYTES)
+    return min(
+        max(1, bytes_budget // DRIVER_WALK_ENTRY_BYTES),
+        DRIVER_WALK_TIME_CAP_ROWS,
+    )
 
 
 def extract_path(

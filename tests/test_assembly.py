@@ -158,6 +158,7 @@ def test_driver_walk_budget_is_byte_derived(spark):
     from bigdatagenomic_spark.operators.assembly import (
         DRIVER_WALK_ENTRY_BYTES,
         DRIVER_WALK_MEM_FRACTION,
+        DRIVER_WALK_TIME_CAP_ROWS,
         _driver_mem_bytes,
         driver_walk_row_budget,
     )
@@ -166,8 +167,40 @@ def test_driver_walk_budget_is_byte_derived(spark):
     assert driver_walk_row_budget(spark, bytes_budget=1) == 1  # floors at 1
     mem = _driver_mem_bytes(spark)
     assert mem > 0
-    assert driver_walk_row_budget(spark) == max(
-        1, (mem // DRIVER_WALK_MEM_FRACTION) // DRIVER_WALK_ENTRY_BYTES
+    assert driver_walk_row_budget(spark) == min(
+        max(1, (mem // DRIVER_WALK_MEM_FRACTION) // DRIVER_WALK_ENTRY_BYTES),
+        DRIVER_WALK_TIME_CAP_ROWS,
+    )
+
+
+def test_driver_walk_budget_time_cap_governs_big_drivers(spark):
+    """VERDICT r7 #8: the walk is a serial per-row driver loop whose
+    measured crossover vs pointer doubling is ~20M rows (SCALING.md
+    path-extraction sweep); on big heaps the memory bound alone would
+    pick the slower strategy in the 20-95M band. Pins that the TIME cap
+    governs exactly at the boundary: one byte-budget row past the cap
+    stays capped, one row under passes through."""
+    from bigdatagenomic_spark.operators.assembly import (
+        DRIVER_WALK_ENTRY_BYTES,
+        DRIVER_WALK_TIME_CAP_ROWS,
+        driver_walk_row_budget,
+    )
+
+    cap = DRIVER_WALK_TIME_CAP_ROWS
+    # 1 TiB byte budget (~12.2B memory-budget rows): time cap governs
+    assert driver_walk_row_budget(spark, bytes_budget=1 << 40) == cap
+    # exactly at the boundary from the bytes side
+    assert (
+        driver_walk_row_budget(
+            spark, bytes_budget=(cap + 1) * DRIVER_WALK_ENTRY_BYTES
+        )
+        == cap
+    )
+    assert (
+        driver_walk_row_budget(
+            spark, bytes_budget=(cap - 1) * DRIVER_WALK_ENTRY_BYTES
+        )
+        == cap - 1
     )
 
 
