@@ -764,8 +764,19 @@ ORDER BY o_year
 # The testdata has no partsupp, so supply cost is modeled as
 # 0.5 * p_retailprice per unit (a fixed-margin adaptation, same join
 # and aggregation shape). part is filtered on a substring predicate
-# BEFORE the join (pushed to the scan); the profit expression is a
-# pure per-row map between the joins and the (nation, year) rollup.
+# BEFORE the join (pushed to the scan).
+#
+# Wire-width shape (audited at x100 facts in the forced shuffled-facts
+# regime, SCALING_r8.json): the lineitem->orders equi-join is the one
+# shuffle that survives at 100 TB, so the lineitem side is narrowed
+# BEFORE that exchange — amount_cents is computed right after the
+# broadcast part/supplier joins (Catalyst prunes columns but does not
+# push computed expressions below an exchange on its own), and the
+# nation STRING never rides the fact shuffle: rows cross the wire as
+# (l_orderkey, s_nationkey, amount_cents), the rollup groups by the
+# int nationkey, and n_name is re-attached by a broadcast join on the
+# ~|nation|x|years| row aggregate. Measured: 334.7 -> 241.6 MB wire
+# (-28%), 15.7 -> 11.3 B/shuffled row, identical results.
 def q_tpch_q9_shape(spark, sf_dir):
     p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%rod%")).select(
         "p_partkey", "p_retailprice"
@@ -790,13 +801,23 @@ def q_tpch_q9_shape(spark, sf_dir):
         )
         * 100
     ).cast("long")
-    return (
+    li_amt = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(s, li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(F.col("n_name").alias("nation"), "o_year")
-        .agg((F.sum(amount_cents) / 100.0).alias("sum_profit"))
+        .select("l_orderkey", "s_nationkey", amount_cents.alias("amount_cents"))
+    )
+    agg = (
+        li_amt.join(o, li_amt["l_orderkey"] == o["o_orderkey"])
+        .groupBy("s_nationkey", "o_year")
+        .agg(F.sum("amount_cents").alias("cents"))
+    )
+    return (
+        agg.join(F.broadcast(n), agg["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "o_year",
+            (F.col("cents") / 100.0).alias("sum_profit"),
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 

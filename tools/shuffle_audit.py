@@ -24,7 +24,13 @@ a noop sink, then sum metrics over new COMPLETE stages from
 /api/v1/applications/{app}/stages. Run standalone (the UI conf only
 takes effect on a fresh session):
 
-    python tools/shuffle_audit.py [--out FILE]
+    python tools/shuffle_audit.py [--out FILE] [--sf-dir DIR] \
+        [--queries a,b,c]
+
+--sf-dir points the audit at any table directory (e.g. the x100
+replicated facts from tools/make_scale_tables.py — VERDICT r7 #7 audits
+q_tpch_q9_shape in the shuffled-facts regime that only appears there);
+--queries narrows the audited set.
 """
 
 from __future__ import annotations
@@ -58,6 +64,13 @@ def main() -> None:
     if "--out" in sys.argv:
         out_file = sys.argv[sys.argv.index("--out") + 1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--sf-dir" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
+    queries_to_run = QUERIES
+    if "--queries" in sys.argv:
+        queries_to_run = tuple(
+            sys.argv[sys.argv.index("--queries") + 1].split(",")
+        )
 
     from bigdatagenomic_spark.queries import queries
     from bigdatagenomic_spark.session import get_spark
@@ -72,7 +85,7 @@ def main() -> None:
     reg = queries()
 
     results: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in queries_to_run:
         before = _api(base, f"/applications/{app_id}/stages")
         mark = max((s["stageId"] for s in before), default=-1)
         df = reg[name](spark, sf_dir)
