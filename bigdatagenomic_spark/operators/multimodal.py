@@ -120,6 +120,88 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(mm).orderBy("doc_id", "frame_idx")
 
 
+# --- shot-boundary detection (frame signatures + per-video lag window) -----
+
+SHOT_DELTA = 4.0  # mean-byte jump between adjacent frames = a "cut"
+
+
+def frame_signatures(mm: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """(doc_id, frame_idx, mean_byte) for EVERY fixed-size frame of each
+    payload — the per-frame scalar signature a shot detector compares.
+    Same Arrow contract as sample_frames (payload in, narrow frame rows
+    out): the binary is consumed inside the Python stage and only
+    (id, idx, double) rows ever reach the rest of the plan. A real
+    pipeline swaps the byte-slice + mean for a decoder + frame
+    histogram/embedding with the identical schema."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_mean = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n_frames = (len(buf) + frame_bytes - 1) // frame_bytes
+                for i in range(n_frames):
+                    frame = buf[i * frame_bytes : (i + 1) * frame_bytes]
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    # int sum / int len: exact, so the double is
+                    # bit-identical in any engine
+                    out_mean.append(sum(frame) / len(frame))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "mean_byte": pd.Series(out_mean, dtype="float64"),
+                }
+            )
+
+    return mm.mapInPandas(gen, "doc_id BIGINT, frame_idx INT, mean_byte DOUBLE")
+
+
+def shot_boundaries(
+    mm: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    delta: float = SHOT_DELTA,
+) -> DataFrame:
+    """Shot/scene cuts per video: frames whose signature jumps by at
+    least ``delta`` from the previous frame. The comparison is a lag
+    window PARTITIONED BY doc_id — per-video frame counts are bounded
+    (payload size / frame_bytes), so no partition outgrows one task no
+    matter how many videos the corpus holds; nothing global is sorted.
+    Returns (doc_id, frame_idx, prev_mean, mean_byte, delta), the
+    boundary frames only. Thresholding happens on the RAW exact double
+    delta; the reported columns are floor-half-up rounded at 1e-4 for
+    engine-portable display."""
+    from pyspark.sql import Window as W
+
+    sig = frame_signatures(mm, frame_bytes)
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("mean_byte").over(w)
+
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    return (
+        sig.withColumn("prev_raw", prev)
+        .where(
+            F.col("prev_raw").isNotNull()
+            & (F.abs(F.col("mean_byte") - F.col("prev_raw")) >= delta)
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            r4(F.col("prev_raw")).alias("prev_mean"),
+            r4(F.col("mean_byte")).alias("mean_byte"),
+            r4(F.abs(F.col("mean_byte") - F.col("prev_raw"))).alias("delta"),
+        )
+    )
+
+
+def q_mm_shot_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = attach_payloads(load_table(spark, sf_dir, "documents"))
+    return shot_boundaries(mm).orderBy("doc_id", "frame_idx")
+
+
 # --- byte-level feature extraction (scalar pandas_udf) ---------------------
 
 

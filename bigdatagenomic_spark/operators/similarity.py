@@ -472,6 +472,101 @@ FROM m ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized top-k: the serving-side companion of
+# q_x_emb_quantize — search over the int8 codes, not the floats
+# ---------------------------------------------------------------------------
+
+def sq_encode(vecs: DataFrame) -> DataFrame:
+    """(vec_id, qv) — max-abs int8 codes of each embedding, the same
+    quantizer as q_x_emb_quantize (floor(x*127/max|x| + 0.5), half-up,
+    engine-portable). Map-only, no shuffle; the scale factor is NOT
+    kept because SQ cosine doesn't need it (see sq_topk)."""
+    max_abs = F.array_max(F.transform("v", F.abs))
+    return vecs.select(
+        "vec_id",
+        F.transform(
+            "v",
+            lambda x: F.floor(F.try_divide(x * 127.0, max_abs) + F.lit(0.5))
+            .cast("long"),
+        ).alias("qv"),
+    )
+
+
+def sq_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Approximate top-k cosine over SQ8 codes — the memory-bound
+    brute-force serving scan a production ANN stack runs when the
+    corpus fits (4x smaller than float32; the bucketed path for when
+    it doesn't is ivf_topk/pq variants).
+
+    The per-vector max-abs scale CANCELS in cosine (each reconstructed
+    vector is code * scale/127, and cosine is scale-invariant), so the
+    score is computed on the integer codes directly: integer dot and
+    integer norms summed exactly (|code| <= 127, 64 dims -> sums <
+    2^21, exact in any engine), one float division + sqrt at the end.
+    Cross-engine parity is therefore exact, not ulp-lucky.
+
+    Scale shape: identical to cosine_topk — the bounded query side
+    (contract: N_QUERIES, like q26) is broadcast, one scan over the
+    candidate codes computes all pair scores map-side, and the
+    per-query top-k window partitions on query_id.
+    """
+    iq = sq_encode(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.aggregate(
+            F.transform("qv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("qq"),
+    )
+    ic = sq_encode(candidates).select(
+        "vec_id",
+        F.col("qv").alias("ca"),
+        F.aggregate(
+            F.transform("qv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("cc"),
+    )
+    idot = F.aggregate(
+        F.zip_with("qa", "ca", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    sims = (
+        F.broadcast(iq)
+        .crossJoin(ic)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.try_divide(
+                    idot.cast("double"),
+                    F.sqrt(F.col("qq").cast("double"))
+                    * F.sqrt(F.col("cc").cast("double")),
+                ),
+                4,
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", "sim", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+def q_sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    return sq_topk(vecs.where(F.col("vec_id") < N_QUERIES), vecs)
+
+
 def _lsh_oracle_sql(
     dim: int = 64, n_planes: int = 8, k: int = TOP_K, n_queries: int = N_QUERIES
 ) -> str:

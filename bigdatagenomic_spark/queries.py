@@ -1525,6 +1525,38 @@ _Q26_COSINE_TOPK_SQL = (
 
 register("q26_cosine_topk", S.q26_cosine_topk, _Q26_COSINE_TOPK_SQL)
 
+# SQ8 scalar-quantized top-k (serving companion of q_x_emb_quantize):
+# per-vector scales cancel in cosine, so the oracle replays the search
+# as exact integer dots over the same half-up int8 codes
+_Q_SIM_SQ_TOPK_SQL = f"""
+WITH m AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+           AS ma
+  FROM embeddings
+), s AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(v, x -> floor(x * 127.0 / ma + 0.5)) AS qv,
+         list_sum(list_transform(v,
+            x -> floor(x * 127.0 / ma + 0.5) * floor(x * 127.0 / ma + 0.5)))
+           AS nn
+  FROM m
+), q AS (SELECT vec_id AS query_id, qv AS qa, nn AS qq
+         FROM s WHERE vec_id < {S.N_QUERIES}),
+sims AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qa, qv) / (sqrt(qq) * sqrt(nn)), 4) AS sim
+  FROM q CROSS JOIN s WHERE query_id <> vec_id),
+r AS (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM sims)
+SELECT query_id, vec_id, sim, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= {S.TOP_K} ORDER BY query_id, rn
+"""
+
+register("q_sim_sq_topk", S.q_sim_sq_topk, _Q_SIM_SQ_TOPK_SQL)
+
 # contrastive hard negatives: top-k most-similar vectors of another label
 register(
     "q_sim_hard_negatives",
@@ -1662,6 +1694,41 @@ register(
                md5(substring(text, frame_idx * {MM.FRAME_BYTES} + 1,
                              {MM.FRAME_BYTES})) AS frame_md5
         FROM f ORDER BY doc_id, frame_idx""",
+)
+
+register(
+    "q_mm_shot_bounds",
+    MM.q_mm_shot_bounds,
+    # frame mean-bytes are exact (int sum / int len), so the lag deltas
+    # and the threshold compare identically in both engines; rounding is
+    # display-only (floor half-up at 1e-4, the portable pattern)
+    f"""WITH f AS (
+          SELECT doc_id,
+                 unnest(range(0, CAST(ceil(length(text) / {MM.FRAME_BYTES}.0)
+                                      AS BIGINT))) AS frame_idx,
+                 text
+          FROM documents
+        ), s AS (
+          SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                 list_aggregate(list_transform(
+                     range(1, length(substring(text,
+                         frame_idx * {MM.FRAME_BYTES} + 1,
+                         {MM.FRAME_BYTES})) + 1),
+                     i -> ascii(substring(text,
+                         frame_idx * {MM.FRAME_BYTES} + i, 1))), 'avg') AS mb
+          FROM f
+        ), lagd AS (
+          SELECT doc_id, frame_idx, mb,
+                 lag(mb) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pmb
+          FROM s
+        )
+        SELECT doc_id, frame_idx,
+               floor(pmb * 10000 + 0.5) / 10000 AS prev_mean,
+               floor(mb * 10000 + 0.5) / 10000 AS mean_byte,
+               floor(abs(mb - pmb) * 10000 + 0.5) / 10000 AS delta
+        FROM lagd
+        WHERE pmb IS NOT NULL AND abs(mb - pmb) >= {MM.SHOT_DELTA}
+        ORDER BY doc_id, frame_idx""",
 )
 
 register(

@@ -131,6 +131,42 @@ def test_ivf_topk_recall_vs_exact(spark):
         assert q != v
 
 
+def test_sq_topk_recall_and_scale_invariance(spark):
+    """SQ8 quantized search: (a) high recall vs exact cosine top-k at
+    8-bit precision on the real embeddings; (b) the scale-cancellation
+    property the operator relies on — a vector and any positive scalar
+    multiple of it quantize to the SAME codes, so their SQ cosine is
+    exactly 1.0."""
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.query_id, r.vec_id) for r in S.q26_cosine_topk(spark, sf).collect()
+    }
+    rows = S.q_sim_sq_topk(spark, sf).collect()
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r.rn)
+    assert len(per_query) == S.N_QUERIES
+    for rns in per_query.values():
+        assert sorted(rns) == list(range(1, S.TOP_K + 1))
+    # 8-bit codes keep ~1e-2 relative error on cosine; brute-force scan
+    # should recover nearly the whole exact top-k
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8
+
+    base = [0.11, -0.53, 0.29, 0.97] * 16  # 64 dims
+    rows2 = [(1, base), (2, [x * 3.7 for x in base]), (3, [-x for x in base])]
+    vecs = spark.createDataFrame(
+        [(i, v) for i, v in rows2], "vec_id LONG, v ARRAY<DOUBLE>"
+    )
+    got = {
+        (r.query_id, r.vec_id): r.sim
+        for r in S.sq_topk(vecs.where(F.col("vec_id") == 1), vecs, k=2).collect()
+    }
+    assert got[(1, 2)] == 1.0   # scaled copy: identical codes
+    assert got[(1, 3)] == -1.0  # negated copy: exactly opposite
+
+
 def test_near_dup_survivors_match_union_find(spark):
     sf = "/root/testdata/sf0.001"
     got = {r.doc_id for r in D.q_dedup_survivors(spark, sf).collect()}

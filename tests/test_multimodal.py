@@ -220,3 +220,27 @@ def test_trim_flat_frames_null_payload_yields_no_frames(spark):
     out = trim_flat_frames(df).collect()
     assert {r.doc_id for r in out} == {2}
     assert len(out) == 1 and out[0].kept
+
+
+def test_shot_boundaries_planted_cut(spark):
+    """Planted video: three 64-byte frames, two flat at byte 10, one
+    flat at byte 200 in the middle — exactly two cuts (into and out of
+    the middle shot), each with delta 190, and no boundary at frame 0
+    (lag is NULL there, not zero)."""
+    from bigdatagenomic_spark.operators.multimodal import shot_boundaries
+
+    shot_a = bytes([10] * 64)
+    shot_b = bytes([200] * 64)
+    df = spark.createDataFrame(
+        [(7, bytearray(shot_a + shot_b + shot_a)),
+         (8, bytearray(shot_a * 3))],            # no cuts at all
+        "doc_id LONG, payload BINARY",
+    )
+    got = [
+        (r.doc_id, r.frame_idx, r.prev_mean, r.mean_byte, r.delta)
+        for r in shot_boundaries(df).orderBy("doc_id", "frame_idx").collect()
+    ]
+    assert got == [
+        (7, 1, 10.0, 200.0, 190.0),
+        (7, 2, 200.0, 10.0, 190.0),
+    ]

@@ -294,6 +294,7 @@ _BNLJ_ALLOWED = {
     "q_sim_pq_topk",         # bounded broadcast query-table crossJoin (q26 pattern)
     "q_sim_ivfpq_topk",      # broadcast centroid table + codebook training (ivf/kmeans pattern)
     "q_sim_pq_recall",       # bounded broadcast query set (q26 pattern) on both monitor sides
+    "q_sim_sq_topk",         # bounded broadcast query set (q26 pattern) over int8 codes
     "q_x_temperature_mix",   # 1-row (sum_w, n_total) scalar (skew_report pattern)
     "q_text_bpe_train",      # 1-row best-pair broadcast per merge round
     "q_x_abtest",            # 1-row control-arm scalar against the 2-row readout
