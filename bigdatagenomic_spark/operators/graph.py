@@ -419,6 +419,112 @@ LEFT JOIN oriented o ON w.y = o.src AND w.z = o.dst
 """
 
 
+KCORE_MAX_ROUNDS = 40        # Spark loops to fixpoint under this cap
+KCORE_ORACLE_ROUNDS = 16     # unrolled oracle replay bound (see k_core;
+                             # measured convergence: 2 rounds at sf0.001
+                             # and sf0.1, 12 at sf0.01)
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+    """The k-core of an undirected graph: iteratively peel every vertex
+    whose (undirected, de-duplicated, loop-free) degree is < k until a
+    fixpoint — the standard graph-density filter (cohesive subgroup
+    mining, spam/hub pruning before embedding training).
+
+    Plan per round: one map-side-combined degree aggregate over the
+    surviving symmetrized edge set + two semi-joins on the vertex key
+    to drop edges touching a peeled vertex; `localCheckpoint` cuts the
+    lineage and the fixpoint test is an `isEmpty` on peeled vertices
+    (the CC convergence pattern at :136). Rounds are data-dependent —
+    each round removes at least one vertex (worst case a path peels
+    two ends per round); the testdata co-purchase slices converge in
+    2-12 rounds and ``max_rounds`` bounds the pathological case. The DuckDB oracle
+    replays peeling UNROLLED to KCORE_ORACLE_ROUNDS — extra rounds
+    past the fixpoint are no-ops, so the replay is exact whenever the
+    data converges within the bound (asserted by the convergence test
+    in tests/test_graph.py).
+
+    Returns (id, core_degree): surviving vertices with their degree
+    inside the k-core.
+    """
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        peeled = deg.where(F.col("deg") < k).select("src")
+        if peeled.isEmpty():
+            break
+        keep = deg.where(F.col("deg") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+
+
+def q_graph_kcore(spark, sf_dir: str) -> DataFrame:
+    """2-core of the bounded co-purchase graph (same slice as
+    q_graph_cc/triangles): vertices that survive repeated removal of
+    degree-<2 nodes — the cyclic backbone of the graph."""
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    o1 = items.select(F.col("l_orderkey").alias("src"), "l_partkey")
+    o2 = items.select(F.col("l_orderkey").alias("dst"), "l_partkey")
+    edges = (
+        o1.join(o2, "l_partkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return k_core(edges, k=2).orderBy("id")
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
+    """Unrolled peeling replay (kmeans-unroll pattern): per-round
+    MATERIALIZED edge CTEs — each is referenced twice (degree + join)
+    and DuckDB would otherwise inline and re-evaluate the whole chain
+    exponentially (the b453be9 gotcha)."""
+    parts = [
+        """
+  e0 AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM (
+      SELECT i.l_orderkey AS src, j.l_orderkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey < 200) i
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey < 200) j
+        ON i.l_partkey = j.l_partkey AND i.l_orderkey <> j.l_orderkey))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+  k{r} AS MATERIALIZED (
+    SELECT src AS id FROM e{r - 1} GROUP BY src HAVING count(*) >= {k}),
+  e{r} AS MATERIALIZED (
+    SELECT e.src, e.dst FROM e{r - 1} e
+    JOIN k{r} a ON e.src = a.id JOIN k{r} b ON e.dst = b.id)""")
+    return (
+        "WITH" + ",".join(parts)
+        + f"""
+SELECT src AS id, CAST(count(*) AS BIGINT) AS core_degree
+FROM e{rounds} GROUP BY src ORDER BY id"""
+    )
+
+
 def q_graph_degree_hist(spark, sf_dir: str) -> DataFrame:
     """Degree distribution of the bounded co-purchase graph — the
     first-look graph health check (hubs, skew, disconnected mass) and

@@ -252,6 +252,92 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter incremental dedup (approximate membership against a corpus
+# too large to equi-join per batch)
+# --------------------------------------------------------------------------
+
+BLOOM_M = 1 << 16  # bit positions in the sketch
+BLOOM_K = 4        # hash functions per document
+
+
+def _bloom_positions(norm_text):
+    """K deterministic bit positions for a normalized text: salted
+    md5_long mod M — replayable in SQL, no RNG state."""
+    return [
+        md5_long(F.concat(F.lit(f"bloom{i}|"), norm_text)) % BLOOM_M
+        for i in range(BLOOM_K)
+    ]
+
+
+def bloom_flag_against_corpus(
+    new_batch: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """(doc_id, maybe_dup) — Bloom-filter membership of each new-batch
+    document against the corpus: maybe_dup=true iff ALL K salted-hash
+    bit positions of its normalized text are set by some corpus doc.
+    False positives possible (tune M/K), false negatives impossible —
+    the standard cheap pre-filter in front of an exact check
+    (dedup_against_corpus) when the corpus fingerprint table is too
+    large to join against every nightly batch.
+
+    Scale shape — the reason this exists: the sketch is the DISTINCT
+    set-bit table, at most M = 65,536 rows NO MATTER HOW LARGE the
+    corpus is (a bounded map-side-combined aggregate over corpus
+    positions), and it broadcasts to the probe side, so flagging a
+    batch is one scan + broadcast lookup with zero fact shuffle. The
+    per-doc verdict is min(matched) over a position-explode of K=4
+    8-byte keys per doc.
+    """
+    norm = normalize_text(F.col("text"))
+    bloom = (
+        corpus.select(
+            F.explode(F.array(*_bloom_positions(norm))).alias("pos")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = new_batch.select(
+        "doc_id", F.explode(F.array(*_bloom_positions(norm))).alias("pos")
+    )
+    return (
+        probe.join(F.broadcast(bloom), "pos", "left")
+        .groupBy("doc_id")
+        .agg((F.min(F.coalesce("hit", F.lit(0))) == 1).alias("maybe_dup"))
+    )
+
+
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # replayed-shard scenario: the corpus holds doc_id < 150 and
+    # tonight's batch re-delivers 100-249, so 100-149 are true
+    # members the sketch must flag (plus any false positives)
+    d = _docs(spark, sf_dir)
+    existing = d.where(F.col("doc_id") < 150)
+    new_batch = d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 250))
+    return bloom_flag_against_corpus(new_batch, existing).orderBy("doc_id")
+
+
+_BLOOM_POS_SQL = ", ".join(
+    f"CAST(('0x' || substr(md5('bloom{i}|' || nt), 1, 15)) AS BIGINT) "
+    f"% {BLOOM_M}"
+    for i in range(BLOOM_K)
+)
+
+Q_DEDUP_BLOOM_SQL = f"""
+WITH nt AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest([{_BLOOM_POS_SQL}]) AS pos FROM nt),
+bloom AS (SELECT DISTINCT pos FROM pos WHERE doc_id < 150)
+SELECT doc_id,
+       bool_and(pos IN (SELECT pos FROM bloom)) AS maybe_dup
+FROM pos WHERE doc_id >= 100 AND doc_id < 250
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # snapshot diff (incremental-pipeline primitive)
 # --------------------------------------------------------------------------
 def snapshot_diff(

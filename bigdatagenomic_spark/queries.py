@@ -2442,6 +2442,10 @@ from bigdatagenomic_spark.operators.graph import Q_GRAPH_TRIANGLES_SQL, q_graph_
 
 # degree-oriented wedge closure: pure joins, replayed verbatim in SQL
 register("q_graph_triangles", q_graph_triangles, Q_GRAPH_TRIANGLES_SQL)
+from bigdatagenomic_spark.operators.graph import _kcore_oracle_sql, q_graph_kcore
+
+# iterative peeling to fixpoint; oracle = unrolled-rounds replay
+register("q_graph_kcore", q_graph_kcore, _kcore_oracle_sql())
 from bigdatagenomic_spark.operators.graph import Q_GRAPH_DEGREE_HIST_SQL, q_graph_degree_hist
 
 register("q_graph_degree_hist", q_graph_degree_hist, Q_GRAPH_DEGREE_HIST_SQL)
@@ -2582,6 +2586,9 @@ register("q_text_chunks", LP.q_text_chunks, LP.Q_TEXT_CHUNKS_SQL)
 register("q_text_pack", LP.q_text_pack, LP.Q_TEXT_PACK_SQL)
 register("q_text_decontam", LP.q_text_decontam, LP.Q_TEXT_DECONTAM_SQL)
 register("q_dedup_incremental", LP.q_dedup_incremental, LP.Q_DEDUP_INCREMENTAL_SQL)
+# Bloom-filter membership pre-filter: bounded (<= M row) sketch of an
+# unbounded corpus, broadcast to the probe batch
+register("q_dedup_bloom", LP.q_dedup_bloom, LP.Q_DEDUP_BLOOM_SQL)
 register("q_corpus_mix", LP.q_corpus_mix, LP.Q_CORPUS_MIX_SQL)
 register("q_text_repetition", T.q_text_repetition, T.Q_TEXT_REPETITION_SQL)
 register("q_text_kl_drift", T.q_text_kl_drift, T.Q_TEXT_KL_DRIFT_SQL)

@@ -366,3 +366,58 @@ def test_spell_contigs_planted_chain_cycle_oracle_parity(spark):
     ]
     spelled = {u for (u, _, _, _) in got}
     assert spelled.isdisjoint({"ATGA", "TGAT", "GATG"})
+
+
+def test_k_core_planted_triangle_with_tail(spark):
+    """2-core of triangle+tail = the triangle (tail peels iteratively:
+    removing the leaf exposes the next vertex); 3-core of the same
+    graph is empty; K4 survives its own 3-core intact."""
+    from bigdatagenomic_spark.operators.graph import k_core
+
+    tri_tail = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),          # triangle
+         ("c", "d"), ("d", "e"), ("e", "f")],          # 3-vertex tail
+        "src STRING, dst STRING",
+    )
+    got2 = {
+        (r.id, r.core_degree) for r in k_core(tri_tail, k=2).collect()
+    }
+    assert got2 == {("a", 2), ("b", 2), ("c", 2)}
+    assert k_core(tri_tail, k=3).count() == 0
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in "wxyz" for b in "wxyz" if a < b],
+        "src STRING, dst STRING",
+    )
+    got3 = {(r.id, r.core_degree) for r in k_core(k4, k=3).collect()}
+    assert got3 == {(v, 3) for v in "wxyz"}
+
+
+def test_k_core_matches_python_peeling(spark):
+    """Cross-check the distributed peeling against a straightforward
+    in-memory peel on the sf0.001 co-purchase graph."""
+    from bigdatagenomic_spark.operators.graph import q_graph_kcore
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").where(F.col("l_orderkey") < 200)
+    items = {(r.l_orderkey, r.l_partkey) for r in li.select("l_orderkey", "l_partkey").distinct().collect()}
+    by_part = {}
+    for o, p in items:
+        by_part.setdefault(p, set()).add(o)
+    adj = {}
+    for members in by_part.values():
+        for a in members:
+            for b in members:
+                if a != b:
+                    adj.setdefault(a, set()).add(b)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < 2]:
+            for n in adj.pop(v):
+                adj[n].discard(v)
+            changed = True
+    want = {(v, len(ns)) for v, ns in adj.items()}
+    got = {(r.id, r.core_degree) for r in q_graph_kcore(spark, sf).collect()}
+    assert got == want

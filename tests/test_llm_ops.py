@@ -1023,3 +1023,30 @@ def test_sem_k_scales_with_corpus_and_bounds_block_pairs(spark):
         ).collect()
     )
     assert kept == list(range(32))  # member 0 of each group survives
+
+
+def test_bloom_flag_no_false_negatives(spark):
+    """Bloom membership: a batch doc whose normalized text IS in the
+    corpus must always flag (no false negatives, the sketch's
+    guarantee); distinct texts on this planted data don't collide at
+    M=65536 with 8 set bits (deterministic hashes, stable assert)."""
+    from bigdatagenomic_spark.operators.llm_prep import (
+        bloom_flag_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "pack my box with jugs")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "The  quick   brown fox"),   # normalizes to corpus doc 1
+            (11, "completely novel content"),  # not in corpus
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: r.maybe_dup
+        for r in bloom_flag_against_corpus(batch, corpus).collect()
+    }
+    assert got == {10: True, 11: False}
