@@ -34,6 +34,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # revenue per order, top-10. Filters on both fact scans cut the join
 # inputs before the shuffle; the date literals sit inside the scanned
 # range (orders 1995-2001, TESTDATA.md driver data).
+#
+# Shuffled-facts-regime shape (audited at x100 in SCALING_r8.json,
+# -26% wire bytes): (a) lineitem revenue is PRE-AGGREGATED by
+# l_orderkey before the orders join — o_orderdate is functionally
+# determined by the order key, so grouping early is semantics-
+# preserving, the groupBy's map-side combine collapses multi-line
+# orders before the wire, and the join reuses the agg's hash
+# partitioning (no second lineitem-side exchange); (b) orders is
+# reduced by the 1/5-selective BUILDING-customer join BEFORE its
+# orderkey shuffle — Catalyst doesn't reorder shuffle joins without
+# CBO stats, so the order is written explicitly.
 def q_tpch_q3_shape(spark, sf_dir):
     cutoff = F.to_timestamp(F.lit("1998-01-01"))
     c = _t(spark, sf_dir, "customer").where(
@@ -45,14 +56,21 @@ def q_tpch_q3_shape(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff).select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
+    o2 = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_orderdate"
+    )
+    li_agg = (
+        li.select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev").alias("rev_sum"))
+    )
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        li_agg.join(o2, li_agg["l_orderkey"] == o2["o_orderkey"])
+        .select(
+            "l_orderkey", "o_orderdate", F.round("rev_sum", 2).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
