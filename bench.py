@@ -61,6 +61,12 @@ HEADLINE = [
     # ~n_tok shuffle rows per doc) and the two-phase-cumsum schedule family
     "q_text_dup_spans",
     "q_x_curriculum",
+    # round 8: the int8 ANN serving scan and the iterative peeling
+    # fixpoint — the two new plan families this round added (headline
+    # totals are comparable to r7 only over the prior set; the judge's
+    # per-query dict is the stable comparison)
+    "q_sim_sq_topk",
+    "q_graph_kcore",
 ]
 
 

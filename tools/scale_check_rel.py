@@ -49,22 +49,47 @@ WORKLOADS = (
     ("asof_join", "q_x_asof_join"),
 )
 
+# round-8 second tranche (--tranche 2): the remaining heavy join /
+# event-sequence families part 2 didn't cover — 6-way snowflake (q5),
+# outer-join count distribution (q13), big-order HAVING semi (q18),
+# event-transition matrix (markov)
+WORKLOADS2 = (
+    ("tpch_q5_snowflake", "q_tpch_q5_shape"),
+    ("tpch_q13_outer_dist", "q_tpch_q13_shape"),
+    ("tpch_q18_having", "q_tpch_q18_shape"),
+    ("markov_transitions", "q_x_markov_transitions"),
+)
+
 REPLICAS = (1, 10, 100)
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    opt_values = {
+        argv[i + 1]
+        for i, a in enumerate(argv)
+        if a.startswith("--") and i + 1 < len(argv)
+    }
+    args = [a for a in argv if not a.startswith("--") and a not in opt_values]
     tables_dir = args[0] if args else "/tmp/scale_rel"
     out = None
     if "--out" in sys.argv:
         out = sys.argv[sys.argv.index("--out") + 1]
+
+    workloads = WORKLOADS
+    if "--tranche" in sys.argv:
+        if sys.argv[sys.argv.index("--tranche") + 1] == "2":
+            workloads = WORKLOADS2
+    if "--queries" in sys.argv:
+        names = sys.argv[sys.argv.index("--queries") + 1].split(",")
+        workloads = tuple((n, n) for n in names)
 
     from bigdatagenomic_spark.queries import queries
 
     reg = queries()
     spark = get_spark(app_name="scale-check-rel")
     results: dict[str, dict] = {}
-    for label, qname in WORKLOADS:
+    for label, qname in workloads:
         fn = reg[qname]
         row: dict[str, float] = {}
         for r in REPLICAS:
