@@ -94,35 +94,72 @@ LIMIT 10
 
 # TPC-H Q5 shape: 6-way join (region→nation→customer→orders→lineitem
 # ⋈ supplier with the co-nation constraint), revenue by nation.
-# region/nation are broadcast-hinted (always tiny); customer/supplier
-# are left to AQE, which broadcasts them at small SF and shuffles at
-# 100 TB. The c_nationkey = s_nationkey residual runs as a post-join
-# filter on the supplier hash join — no extra shuffle.
+#
+# Shuffled-facts plan (round 8, SCALING.md Part 5): the naive join
+# order (li⋈o⋈c⋈s) shuffles the enriched lineitem rows THREE times
+# (orderkey, custkey, suppkey) and only applies the region filter at
+# the end. Instead:
+#   1. `asia` = nation⋈region (broadcast, ~5 rows) pre-filters
+#      customer AND supplier map-side — the region predicate reaches
+#      both dimension scans, cutting them (and everything joined
+#      through them) ~5× before any exchange.
+#   2. orders⋈customer runs BEFORE lineitem: only the two narrow
+#      orders columns shuffle on custkey, and ~4/5 of orders are
+#      dropped before the expensive orderkey exchange.
+#   3. revenue is computed as ONE double before the orderkey exchange
+#      (computed expressions don't get pushed below an Exchange by
+#      column pruning — same gotcha as q9, see SCALING.md Part 4).
+#   4. the final groupBy is on the int nationkey; the n_name STRING
+#      never rides a fact shuffle and is re-attached to the ~5-row
+#      post-agg result by a broadcast join.
+# Net effect at ×100 (forced-shuffle audit, SCALING_r8.json): the
+# fact rows cross two exchanges instead of three, each ~5× smaller.
 def q_tpch_q5_shape(spark, sf_dir):
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    asia = n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name"
     )
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(asia.select("n_nationkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(asia.select("n_nationkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey")
+    )
+    o_asia = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    by_nation = (
+        li.join(o_asia, li["l_orderkey"] == o_asia["o_orderkey"])
         .join(
             s,
-            (li["l_suppkey"] == s["s_suppkey"])
-            & (c["c_nationkey"] == s["s_nationkey"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        .groupBy("s_nationkey")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+    )
+    return (
+        by_nation.join(
+            F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey")
         )
+        .select("n_name", "revenue")
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 

@@ -917,3 +917,238 @@ def spell_contigs(edges: DataFrame, k: int) -> DataFrame:
         )
         .withColumn("seq_len", F.length("sequence").cast("long"))
     )
+
+
+# --------------------------------------------------------------------------
+# strongly connected components (directed): trim + coloring
+# --------------------------------------------------------------------------
+SCC_MAX_OUTER = 12   # SCC-DAG chain-depth bound (peel one DAG level/round)
+SCC_MAX_ROUNDS = 40  # inner fixpoint bound (trim / color / mark loops)
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_outer: int = SCC_MAX_OUTER,
+    max_rounds: int = SCC_MAX_ROUNDS,
+) -> DataFrame:
+    """(id, scc) over a DIRECTED edge set — scc = min vertex id in the
+    strongly connected component (u,v share an scc iff u reaches v AND
+    v reaches u).
+
+    The distributed Trim + Coloring scheme (Orzan's coloring with the
+    FW-BW trim step; Hong et al. 2013 is the standard multicore/BSP
+    formulation). Per outer round:
+
+    1. **Trim**: iteratively peel vertices with in-degree 0 or
+       out-degree 0 in the remaining subgraph — they can sit on no
+       cycle, so each is a singleton SCC. This resolves the acyclic
+       bulk of the graph in O(DAG-level) cheap degree rounds instead
+       of feeding it to the quadratic-ish coloring phase (the same
+       peel-loop shape as :func:`k_core`).
+    2. **Color**: forward min-label propagation to fixpoint —
+       ``color(v)`` = smallest remaining id that reaches ``v`` — with
+       the pointer-jumping accelerator from :func:`connected_components`
+       (``color(color(v))`` also reaches ``v``, squaring propagation
+       distance per round, O(log diameter) rounds).
+    3. **Mark**: a color root (``color(v) == v``, i.e. no smaller
+       remaining vertex reaches it) is its SCC's minimum: every vertex
+       of color r that reaches r is mutually connected with r, and the
+       v→r path stays inside the color class — so the SCC is recovered
+       by backward reachability over SAME-COLOR edges only, a
+       monotone frontier loop bounded by the component diameter.
+    4. Assign marked vertices ``scc = color``, remove them, repeat:
+       each outer round clears at least every source SCC of the
+       remaining SCC-DAG, so outer rounds are bounded by the SCC-DAG
+       chain depth (the ``max_outer`` cap; convergence on the testdata
+       graphs is pinned by tests).
+
+    Self-loops are dropped up front (singleton SCCs exist with or
+    without them; trim then classifies correctly). Scale shape: every
+    step is a key-partitioned join/aggregate on vertex id over frames
+    that only shrink; ``localCheckpoint`` cuts lineage per round
+    exactly as in the CC/k-core loops.
+    """
+    e_all = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    remaining = (
+        e_all.select(F.col("src").alias("id"))
+        .unionByName(e_all.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pieces: list[DataFrame] = []
+    e = e_all
+    for _ in range(max_outer):
+        if remaining.isEmpty():
+            break
+        # ---- 1. trim singleton SCCs (no in- or no out-edge) ----
+        for _ in range(max_rounds):
+            has_out = e.select(F.col("src").alias("id")).distinct()
+            has_in = e.select(F.col("dst").alias("id")).distinct()
+            core = (
+                remaining.join(has_out, "id", "left_semi")
+                .join(has_in, "id", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            trimmed = remaining.join(core, "id", "left_anti")
+            if trimmed.isEmpty():
+                break
+            pieces.append(
+                trimmed.select("id", F.col("id").alias("scc")).localCheckpoint(
+                    eager=True
+                )
+            )
+            remaining = core
+            e = (
+                e.join(core.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(core.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        if remaining.isEmpty():
+            break
+        # ---- 2. color: forward min-label to fixpoint ----
+        labels = remaining.select("id", F.col("id").alias("color")).localCheckpoint(
+            eager=True
+        )
+        for _ in range(max_rounds):
+            incoming = (
+                e.join(labels, e["src"] == labels["id"])
+                .select(e["dst"].alias("id"), F.col("color").alias("_msg"))
+                .groupBy("id")
+                .agg(F.min("_msg").alias("_msg"))
+            )
+            stepped = labels.join(incoming, "id", "left").select(
+                "id",
+                F.col("color").alias("_old"),
+                F.least(
+                    F.col("color"), F.coalesce("_msg", F.col("color"))
+                ).alias("color"),
+            )
+            # pointer jump: whoever reaches my color also reaches me
+            parents = stepped.select(
+                F.col("id").alias("color"), F.col("color").alias("_parent")
+            )
+            new_labels = (
+                stepped.join(parents, "color", "left")
+                .select(
+                    "id",
+                    "_old",
+                    F.least(
+                        F.col("color"), F.coalesce("_parent", F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            converged = new_labels.where(
+                F.col("color") != F.col("_old")
+            ).isEmpty()
+            labels = new_labels.select("id", "color")
+            if converged:
+                break
+        # ---- 3. mark: backward reach to the root over same-color edges ----
+        marked = labels.where(F.col("color") == F.col("id")).localCheckpoint(
+            eager=True
+        )
+        for _ in range(max_rounds):
+            preds = (
+                e.join(marked, e["dst"] == marked["id"])
+                .select(e["src"].alias("id"), marked["color"].alias("_mc"))
+                .join(labels, "id")
+                .where(F.col("_mc") == F.col("color"))
+                .select("id", "color")
+                .distinct()
+            )
+            new_marked = preds.join(marked, "id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if new_marked.isEmpty():
+                break
+            marked = marked.unionByName(new_marked).localCheckpoint(eager=True)
+        # ---- 4. assign and shrink ----
+        pieces.append(
+            marked.select("id", F.col("color").alias("scc")).localCheckpoint(
+                eager=True
+            )
+        )
+        remaining = remaining.join(marked, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_graph_scc(spark, sf_dir: str) -> DataFrame:
+    """SCCs of the temporal co-purchase graph: directed edge o1→o2 when
+    the two orders share a part and o1's order YEAR is <= o2's — the
+    cycle-forming same-year clusters are the recurrent purchase
+    communities, the cross-year edges the (acyclic) drift between them.
+    Iterative, but hash-checked against an exact transitive-closure
+    mutual-reachability oracle on the bounded slice."""
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 400)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 400)
+        .select("o_orderkey", F.year("o_orderdate").alias("_y"))
+    )
+    oi = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_partkey", "_y"
+    )
+    a = oi.select(
+        F.col("l_orderkey").alias("src"), "l_partkey", F.col("_y").alias("_ya")
+    )
+    b = oi.select(
+        F.col("l_orderkey").alias("dst"), "l_partkey", F.col("_y").alias("_yb")
+    )
+    edges = (
+        a.join(b, "l_partkey")
+        .where((F.col("src") != F.col("dst")) & (F.col("_ya") <= F.col("_yb")))
+        .select("src", "dst")
+        .distinct()
+    )
+    return strongly_connected_components(edges).orderBy("id")
+
+
+Q_GRAPH_SCC_SQL = """
+WITH RECURSIVE sl AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 400
+), o AS MATERIALIZED (
+  SELECT o_orderkey, year(o_orderdate) AS y FROM orders WHERE o_orderkey < 400
+), e AS MATERIALIZED (
+  SELECT DISTINCT i.l_orderkey AS src, j.l_orderkey AS dst
+  FROM sl i
+  JOIN sl j ON i.l_partkey = j.l_partkey AND i.l_orderkey <> j.l_orderkey
+  JOIN o oa ON i.l_orderkey = oa.o_orderkey
+  JOIN o ob ON j.l_orderkey = ob.o_orderkey
+  WHERE oa.y <= ob.y
+), verts AS MATERIALIZED (
+  SELECT src AS id FROM e UNION SELECT dst FROM e
+), reach AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+), mutual AS MATERIALIZED (
+  SELECT r1.a AS id, r1.b AS other
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT v.id, CAST(least(v.id, coalesce(min(m.other), v.id)) AS BIGINT) AS scc
+FROM verts v LEFT JOIN mutual m ON v.id = m.id
+GROUP BY v.id ORDER BY v.id
+"""

@@ -2446,6 +2446,11 @@ from bigdatagenomic_spark.operators.graph import _kcore_oracle_sql, q_graph_kcor
 
 # iterative peeling to fixpoint; oracle = unrolled-rounds replay
 register("q_graph_kcore", q_graph_kcore, _kcore_oracle_sql())
+from bigdatagenomic_spark.operators.graph import Q_GRAPH_SCC_SQL, q_graph_scc
+
+# directed SCC via trim + coloring; oracle = exact transitive-closure
+# mutual reachability on the bounded slice
+register("q_graph_scc", q_graph_scc, Q_GRAPH_SCC_SQL)
 from bigdatagenomic_spark.operators.graph import Q_GRAPH_DEGREE_HIST_SQL, q_graph_degree_hist
 
 register("q_graph_degree_hist", q_graph_degree_hist, Q_GRAPH_DEGREE_HIST_SQL)

@@ -421,3 +421,123 @@ def test_k_core_matches_python_peeling(spark):
     want = {(v, len(ns)) for v, ns in adj.items()}
     got = {(r.id, r.core_degree) for r in q_graph_kcore(spark, sf).collect()}
     assert got == want
+
+
+def test_scc_planted_mixed_graph(spark):
+    """Hand-computed SCCs on a graph exercising every algorithm phase:
+    a 3-cycle (10,11,12) bridged one-way into a second 3-cycle
+    (20,21,22), a pure chain 1→2→3 (all trim-phase singletons), a
+    mutual pair (30,31), a self-loop vertex 40 (self-loops dropped —
+    still a singleton, reached so it stays in the vertex set), and a
+    middle vertex 5 with both in- and out-edges but no cycle (the case
+    trim alone cannot remove — it must wait for coloring rounds)."""
+    from bigdatagenomic_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    e = _edges(
+        spark,
+        [
+            (10, 11), (11, 12), (12, 10),      # cycle A
+            (12, 20),                          # one-way bridge A -> B
+            (20, 21), (21, 22), (22, 20),      # cycle B
+            (1, 2), (2, 3),                    # chain
+            (30, 31), (31, 30),                # mutual pair
+            (40, 40), (3, 40),                 # self-loop + feed-in
+            (10, 5), (5, 20),                  # middle singleton 5
+        ],
+    )
+    got = {(r.id, r.scc) for r in strongly_connected_components(e).collect()}
+    assert got == {
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20), (22, 20),
+        (1, 1), (2, 2), (3, 3),
+        (30, 30), (31, 30),
+        (40, 40),
+        (5, 5),
+    }
+
+
+def test_scc_matches_python_tarjan(spark):
+    """The Spark trim+coloring result equals an iterative Tarjan run on
+    the same derived temporal co-purchase edge set (independent
+    algorithm, independent implementation — the unit-level analogue of
+    the registry's transitive-closure oracle)."""
+    from bigdatagenomic_spark.operators.graph import q_graph_scc
+
+    rows = q_graph_scc(spark, SF_DIR).collect()
+    got = {(r.id, r.scc) for r in rows}
+    # rebuild the same edge set via plain collects (small bounded slice)
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .where(F.col("l_orderkey") < 400)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .where(F.col("o_orderkey") < 400)
+        .select("o_orderkey", F.year("o_orderdate").alias("y"))
+        .collect()
+    )
+    year = {r.o_orderkey: r.y for r in orders}
+    by_part: dict[int, list[int]] = {}
+    for r in li:
+        by_part.setdefault(r.l_partkey, []).append(r.l_orderkey)
+    adj: dict[int, set[int]] = {}
+    verts: set[int] = set()
+    for members in by_part.values():
+        for a in members:
+            for b in members:
+                if a != b and year[a] <= year[b]:
+                    adj.setdefault(a, set()).add(b)
+                    verts.update((a, b))
+    # iterative Tarjan
+    index_of: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    sccs: list[list[int]] = []
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, iter(sorted(adj.get(root, ()))))]
+        index_of[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index_of:
+                    index_of[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(sorted(adj.get(w, ())))))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index_of[w])
+            if not advanced:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == index_of[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    sccs.append(comp)
+
+    for v in sorted(verts):
+        if v not in index_of:
+            strongconnect(v)
+    want = {(v, min(comp)) for comp in sccs for v in comp}
+    assert got == want
