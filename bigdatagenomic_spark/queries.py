@@ -383,6 +383,181 @@ register(
 )
 
 
+def _minimizer_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived long-read set for the minimizer kernels: same ACGT
+    cleaning as q_asm_kmer_counts but longer reads (24-40 bp) so each
+    carries enough (w,k)-windows to sketch."""
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    length = (F.lit(24) + (F.col("doc_id") % 5) * 4).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    return docs.select(
+        F.col("doc_id").alias("read_id"),
+        F.substring(F.rpad(cleaned, 40, "A"), F.lit(1), length).alias("content"),
+    )
+
+
+def _minimizers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(read_id, kmer, pos) — the (w=4, k=5) minimizer sketch of each
+    derived read: for every window of 4 consecutive k-mer positions,
+    keep the smallest (kmer, pos) pair; duplicates across overlapping
+    windows collapse with DISTINCT. Minimizers are THE sequencing-scale
+    sketch (minimap/minimap2 seeding, MashMap, modern assemblers): any
+    two reads sharing a ≥ w+k-1 bp exact stretch share a minimizer, at
+    ~2/(w+1) of the k-mer set's size.
+
+    Plan: map-only shingle explode (bounded by read length), then one
+    rows-frame window min per read — per-read slices are bounded, so no
+    single-partition sort — and a DISTINCT bounded by the selected set.
+    The (kmer,pos) argmin is encoded as ``kmer || zero-padded pos`` so
+    the window aggregate is a plain ``min`` on one string in BOTH
+    engines (identical tie semantics by construction).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.functions import char_shingles
+
+    k, w = 5, 4
+    reads = _minimizer_reads(spark, sf_dir)
+    km = reads.select(
+        "read_id",
+        F.posexplode(
+            F.filter(char_shingles(F.col("content"), k), lambda s: F.length(s) == k)
+        ).alias("i", "kmer"),
+    ).select(
+        "read_id", (F.col("i") + 1).alias("pos"), "kmer"
+    )
+    win = (
+        W.partitionBy("read_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, w - 1)
+    )
+    key = F.concat(F.col("kmer"), F.lpad(F.col("pos").cast("string"), 4, "0"))
+    sel = km.select(
+        "read_id",
+        F.min(key).over(win).alias("mk"),
+        F.count("*").over(win).alias("wn"),
+    ).where(F.col("wn") == w)
+    return sel.select(
+        "read_id",
+        F.substring("mk", 1, k).alias("kmer"),
+        F.substring("mk", k + 1, 4).cast("int").alias("pos"),
+    ).distinct()
+
+
+def q_asm_minimizers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-read minimizer sketch itself (see :func:`_minimizers`)."""
+    return _minimizers(spark, sf_dir).orderBy("read_id", "pos", "kmer")
+
+
+# Shared CTE prefix: read derivation + windowed minimizer selection,
+# mirroring _minimizers exactly (same string-encoded argmin).
+_MINIMIZER_CTE = """
+    r AS (
+      SELECT doc_id AS read_id,
+             substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'), 40, 'A'),
+                    1, CAST(24 + (doc_id%5)*4 AS INT)) AS content
+      FROM documents WHERE doc_id < 200
+    ), km AS (
+      SELECT read_id, u.pos AS pos, u.kmer AS kmer FROM (
+        SELECT read_id,
+               unnest(list_transform(range(1, length(content) - 3),
+                 i -> struct_pack(pos := i,
+                                  kmer := substr(content, CAST(i AS INT), 5)))) AS u
+        FROM r)
+    ), sel AS (
+      SELECT read_id,
+             min(kmer || lpad(CAST(pos AS VARCHAR), 4, '0')) OVER
+               (PARTITION BY read_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+             count(*) OVER
+               (PARTITION BY read_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+      FROM km
+    ), mins AS (
+      SELECT DISTINCT read_id, substr(mk, 1, 5) AS kmer,
+             CAST(substr(mk, 6, 4) AS INT) AS pos
+      FROM sel WHERE wn = 4
+    )"""
+
+
+register(
+    "q_asm_minimizers",
+    q_asm_minimizers,
+    f"""
+    WITH {_MINIMIZER_CTE}
+    SELECT read_id, kmer, pos FROM mins ORDER BY read_id, pos, kmer
+    """,
+)
+
+
+MINIMIZER_MAX_POSTING = 8
+
+
+def q_asm_minimizer_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimizer-seeded read-overlap candidates (minimap-style seeding):
+    reads sharing >= 2 distinct minimizer k-mers, after masking
+    minimizers present in more than MINIMIZER_MAX_POSTING reads —
+    minimap2's high-frequency filter, and the same posting-list cap as
+    the winnowing index (operators/text.py winnow pairs): repetitive
+    seeds (here: the homopolymer padding runs) would otherwise create
+    O(hub²) candidate pairs. The reference finds overlaps by exhaustive
+    scoring of declared edges (assembly_final.cpp:251-325); minimizer
+    seeding is how an assembler FINDS those edges at sequencing scale
+    without all-pairs comparison.
+
+    Scale shape: candidate generation is an equi-join on the minimizer
+    key with per-key fan-out bounded by the posting cap, so the pair
+    shuffle is O(n_minimizers x cap), never O(reads²).
+    """
+    from pyspark.sql import functions as F
+
+    mins = _minimizers(spark, sf_dir).select("read_id", "kmer").distinct()
+    rare = (
+        mins.groupBy("kmer")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= MINIMIZER_MAX_POSTING)
+        .select("kmer")
+    )
+    m = mins.join(rare, "kmer")
+    a = m.select(F.col("kmer"), F.col("read_id").alias("read_a"))
+    b = m.select(F.col("kmer"), F.col("read_id").alias("read_b"))
+    return (
+        a.join(b, "kmer")
+        .where(F.col("read_a") < F.col("read_b"))
+        .groupBy("read_a", "read_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .orderBy("read_a", "read_b")
+    )
+
+
+register(
+    "q_asm_minimizer_overlaps",
+    q_asm_minimizer_overlaps,
+    f"""
+    WITH {_MINIMIZER_CTE}, m AS (
+      SELECT DISTINCT read_id, kmer FROM mins
+    ), rare AS (
+      SELECT kmer FROM m GROUP BY kmer
+      HAVING count(*) <= {MINIMIZER_MAX_POSTING}
+    ), mr AS (
+      SELECT m.read_id, m.kmer FROM m JOIN rare USING (kmer)
+    )
+    SELECT m1.read_id AS read_a, m2.read_id AS read_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM mr m1 JOIN mr m2
+      ON m1.kmer = m2.kmer AND m1.read_id < m2.read_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY read_a, read_b
+    """,
+)
+
+
 def q_asm_coverage_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-position coverage depth of an aligned read set, as change
     points — the assembly QA profile (where the pileup is, where the

@@ -541,3 +541,54 @@ def test_scc_matches_python_tarjan(spark):
             strongconnect(v)
     want = {(v, min(comp)) for comp in sccs for v in comp}
     assert got == want
+
+
+def test_minimizers_hand_computed(spark):
+    """(w=4, k=5) minimizer selection on a hand-worked read: every
+    4-window's smallest (kmer, pos) pair, overlapping selections
+    deduplicated. Read CACGTACGTACG (len 12, 8 k-mer positions,
+    5 windows)."""
+    from unittest import mock
+
+    from bigdatagenomic_spark import queries as Q
+
+    read = "CACGTACGTACG"
+    reads = spark.createDataFrame(
+        [(1, read)], "read_id LONG, content STRING"
+    )
+    with mock.patch.object(
+        Q, "_minimizer_reads", lambda spark, sf_dir: reads
+    ):
+        got = {
+            (r.read_id, r.kmer, r.pos)
+            for r in Q._minimizers(spark, "unused").collect()
+        }
+    # k-mers at pos 1..8: CACGT ACGTA CGTAC GTACG TACGT ACGTA CGTAC GTACG
+    # windows (pos i..i+3): min by (kmer, pos)
+    #  1-4: ACGTA@2 | 2-5: ACGTA@2 | 3-6: ACGTA@6 | 4-7: ACGTA@6
+    #  5-8: ACGTA@6
+    assert got == {(1, "ACGTA", 2), (1, "ACGTA", 6)}
+
+
+def test_minimizer_shared_stretch_guarantee(spark):
+    """The winnowing/minimizer guarantee: two reads sharing an exact
+    stretch of >= w+k-1 = 8 bp select at least one common minimizer
+    k-mer inside it — so the overlap candidate join cannot miss a
+    long overlap."""
+    from unittest import mock
+
+    from bigdatagenomic_spark import queries as Q
+
+    shared = "TTGACGAT"  # 8 bp common stretch
+    reads = spark.createDataFrame(
+        [(1, "CCCC" + shared + "GGGG"), (2, "AAAA" + shared + "TTTT")],
+        "read_id LONG, content STRING",
+    )
+    with mock.patch.object(
+        Q, "_minimizer_reads", lambda spark, sf_dir: reads
+    ):
+        rows = Q._minimizers(spark, "unused").collect()
+    k1 = {r.kmer for r in rows if r.read_id == 1}
+    k2 = {r.kmer for r in rows if r.read_id == 2}
+    shared_kmers = {shared[i : i + 5] for i in range(len(shared) - 4)}
+    assert k1 & k2 & shared_kmers, (k1, k2)
