@@ -1152,3 +1152,117 @@ SELECT v.id, CAST(least(v.id, coalesce(min(m.other), v.id)) AS BIGINT) AS scc
 FROM verts v LEFT JOIN mutual m ON v.id = m.id
 GROUP BY v.id ORDER BY v.id
 """
+
+
+# --------------------------------------------------------------------------
+# HITS (hubs & authorities) — exact-integer fixed-iteration variant
+# --------------------------------------------------------------------------
+HITS_ITERS = 4  # alternating sums grow ~(total degree)^iters; 4 rounds
+                # keeps the exact BIGINT scores far inside int64 on the
+                # bounded slices while reaching a stable ranking
+
+
+def hits_exact(edges: DataFrame, n_iter: int = HITS_ITERS) -> DataFrame:
+    """(id, auth_n, hub_n) — Kleinberg's HITS with EXACT integer
+    arithmetic: hubs start at 1; each round replays
+    ``auth(v) = Σ hub(u) over u→v`` then ``hub(u) = Σ auth(v) over
+    u→v``, UNNORMALIZED. Integer sums are associative-exact, so the
+    result is bit-identical in any execution order — which is what
+    makes a fixed-iteration spectral method hash-checkable against a
+    loop-unrolled SQL oracle (the float-normalized textbook form would
+    diverge at 1e-15 per round; callers can normalize the final
+    integers however they like). The trade: scores grow like
+    (Σ degree)^iters, so ``n_iter`` must keep them inside int64 —
+    the caller's contract, asserted by the registry query's bounded
+    slice.
+
+    Per round: two map-side-combined shuffles keyed on vertex id (one
+    per direction) + a left join back to the stable vertex frame;
+    ``localCheckpoint`` cuts the iterative lineage exactly as in
+    :func:`pagerank`.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = verts.select("id", F.lit(1).cast("long").alias("hub_n"))
+    auth = verts.select("id", F.lit(0).cast("long").alias("auth_n"))
+    for _ in range(n_iter):
+        a_in = (
+            e.join(hub, e["src"] == hub["id"])
+            .groupBy(e["dst"].alias("id"))
+            .agg(F.sum("hub_n").alias("_a"))
+        )
+        auth = (
+            verts.join(a_in, "id", "left")
+            .select("id", F.coalesce("_a", F.lit(0)).cast("long").alias("auth_n"))
+            .localCheckpoint(eager=True)
+        )
+        h_out = (
+            e.join(auth, e["dst"] == auth["id"])
+            .groupBy(e["src"].alias("id"))
+            .agg(F.sum("auth_n").alias("_h"))
+        )
+        hub = (
+            verts.join(h_out, "id", "left")
+            .select("id", F.coalesce("_h", F.lit(0)).cast("long").alias("hub_n"))
+            .localCheckpoint(eager=True)
+        )
+    return auth.join(hub, "id").select("id", "auth_n", "hub_n")
+
+
+def q_graph_hits(spark, sf_dir: str) -> DataFrame:
+    """Hubs & authorities of the bounded directed order→part purchase
+    graph: an order's hub weight aggregates the authority of the parts
+    it buys, a part's authority the hub weight of the orders buying it
+    — the classic mutually-recursive importance ranking (catalog
+    curation: which parts anchor the assortment, which orders are the
+    broad 'basket' orders). 4 exact-integer rounds, hash-checked
+    against the loop-unrolled oracle."""
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + F.lit(1_000_000)).alias("dst"),
+    ).distinct()
+    return hits_exact(edges).orderBy("id")
+
+
+def _hits_oracle_sql(n_iter: int = HITS_ITERS) -> str:
+    """Loop-unrolled HITS replay: one auth/hub CTE pair per round,
+    MATERIALIZED (each is referenced twice — the b453be9 DuckDB
+    CTE-inlining gotcha)."""
+    parts = [
+        """
+  e AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS src, l_partkey + 1000000 AS dst
+    FROM lineitem WHERE l_orderkey < 200),
+  verts AS MATERIALIZED (
+    SELECT src AS id FROM e UNION SELECT dst FROM e),
+  h0 AS MATERIALIZED (SELECT id, CAST(1 AS BIGINT) AS hub_n FROM verts)"""
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(f"""
+  a{r} AS MATERIALIZED (
+    SELECT v.id, CAST(coalesce(sum(h.hub_n), 0) AS BIGINT) AS auth_n
+    FROM verts v
+    LEFT JOIN e ON e.dst = v.id
+    LEFT JOIN h{r - 1} h ON h.id = e.src
+    GROUP BY v.id),
+  h{r} AS MATERIALIZED (
+    SELECT v.id, CAST(coalesce(sum(a.auth_n), 0) AS BIGINT) AS hub_n
+    FROM verts v
+    LEFT JOIN e ON e.src = v.id
+    LEFT JOIN a{r} a ON a.id = e.dst
+    GROUP BY v.id)""")
+    return (
+        "WITH" + ",".join(parts)
+        + f"""
+SELECT a.id, a.auth_n, h.hub_n
+FROM a{n_iter} a JOIN h{n_iter} h ON a.id = h.id
+ORDER BY a.id"""
+    )

@@ -848,6 +848,196 @@ register(
 )
 
 
+def q_asm_canonical_kmers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strand-neutral (canonical) k-mer spectrum: every k-mer is
+    counted under min(kmer, reverse_complement(kmer)) — the universal
+    convention of sequencing tools (Jellyfish, KMC, minimap2), since a
+    read may come from either DNA strand and ACGTA and TACGT are the
+    same molecule. Alongside the total, the per-strand split — a
+    strongly skewed split flags strand-biased library prep.
+
+    Plan: identical to q_asm_kmer_counts (map-only shingles, one
+    map-side-combined count shuffle, ≤ 4^k/2 canonical keys) — the
+    canonicalization is two string built-ins (translate + reverse),
+    JVM-side, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    kmers = _derived_kmers(spark, sf_dir, n=60, k=5)
+    rc = F.reverse(F.translate(F.col("kmer"), "ACGT", "TGCA"))
+    tagged = kmers.select(
+        F.least(F.col("kmer"), rc).alias("canon"),
+        (F.col("kmer") <= rc).cast("int").alias("is_fwd"),
+    )
+    return (
+        tagged.groupBy("canon")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum("is_fwd").cast("long").alias("n_fwd"),
+            F.sum(1 - F.col("is_fwd")).cast("long").alias("n_rc"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("canon"))
+    )
+
+
+register(
+    "q_asm_canonical_kmers",
+    q_asm_canonical_kmers,
+    """
+    WITH r AS (
+      SELECT substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'), 17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    ), km AS (
+      SELECT unnest(list_transform(range(1, greatest(length(content) - 4, 1) + 1),
+                                   i -> substr(content, i, 5))) AS kmer
+      FROM r
+    ), tagged AS (
+      SELECT least(kmer, reverse(translate(kmer, 'ACGT', 'TGCA'))) AS canon,
+             CASE WHEN kmer <= reverse(translate(kmer, 'ACGT', 'TGCA'))
+                  THEN 1 ELSE 0 END AS is_fwd
+      FROM km WHERE length(kmer) = 5
+    )
+    SELECT canon, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(is_fwd) AS BIGINT) AS n_fwd,
+           CAST(sum(1 - is_fwd) AS BIGINT) AS n_rc
+    FROM tagged GROUP BY canon ORDER BY n_total DESC, canon
+    """,
+)
+
+
+def q_asm_bubbles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNP/error-bubble detection in the derived de Bruijn graph.
+
+    A single-base difference between otherwise-identical sequences
+    creates two parallel paths of exactly k edges between a shared
+    (k-1)-mer src and dst (the divergent base rides through k-1
+    intermediate nodes before washing out) — the structure an
+    assembler's bubble-popping pass removes (the reference's merge
+    handles only linear chains, assembly_final.cpp:402-624; bubbles
+    are exactly what breaks that assumption). A length-2-path "simple
+    bubble" over (k-1)-mer nodes is structurally IMPOSSIBLE (two mids
+    from one src differ only in their last char, so their successors
+    differ too) — the k-edge form is the real contract.
+
+    The read set plants the structure deterministically: every derived
+    read plus a copy with base 7 flipped (A↔C) — the controlled
+    sequencing-error model, so the detector's output is non-degenerate
+    at any SF. Detection = the distinct edge set chained through four
+    self-joins (5 edges total), endpoints excluded from the interior,
+    then one count-distinct-interior shuffle on (src, dst). Fan-out is
+    bounded by the DNA alphabet: de Bruijn out-degree <= 4, so the
+    path join emits at most 4^5 rows per src at ANY corpus scale —
+    candidate generation stays an equi-join chain, never all-pairs.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.functions import char_shingles
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    k = 5
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    base = docs.select(
+        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content")
+    )
+    mutant = base.select(
+        F.concat(
+            F.substring("content", 1, 6),
+            F.when(F.substring("content", 7, 1) == "A", F.lit("C")).otherwise(
+                F.lit("A")
+            ),
+            F.expr("substring(content, 8)"),
+        ).alias("content")
+    )
+    reads = base.unionByName(mutant)
+    kmers = reads.select(
+        F.explode(
+            F.filter(char_shingles(F.col("content"), k), lambda s: F.length(s) == k)
+        ).alias("kmer")
+    )
+    edges = (
+        kmers.select(
+            F.substring("kmer", 1, k - 1).alias("src"),
+            F.substring("kmer", 2, k - 1).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    hops = [edges.alias(f"e{i}") for i in range(1, 6)]
+    p = (
+        hops[0]
+        .join(hops[1], F.col("e1.dst") == F.col("e2.src"))
+        .join(hops[2], F.col("e2.dst") == F.col("e3.src"))
+        .join(hops[3], F.col("e3.dst") == F.col("e4.src"))
+        .join(hops[4], F.col("e4.dst") == F.col("e5.src"))
+        .select(
+            F.col("e1.src").alias("src"),
+            F.col("e1.dst").alias("m1"),
+            F.col("e2.dst").alias("m2"),
+            F.col("e3.dst").alias("m3"),
+            F.col("e4.dst").alias("m4"),
+            F.col("e5.dst").alias("dst"),
+        )
+        .where(
+            (F.col("src") != F.col("dst"))
+            & (F.col("m1") != F.col("src")) & (F.col("m1") != F.col("dst"))
+            & (F.col("m2") != F.col("src")) & (F.col("m2") != F.col("dst"))
+            & (F.col("m3") != F.col("src")) & (F.col("m3") != F.col("dst"))
+            & (F.col("m4") != F.col("src")) & (F.col("m4") != F.col("dst"))
+        )
+    )
+    return (
+        p.groupBy("src", "dst")
+        .agg(
+            F.countDistinct(
+                F.struct("m1", "m2", "m3", "m4")
+            ).cast("long").alias("n_paths")
+        )
+        .where(F.col("n_paths") >= 2)
+        .orderBy("src", "dst")
+    )
+
+
+register(
+    "q_asm_bubbles",
+    q_asm_bubbles,
+    """
+    WITH r0 AS (
+      SELECT substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'), 17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    ), r AS (
+      SELECT content FROM r0
+      UNION ALL
+      SELECT substr(content, 1, 6) ||
+             CASE WHEN substr(content, 7, 1) = 'A' THEN 'C' ELSE 'A' END ||
+             substr(content, 8) FROM r0
+    ), km AS (
+      SELECT unnest(list_transform(range(1, greatest(length(content) - 4, 1) + 1),
+                                   i -> substr(content, i, 5))) AS kmer
+      FROM r
+    ), e AS (
+      SELECT DISTINCT substr(kmer, 1, 4) AS src, substr(kmer, 2, 4) AS dst
+      FROM km WHERE length(kmer) = 5 AND substr(kmer, 1, 4) <> substr(kmer, 2, 4)
+    ), p AS (
+      SELECT e1.src AS src, e1.dst AS m1, e2.dst AS m2, e3.dst AS m3,
+             e4.dst AS m4, e5.dst AS dst
+      FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3 ON e2.dst = e3.src
+           JOIN e e4 ON e3.dst = e4.src JOIN e e5 ON e4.dst = e5.src
+      WHERE e1.src <> e5.dst
+        AND m1 NOT IN (e1.src, e5.dst) AND m2 NOT IN (e1.src, e5.dst)
+        AND m3 NOT IN (e1.src, e5.dst) AND m4 NOT IN (e1.src, e5.dst)
+    )
+    SELECT src, dst,
+           CAST(count(DISTINCT (m1, m2, m3, m4)) AS BIGINT) AS n_paths
+    FROM p GROUP BY src, dst HAVING count(DISTINCT (m1, m2, m3, m4)) >= 2
+    ORDER BY 1, 2
+    """,
+)
+
+
 def q_asm_unitigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unitig compaction over the derived de Bruijn graph — collapse
     every maximal non-branching path (and isolated cycle) of the
@@ -2626,6 +2816,10 @@ from bigdatagenomic_spark.operators.graph import Q_GRAPH_SCC_SQL, q_graph_scc
 # directed SCC via trim + coloring; oracle = exact transitive-closure
 # mutual reachability on the bounded slice
 register("q_graph_scc", q_graph_scc, Q_GRAPH_SCC_SQL)
+from bigdatagenomic_spark.operators.graph import _hits_oracle_sql, q_graph_hits
+
+# exact-integer fixed-iteration HITS; oracle = unrolled-rounds replay
+register("q_graph_hits", q_graph_hits, _hits_oracle_sql())
 from bigdatagenomic_spark.operators.graph import Q_GRAPH_DEGREE_HIST_SQL, q_graph_degree_hist
 
 register("q_graph_degree_hist", q_graph_degree_hist, Q_GRAPH_DEGREE_HIST_SQL)

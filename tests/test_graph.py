@@ -592,3 +592,70 @@ def test_minimizer_shared_stretch_guarantee(spark):
     k2 = {r.kmer for r in rows if r.read_id == 2}
     shared_kmers = {shared[i : i + 5] for i in range(len(shared) - 4)}
     assert k1 & k2 & shared_kmers, (k1, k2)
+
+
+def test_hits_exact_hand_computed(spark):
+    """4-round exact-integer HITS on a 2-hub/2-authority bipartite
+    graph, worked by hand. Edges: 1→10, 1→11, 2→10. Alternating
+    integer sums: a=(auth 10, auth 11), h=(hub 1, hub 2):
+    r1: a=(2,1) h=(3,2) | r2: a=(5,3) h=(8,5) | r3: a=(13,8) h=(21,13)
+    | r4: a=(34,21) h=(55,34)  (Fibonacci — the 2x2 case's spectral
+    recursion)."""
+    from bigdatagenomic_spark.operators.graph import hits_exact
+
+    e = _edges(spark, [(1, 10), (1, 11), (2, 10)])
+    got = {(r.id, r.auth_n, r.hub_n) for r in hits_exact(e).collect()}
+    assert got == {
+        (1, 0, 55),
+        (2, 0, 34),
+        (10, 34, 0),
+        (11, 21, 0),
+    }
+
+
+def test_bubbles_planted(spark):
+    """A planted SNP bubble has the k-edge two-path shape the detector
+    reports: the reads GATCAGTACGG and GATCCGTACGG differ at base 5
+    only, so their k=5 de Bruijn graphs share src GATC and reconverge
+    at GTAC after exactly 5 edges through 4 divergent interior
+    nodes. Checked via the registered query's own algebra on a
+    controlled two-read corpus (mocking the document load)."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark import queries as Q
+    from bigdatagenomic_spark.sources import tables as T
+
+    docs = spark.createDataFrame(
+        # doc_id 0 -> length 13; text cleans to itself (pure ACGT)
+        [(0, "GATCAGTACGGTA", "en", "src0", 13)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    with mock.patch.object(T, "load_table", lambda spark, sf_dir, name: docs):
+        rows = Q.queries()["q_asm_bubbles"](spark, "unused").collect()
+    got = {(r.src, r.dst, r.n_paths) for r in rows}
+    # base 7 flip (T -> A): GATCAG[T->A]ACGGTA... read length 13:
+    # original GATCAGTACGGTA, mutant GATCAGAACGGTA -> divergence at
+    # base 7, shared 4-mer src = TCAG (last node before the SNP
+    # enters the window), reconvergence at ACGG + downstream; exactly
+    # one (src, dst) pair at distance 5 with two interior paths.
+    assert got, "planted SNP produced no bubble"
+    for src, dst, n in got:
+        assert n >= 2
+    # the canonical SNP pair: src TCAG (prefix before divergence),
+    # dst ACGG (first shared 4-mer after the divergent base washes out)
+    assert ("TCAG", "ACGG", 2) in got, got
+
+
+def test_bubbles_nondegenerate_on_testdata(spark):
+    """The registered derivation (reads + planted base-7 mutants) must
+    yield a non-empty, contract-honoring bubble set on the real
+    documents table — guards against the detector silently becoming
+    structurally empty (the length-2-path form was)."""
+    from bigdatagenomic_spark import queries as Q
+
+    rows = Q.queries()["q_asm_bubbles"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_paths >= 2 and r.src != r.dst
