@@ -1038,6 +1038,212 @@ register(
 )
 
 
+def q_asm_low_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST-style low-complexity screening of the derived read set:
+    per read, the triplet-multiset collision mass
+    ``num = Σ c·(c−1)`` over 3-mer counts c and ``den = n_triplets − 1``
+    (twice the classic DUST numerator — kept integer, no division),
+    with the mask flag from the cross-multiplied threshold
+    ``num·5 > den·7`` (== DUST score > 0.7). Low-complexity reads
+    (homopolymer runs, short tandem repeats) are masked before
+    overlap/alignment in every production pipeline (BLAST's DUST,
+    minimap2's repeat masking) — left in, they create the hub k-mers
+    the minimizer posting cap has to drop.
+
+    Plan: map-only 3-mer shingle, one (read, tri) count shuffle, one
+    per-read sum — all integer-exact, so the oracle hash-matches with
+    no float tolerance games.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.functions import char_shingles
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    reads = docs.select(
+        F.col("doc_id").alias("read_id"),
+        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content"),
+    )
+    tris = reads.select(
+        "read_id",
+        F.explode(
+            F.filter(char_shingles(F.col("content"), 3), lambda s: F.length(s) == 3)
+        ).alias("tri"),
+    )
+    tc = tris.groupBy("read_id", "tri").agg(F.count("*").alias("c"))
+    sc = tc.groupBy("read_id").agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("dust_num"),
+        (F.sum("c") - 1).cast("long").alias("dust_den"),
+    )
+    return sc.select(
+        "read_id",
+        "dust_num",
+        "dust_den",
+        F.when(
+            F.col("dust_num") * 5 > F.col("dust_den") * 7, F.lit(1)
+        ).otherwise(F.lit(0)).cast("int").alias("low_complexity"),
+    ).orderBy("read_id")
+
+
+register(
+    "q_asm_low_complexity",
+    q_asm_low_complexity,
+    """
+    WITH r AS (
+      SELECT doc_id AS read_id,
+             substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'), 17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    ), km AS (
+      SELECT read_id,
+             unnest(list_transform(range(1, greatest(length(content) - 2, 1) + 1),
+                                   i -> substr(content, i, 3))) AS tri
+      FROM r
+    ), tc AS (
+      SELECT read_id, tri, count(*) AS c FROM km
+      WHERE length(tri) = 3 GROUP BY 1, 2
+    ), sc AS (
+      SELECT read_id, CAST(sum(c * (c - 1)) AS BIGINT) AS dust_num,
+             CAST(sum(c) - 1 AS BIGINT) AS dust_den
+      FROM tc GROUP BY read_id
+    )
+    SELECT read_id, dust_num, dust_den,
+           CAST(CASE WHEN dust_num * 5 > dust_den * 7 THEN 1 ELSE 0 END AS INT)
+             AS low_complexity
+    FROM sc ORDER BY read_id
+    """,
+)
+
+
+def q_asm_tandem_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-read tandem-repeat profile: the longest homopolymer run
+    (period-1) and the longest period-2 chain (``s[i] == s[i-2]``,
+    covering dinucleotide repeats AND homopolymers) in bases — the
+    repeat QC that drives masking decisions and explains coverage
+    anomalies (PCR slippage concentrates errors in exactly these
+    runs).
+
+    Plan: per-read char explode (bounded by read length), lag flags,
+    then the gaps-and-islands run-length algebra (the q_x_error_runs
+    pattern): one ``sum(not flag)`` window builds the run group id,
+    one count per (read, group), one per-read max. All windows
+    partition by read_id — per-read slices are bounded, no
+    single-partition sort.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    reads = docs.select(
+        F.col("doc_id").alias("read_id"),
+        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content"),
+    )
+    chars = reads.select(
+        "read_id",
+        F.posexplode(F.split(F.col("content"), "")).alias("i", "ch"),
+    ).where(F.col("ch") != "")
+    w = W.partitionBy("read_id").orderBy("i")
+    flagged = chars.select(
+        "read_id",
+        "i",
+        (F.col("ch") == F.lag("ch", 1).over(w)).cast("int").alias("f1"),
+        (F.col("ch") == F.lag("ch", 2).over(w)).cast("int").alias("f2"),
+    ).select(
+        "read_id",
+        "i",
+        F.coalesce("f1", F.lit(0)).alias("f1"),
+        F.coalesce("f2", F.lit(0)).alias("f2"),
+    )
+    grp = flagged.select(
+        "read_id",
+        "f1",
+        "f2",
+        F.sum(1 - F.col("f1")).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("g1"),
+        F.sum(1 - F.col("f2")).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("g2"),
+    )
+    r1 = (
+        grp.where(F.col("f1") == 1)
+        .groupBy("read_id", "g1")
+        .agg(F.count("*").alias("n"))
+        .groupBy("read_id")
+        .agg(F.max("n").alias("m1"))
+    )
+    r2 = (
+        grp.where(F.col("f2") == 1)
+        .groupBy("read_id", "g2")
+        .agg(F.count("*").alias("n"))
+        .groupBy("read_id")
+        .agg(F.max("n").alias("m2"))
+    )
+    return (
+        reads.select("read_id")
+        .join(r1, "read_id", "left")
+        .join(r2, "read_id", "left")
+        .select(
+            "read_id",
+            (F.coalesce("m1", F.lit(0)) + 1).cast("long").alias("max_homopolymer"),
+            F.when(F.col("m2").isNull(), F.lit(0))
+            .otherwise(F.col("m2") + 2)
+            .cast("long")
+            .alias("max_period2"),
+        )
+        .orderBy("read_id")
+    )
+
+
+register(
+    "q_asm_tandem_repeats",
+    q_asm_tandem_repeats,
+    """
+    WITH r AS (
+      SELECT doc_id AS read_id,
+             substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'), 17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    ), chars AS (
+      SELECT read_id, u.i AS i, u.ch AS ch FROM (
+        SELECT read_id,
+               unnest(list_transform(range(1, length(content) + 1),
+                 i -> struct_pack(i := i, ch := substr(content, CAST(i AS INT), 1)))) AS u
+        FROM r)
+    ), flagged AS (
+      SELECT read_id, i,
+             coalesce(CAST(ch = lag(ch, 1) OVER (PARTITION BY read_id ORDER BY i) AS INT), 0) AS f1,
+             coalesce(CAST(ch = lag(ch, 2) OVER (PARTITION BY read_id ORDER BY i) AS INT), 0) AS f2
+      FROM chars
+    ), grp AS (
+      SELECT read_id, f1, f2,
+             sum(1 - f1) OVER (PARTITION BY read_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g1,
+             sum(1 - f2) OVER (PARTITION BY read_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g2
+      FROM flagged
+    ), r1 AS (
+      SELECT read_id, max(n) AS m1 FROM (
+        SELECT read_id, g1, count(*) AS n FROM grp WHERE f1 = 1 GROUP BY 1, 2)
+      GROUP BY read_id
+    ), r2 AS (
+      SELECT read_id, max(n) AS m2 FROM (
+        SELECT read_id, g2, count(*) AS n FROM grp WHERE f2 = 1 GROUP BY 1, 2)
+      GROUP BY read_id
+    )
+    SELECT r.read_id,
+           CAST(coalesce(r1.m1, 0) + 1 AS BIGINT) AS max_homopolymer,
+           CAST(CASE WHEN r2.m2 IS NULL THEN 0 ELSE r2.m2 + 2 END AS BIGINT)
+             AS max_period2
+    FROM r LEFT JOIN r1 ON r.read_id = r1.read_id
+           LEFT JOIN r2 ON r.read_id = r2.read_id
+    ORDER BY r.read_id
+    """,
+)
+
+
 def q_asm_unitigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unitig compaction over the derived de Bruijn graph — collapse
     every maximal non-branching path (and isolated cycle) of the

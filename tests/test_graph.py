@@ -659,3 +659,51 @@ def test_bubbles_nondegenerate_on_testdata(spark):
     assert len(rows) > 0
     for r in rows:
         assert r.n_paths >= 2 and r.src != r.dst
+
+
+def test_tandem_repeats_hand_computed(spark):
+    """AAAATGTGTGCC: homopolymer AAAA (4), period-2 chain
+    A A A A T G T G T G (f2 true at positions 3,4 and 7..10 →
+    longest run 4 → 6 bases TGTGTG? verify: s=AAAATGTGTGCC,
+    f2(i)=s[i]==s[i-2]: i3:A=A 1, i4:A=A 1, i5:T=A 0, i6:G=A 0,
+    i7:T=T 1, i8:G=G 1, i9:T=T 1, i10:G=G 1, i11:C=T 0, i12:C=G 0
+    → runs: 2 (AAAA) and 4 (TGTGTG) → max_period2 = 4+2 = 6."""
+    from unittest import mock
+
+    from bigdatagenomic_spark import queries as Q
+    from bigdatagenomic_spark.sources import tables as T
+
+    docs = spark.createDataFrame(
+        [(0, "AAAATGTGTGCCX", "en", "src0", 13)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    with mock.patch.object(T, "load_table", lambda spark, sf_dir, name: docs):
+        rows = Q.queries()["q_asm_tandem_repeats"](spark, "unused").collect()
+    # doc_id 0 -> read length 13; cleaned drops X -> AAAATGTGTGCC (12),
+    # rpad to 17 with 'A', cut to 13 -> AAAATGTGTGCCA
+    assert [(r.read_id, r.max_homopolymer, r.max_period2) for r in rows] == [
+        (0, 4, 6)
+    ]
+
+
+def test_low_complexity_flags_homopolymer(spark):
+    """A pure-A read maxes the DUST collision mass and is flagged; a
+    high-complexity read is not."""
+    from unittest import mock
+
+    from bigdatagenomic_spark import queries as Q
+    from bigdatagenomic_spark.sources import tables as T
+
+    docs = spark.createDataFrame(
+        [(0, "", "en", "src0", 0),            # cleans empty -> AAAA... pad
+         (1, "ACGTACGTGGTACCATT", "en", "src0", 17)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    with mock.patch.object(T, "load_table", lambda spark, sf_dir, name: docs):
+        rows = {r.read_id: r for r in
+                Q.queries()["q_asm_low_complexity"](spark, "unused").collect()}
+    assert rows[0].low_complexity == 1          # AAAAAAAAAAAAA
+    assert rows[1].low_complexity == 0
+    # exact DUST integers for the homopolymer: 11 AAA triplets ->
+    # num = 11*10 = 110, den = 10
+    assert (rows[0].dust_num, rows[0].dust_den) == (110, 10)
