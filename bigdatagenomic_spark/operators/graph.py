@@ -1266,3 +1266,113 @@ SELECT a.id, a.auth_n, h.hub_n
 FROM a{n_iter} a JOIN h{n_iter} h ON a.id = h.id
 ORDER BY a.id"""
     )
+
+
+# --------------------------------------------------------------------------
+# single-source shortest paths — fixed-round integer Bellman-Ford
+# --------------------------------------------------------------------------
+SSSP_ROUNDS = 8
+
+
+def sssp_bellman_ford(
+    edges: DataFrame, source: int, n_rounds: int = SSSP_ROUNDS
+) -> DataFrame:
+    """(id, dist) — shortest integer-weighted distance from ``source``
+    after exactly ``n_rounds`` Bellman-Ford relaxations; vertices not
+    yet reached are absent. Edge schema (src, dst, w), non-negative
+    integer weights.
+
+    Fixed rounds rather than convergence-test rounds: ``n_rounds``
+    bounds the hop count of any shortest path found, the result after
+    r rounds is EXACTLY "min weight over paths of ≤ r hops" — a
+    well-defined contract an unrolled oracle replays verbatim (the
+    pagerank/kmeans pattern) — and integer mins are order-exact, so
+    the hash check needs no tolerance. Per round: one map-side-
+    combined min-aggregate shuffle on dst + an outer merge with the
+    previous frontier, ``localCheckpoint`` to cut the iterative
+    lineage.
+    """
+    e = (
+        edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        e.sparkSession.createDataFrame([(source, 0)], "id LONG, dist LONG")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_rounds):
+        relaxed = (
+            e.join(dist, e["src"] == dist["id"])
+            .select(e["dst"].alias("id"), (F.col("dist") + F.col("w")).alias("_d"))
+            .groupBy("id")
+            .agg(F.min("_d").alias("_d"))
+        )
+        dist = (
+            dist.join(relaxed, "id", "full_outer")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce("dist", F.lit(2**62)),
+                    F.coalesce("_d", F.lit(2**62)),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def q_graph_sssp(spark, sf_dir: str) -> DataFrame:
+    """Shortest quantity-weighted paths from order 0 across the bounded
+    co-purchase graph (order↔part bipartite edges weighted by the
+    line's quantity — "fewest units moved" routing). 8 exact-integer
+    Bellman-Ford rounds, hash-checked against the unrolled-rounds
+    oracle."""
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    fwd = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + F.lit(1_000_000)).alias("dst"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return sssp_bellman_ford(edges, source=0).orderBy("id")
+
+
+def _sssp_oracle_sql(source: int = 0, n_rounds: int = SSSP_ROUNDS) -> str:
+    """Unrolled Bellman-Ford replay, MATERIALIZED per round (each
+    d{r} is referenced twice — the b453be9 DuckDB CTE-inlining
+    gotcha)."""
+    parts = [
+        f"""
+  e AS MATERIALIZED (
+    SELECT src, dst, CAST(min(w) AS BIGINT) AS w FROM (
+      SELECT l_orderkey AS src, l_partkey + 1000000 AS dst,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem WHERE l_orderkey < 200
+      UNION ALL
+      SELECT l_partkey + 1000000 AS src, l_orderkey AS dst,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem WHERE l_orderkey < 200)
+    GROUP BY src, dst),
+  d0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS id,
+                             CAST(0 AS BIGINT) AS dist)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+  d{r} AS MATERIALIZED (
+    SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+      SELECT id, dist FROM d{r - 1}
+      UNION ALL
+      SELECT e.dst AS id, d.dist + e.w AS dist
+      FROM d{r - 1} d JOIN e ON e.src = d.id)
+    GROUP BY id)""")
+    return (
+        "WITH" + ",".join(parts)
+        + f"""
+SELECT id, dist FROM d{n_rounds} ORDER BY id"""
+    )

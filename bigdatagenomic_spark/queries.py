@@ -2228,6 +2228,9 @@ register(
 
 register("q_s06_enrich_shape", STR.q_s06_enrich_shape, STR.Q_S06_ENRICH_SQL)
 register("q_s07_clickview_shape", STR.q_s07_clickview_shape, STR.Q_S07_CLICKVIEW_SQL)
+# S14: watermarked windowed counts (incremental) + per-closed-window
+# top-k rank (foreachBatch stage); batch shape = agg + bounded window rank
+register("q_s14_trending_shape", STR.q_s14_trending_shape, STR.Q_S14_TRENDING_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -3026,6 +3029,10 @@ from bigdatagenomic_spark.operators.graph import _hits_oracle_sql, q_graph_hits
 
 # exact-integer fixed-iteration HITS; oracle = unrolled-rounds replay
 register("q_graph_hits", q_graph_hits, _hits_oracle_sql())
+from bigdatagenomic_spark.operators.graph import _sssp_oracle_sql, q_graph_sssp
+
+# fixed-round integer Bellman-Ford; oracle = unrolled-rounds replay
+register("q_graph_sssp", q_graph_sssp, _sssp_oracle_sql())
 from bigdatagenomic_spark.operators.graph import Q_GRAPH_DEGREE_HIST_SQL, q_graph_degree_hist
 
 register("q_graph_degree_hist", q_graph_degree_hist, Q_GRAPH_DEGREE_HIST_SQL)

@@ -335,3 +335,72 @@ def run_lsh_index_maintenance(
     finally:
         if q.isActive:
             q.stop()
+
+
+def trending_topk(events: DataFrame, duration: str = "1 hour", k: int = 3,
+                  watermark: str = "1 hour") -> DataFrame:
+    """S14: per-window trending event types — the top-k event types by
+    count inside each tumbling window, ties broken by event_type ASC
+    (deterministic, so the batch shape hash-matches its oracle).
+
+    Streaming contract: the COUNT stage is the incremental part — a
+    watermarked tumbling agg whose state Spark bounds and emits on
+    window close (append mode). The RANK stage is applied per closed
+    window downstream (foreachBatch over the appended rows, the S11
+    pattern — ranking is a per-finalized-window decision, not
+    incremental state; a rank over an open window would have to
+    retract). On batch input the identical plan is just agg + window
+    rank. The rank window partitions by w_start — bounded by the event-
+    type cardinality per window, never by stream volume.
+    """
+    from pyspark.sql import Window as W
+
+    counts = (
+        _maybe_watermark(events, watermark)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    if events.isStreaming:
+        # incremental part only; callers rank per closed window in
+        # foreachBatch (tests/test_streaming.py pins batch-equivalence)
+        return counts
+    rk = W.partitionBy("w_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.select(
+            "w_start",
+            "event_type",
+            "n_events",
+            F.row_number().over(rk).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+        .orderBy("w_start", "rank")
+    )
+
+
+def q_s14_trending_shape(spark, sf_dir: str) -> DataFrame:
+    """S14 batch shape: hourly trending top-3 event types."""
+    ev = load_table(spark, sf_dir, "events")
+    return trending_topk(ev, "1 hour", k=3)
+
+
+Q_S14_TRENDING_SQL = """
+WITH counts AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS w_start,
+         event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT w_start, event_type, n_events,
+         CAST(row_number() OVER (PARTITION BY w_start
+              ORDER BY n_events DESC, event_type) AS INT) AS rank
+  FROM counts
+)
+SELECT w_start, event_type, n_events, rank
+FROM ranked WHERE rank <= 3 ORDER BY w_start, rank
+"""

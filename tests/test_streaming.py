@@ -466,3 +466,46 @@ def test_s13_incremental_agg_maintenance_equals_batch(spark, replay_dir, tmp_pat
         for r in agg(_batch_events(spark)).collect()
     }
     assert got == want
+
+
+def test_s14_trending_topk_stream_equals_batch(spark, replay_dir):
+    """S14: the streaming side emits the incremental windowed counts;
+    ranking runs per window downstream (here: on the completed count
+    state, the foreachBatch position). The ranked result must equal
+    the batch-shape plan end to end."""
+    from pyspark.sql import Window as W
+
+    from bigdatagenomic_spark.streaming.ops import trending_topk
+
+    counts = run_to_memory(
+        trending_topk(_stream_events(spark, replay_dir)), "complete"
+    )
+    rk = W.partitionBy("w_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    got = (
+        counts.select(
+            "w_start", "event_type", "n_events",
+            F.row_number().over(rk).alias("rank"),
+        )
+        .where(F.col("rank") <= 3)
+    )
+    want = trending_topk(_batch_events(spark), "1 hour", k=3)
+    _assert_equal_aggs(
+        got, want, ["w_start", "rank"], ["event_type", "n_events"]
+    )
+
+
+def test_sssp_hand_computed(spark):
+    """Bellman-Ford on a 5-vertex weighted graph with a tempting-but-
+    longer direct edge: 0→1 (w=10), 0→2 (w=1), 2→1 (w=2) → dist(1)=3;
+    plus an unreachable vertex (absent from the result) and a relaxation
+    chain 1→3 (w=1) → dist(3)=4."""
+    from bigdatagenomic_spark.operators.graph import sssp_bellman_ford
+
+    e = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 1, 2), (1, 3, 1), (7, 8, 1)],
+        "src LONG, dst LONG, w LONG",
+    )
+    got = {(r.id, r.dist) for r in sssp_bellman_ford(e, source=0).collect()}
+    assert got == {(0, 0), (2, 1), (1, 3), (3, 4)}
