@@ -1376,3 +1376,71 @@ def _sssp_oracle_sql(source: int = 0, n_rounds: int = SSSP_ROUNDS) -> str:
         + f"""
 SELECT id, dist FROM d{n_rounds} ORDER BY id"""
     )
+
+
+# --------------------------------------------------------------------------
+# tip clipping — short dead-end chain detection (assembly graph cleanup)
+# --------------------------------------------------------------------------
+TIP_MAX_LEN = 10  # max nodes a dead-end chain may have and still be a tip
+                  # (Velvet/SPAdes clip at ~2k bases; 2k/(k-1)-mer ~ 10 @ k=5)
+
+
+def tip_unitigs(edges: DataFrame, tip_len: int = TIP_MAX_LEN) -> DataFrame:
+    """Detect the TIPS of a de Bruijn graph — short dead-end chains
+    hanging off a junction, the sequencing-error artifacts an assembler
+    clips before contig output (Velvet "tip clipping" / SPAdes tip
+    removal; the reference's overlap pipeline assumes clean reads,
+    assembly_final.cpp:155-182 only invalidates by degree — this is
+    the error-model cleanup its real-data successor runs first).
+
+    Contract: a chain (PATH unitig of the unambiguous subgraph, in
+    chain_paths order) is a tip iff EXACTLY ONE of its ends dangles in
+    the FULL graph — head with no incoming edge anywhere, or tail with
+    no outgoing edge anywhere — and it has at most ``tip_len`` nodes.
+    Chains dangling at BOTH ends are isolated contigs (clipping them
+    would delete real sequence), chains dangling at NEITHER end are
+    internal, and cycles have no dangling end; none of those are tips.
+
+    Scale shape: chain_paths orders every chain with O(log depth)
+    pointer-doubling self-joins; the per-chain summary is one (root)
+    hash aggregate with max_by, and the dangling flags are two left
+    joins against the distinct src/dst key sets — everything keyed on
+    vertex ids, nothing quadratic in the graph.
+
+    Returns (unitig_id, n_nodes, tip_end in {'head','tail'}).
+    """
+    e = edges.select("src", "dst").distinct()
+    chains = (
+        chain_paths(e)
+        .groupBy("root")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.max_by("node", "depth").alias("tail"),
+        )
+    )
+    has_in = (
+        e.select(F.col("dst").alias("root")).distinct().withColumn("hi", F.lit(1))
+    )
+    has_out = (
+        e.select(F.col("src").alias("tail")).distinct().withColumn("ho", F.lit(1))
+    )
+    flagged = (
+        chains.join(has_in, "root", "left")
+        .join(has_out, "tail", "left")
+        .select(
+            F.col("root").alias("unitig_id"),
+            "n_nodes",
+            F.col("hi").isNull().alias("head_dangling"),
+            F.col("ho").isNull().alias("tail_dangling"),
+        )
+    )
+    return flagged.where(
+        (F.col("head_dangling") != F.col("tail_dangling"))
+        & (F.col("n_nodes") <= tip_len)
+    ).select(
+        "unitig_id",
+        "n_nodes",
+        F.when(F.col("head_dangling"), F.lit("head"))
+        .otherwise(F.lit("tail"))
+        .alias("tip_end"),
+    )

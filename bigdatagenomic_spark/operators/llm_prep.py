@@ -1171,3 +1171,135 @@ c AS (
 SELECT doc_id, n_tok, bucket, (_ct - 1) // {BATCH_TOKEN_BUDGET} AS batch
 FROM c ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# --------------------------------------------------------------------------
+DSIR_BUCKETS = 64       # hashed-unigram feature slots (paper: hashed n-grams)
+DSIR_TARGET = "src0"    # stand-in "high-quality target domain" source
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target_source: str = DSIR_TARGET,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Score every RAW-pool document by its hashed-feature importance
+    log-ratio against a target domain — the DSIR selection signal: a
+    bag-of-hashed-unigrams model of the target (docs from
+    ``target_source``) vs the raw pool (everything else), add-1
+    smoothed; a document whose tokens look more target-like than
+    raw-like scores positive and is selected.
+
+    Integer-exact by construction: the per-bucket log weight is
+    quantized ONCE to micro-nats (floor(1e6*lnratio + 0.5), a
+    64-row table), and each document's score is the exact BIGINT sum
+    of its tokens' quantized weights — no float aggregate ever crosses
+    the engine boundary (the round-half-up-over-grid-averages gotcha
+    from the round-5 preflight). ``selected = sum > 0`` is the
+    sign-equivalent of the paper's positive mean log importance;
+    full DSIR resamples ~ exp(score), which preserves the same
+    ordering.
+
+    Scale shape: tokenize+hash is map-only; the model is two
+    ``n_buckets``-bounded aggregates plus two 1-row totals (broadcast
+    scalar crossJoins, the tfidf/pmi allowlisted pattern); scoring is
+    one broadcast equi-join on the bucket key and one map-side-combined
+    per-doc sum. Nothing shuffles wider than (doc_id, bucket).
+
+    Returns (doc_id, n_tokens, sum_w_micro, selected) for raw-pool
+    docs with at least one token.
+    """
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.explode(tokens(F.col("text"))).alias("word"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.pmod(md5_long(F.col("word")), F.lit(n_buckets)).alias("bucket"),
+        )
+    )
+    tgt = toks.where(F.col("source") == target_source)
+    raw = toks.where(F.col("source") != target_source)
+    tgt_b = tgt.groupBy("bucket").agg(F.count("*").alias("t_cnt"))
+    raw_b = raw.groupBy("bucket").agg(F.count("*").alias("r_cnt"))
+    tgt_tot = tgt.agg(F.count("*").alias("t_tot"))
+    raw_tot = raw.agg(F.count("*").alias("r_tot"))
+    b_ids = docs.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    lnratio = (
+        F.log(F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(1.0))
+        - F.log(F.col("t_tot") + F.lit(float(n_buckets)))
+        - F.log(F.coalesce(F.col("r_cnt"), F.lit(0)) + F.lit(1.0))
+        + F.log(F.col("r_tot") + F.lit(float(n_buckets)))
+    )
+    w = (
+        b_ids.join(tgt_b, "bucket", "left")
+        .join(raw_b, "bucket", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select(
+            "bucket",
+            F.floor(F.lit(1e6) * lnratio + F.lit(0.5))
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+    return (
+        raw.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w_micro").cast("long").alias("sum_w_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_w_micro",
+            (F.col("sum_w_micro") > 0).cast("int").alias("selected"),
+        )
+    )
+
+
+def q_x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+Q_X_DSIR_SELECT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         ({_H_SQL.format(x='word')}) % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, source,
+               unnest(list_filter(string_split_regex(lower(text),
+                                                     '[^a-z0-9]+'),
+                                  t -> t <> '')) AS word
+        FROM documents WHERE text IS NOT NULL)
+), tgt AS (SELECT bucket FROM toks WHERE source = '{DSIR_TARGET}'),
+raw AS (SELECT doc_id, bucket FROM toks WHERE source <> '{DSIR_TARGET}'),
+tb AS (SELECT bucket, count(*) AS t_cnt FROM tgt GROUP BY bucket),
+rb AS (SELECT bucket, count(*) AS r_cnt FROM raw GROUP BY bucket),
+tt AS (SELECT count(*) AS t_tot FROM tgt),
+rt AS (SELECT count(*) AS r_tot FROM raw),
+b AS (SELECT unnest(range(0, {DSIR_BUCKETS})) AS bucket),
+w AS (SELECT b.bucket,
+             CAST(floor(1000000.0 * (
+                    ln(coalesce(t_cnt, 0) + 1.0)
+                  - ln(t_tot + {DSIR_BUCKETS}.0)
+                  - ln(coalesce(r_cnt, 0) + 1.0)
+                  + ln(r_tot + {DSIR_BUCKETS}.0)) + 0.5) AS BIGINT)
+               AS w_micro
+      FROM b LEFT JOIN tb USING (bucket) LEFT JOIN rb USING (bucket)
+      CROSS JOIN tt CROSS JOIN rt)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w_micro) AS BIGINT) AS sum_w_micro,
+       CAST(CASE WHEN sum(w_micro) > 0 THEN 1 ELSE 0 END AS INT) AS selected
+FROM raw JOIN w USING (bucket)
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -1226,3 +1226,58 @@ def hard_negatives(
 def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negatives(emb).orderBy("query_id", "rn")
+
+
+# --------------------------------------------------------------------------
+# two-stage retrieval: SQ8 coarse shortlist -> exact float re-rank
+# --------------------------------------------------------------------------
+SHORTLIST = 20  # coarse candidates kept per query before the exact stage
+
+
+def rerank_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    shortlist: int = SHORTLIST,
+    k: int = TOP_K,
+) -> DataFrame:
+    """The production two-stage serving shape: a cheap quantized coarse
+    scan keeps ``shortlist`` candidates per query, then ONLY those rows
+    pay for exact float cosine. Composes :func:`sq_topk` (stage 1 —
+    exact-integer int8 scoring, so the shortlist set is deterministic
+    and engine-portable) with a float re-rank joined back to the
+    full-precision vectors (stage 2).
+
+    Scale shape: stage 1 is the memory-bound int8 scan (4x less
+    bandwidth than float32; at corpus scale you'd swap in the IVF/PQ
+    bucketed coarse stage — the rerank contract is identical). Stage 2
+    touches |Q| x shortlist rows, never the corpus: the shortlist side
+    is the broadcast build, the probe is one equi-join on vec_id, and
+    the final window partitions by query_id (bounded by shortlist).
+    """
+    coarse = sq_topk(queries, candidates, k=shortlist).select(
+        "query_id", "vec_id"
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rescored = (
+        F.broadcast(coarse.join(qv, "query_id"))
+        .join(candidates, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", "sim", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+def q_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=False)
+    return rerank_topk(vecs.where(F.col("vec_id") < N_QUERIES), vecs)

@@ -1378,6 +1378,74 @@ register(
 )
 
 
+def q_asm_tips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tip clipping over the derived de Bruijn graph: flag every short
+    dead-end chain (exactly one dangling end, <= TIP_MAX_LEN nodes) —
+    the error-artifact cleanup an assembler runs between graph build
+    and unitig output. Semantics, contract, and scale shape in
+    operators/graph.py:tip_unitigs (pinned there by a planted
+    junction-tip test); oracle = the contig_spell head-anchored walk
+    plus full-graph dangling-end flags.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.operators.graph import tip_unitigs
+
+    k = 5
+    kmers = _derived_kmers(spark, sf_dir, n=60, k=k)
+    edges = kmers.select(
+        F.substring("kmer", 1, k - 1).alias("src"),
+        F.substring("kmer", 2, k - 1).alias("dst"),
+    )
+    return tip_unitigs(edges).orderBy("unitig_id")
+
+
+register(
+    "q_asm_tips",
+    q_asm_tips,
+    """
+    WITH RECURSIVE r AS (
+      SELECT substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'), 17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    ), km AS (
+      SELECT unnest(list_transform(range(1, greatest(length(content) - 4, 1) + 1),
+                                   i -> substr(content, i, 5))) AS kmer
+      FROM r
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT substr(kmer, 1, 4) AS src, substr(kmer, 2, 4) AS dst
+      FROM km WHERE length(kmer) = 5
+    ), o1 AS (SELECT src FROM e GROUP BY src HAVING count(*) = 1
+    ), i1 AS (SELECT dst FROM e GROUP BY dst HAVING count(*) = 1
+    ), ue AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e JOIN o1 USING (src) JOIN i1 USING (dst)
+    ), nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e
+    ), heads AS (
+      -- DISTINCT is load-bearing under DuckDB's recursive-CTE inlining
+      -- (commit b453be9 gotcha; see q_asm_contig_spell)
+      SELECT DISTINCT id FROM nodes WHERE id NOT IN (SELECT dst FROM ue)
+    ), walk AS (
+      SELECT id AS root, id AS node, 0 AS depth FROM heads
+      UNION ALL
+      SELECT walk.root, ue.dst AS node, walk.depth + 1
+      FROM walk JOIN ue ON ue.src = walk.node
+    ), ch AS (
+      SELECT root, CAST(count(*) AS BIGINT) AS n_nodes,
+             arg_max(node, depth) AS tail
+      FROM walk GROUP BY root
+    ), fl AS (
+      SELECT root, n_nodes,
+             root NOT IN (SELECT dst FROM e) AS hd,
+             tail NOT IN (SELECT src FROM e) AS td
+      FROM ch)
+    SELECT root AS unitig_id, n_nodes,
+           CASE WHEN hd THEN 'head' ELSE 'tail' END AS tip_end
+    FROM fl WHERE hd <> td AND n_nodes <= 10
+    ORDER BY unitig_id
+    """,
+)
+
+
 def q_asm_n50(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contig-length statistics with N50 over the derived read set —
     the standard assembly-quality summary (the reference's `result`
@@ -2127,6 +2195,47 @@ FROM r WHERE rn <= {S.TOP_K} ORDER BY query_id, rn
 """
 
 register("q_sim_sq_topk", S.q_sim_sq_topk, _Q_SIM_SQ_TOPK_SQL)
+
+# two-stage retrieval: SQ8 integer coarse shortlist (deterministic,
+# exact-integer dots) -> exact float cosine re-rank of shortlist rows
+# only. The oracle replays both stages verbatim.
+_Q_SIM_RERANK_SQL = f"""
+WITH m AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+           AS ma
+  FROM embeddings
+), s AS MATERIALIZED (
+  SELECT vec_id, v,
+         list_transform(v, x -> floor(x * 127.0 / ma + 0.5)) AS qv,
+         list_sum(list_transform(v,
+            x -> floor(x * 127.0 / ma + 0.5) * floor(x * 127.0 / ma + 0.5)))
+           AS nn
+  FROM m
+), q AS (SELECT vec_id AS query_id, v AS qfull, qv AS qa, nn AS qq
+         FROM s WHERE vec_id < {S.N_QUERIES}),
+coarse AS (
+  SELECT query_id, vec_id, qfull, cfull FROM (
+    SELECT query_id, s.vec_id, q.qfull, s.v AS cfull,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(list_dot_product(qa, s.qv)
+                            / (sqrt(qq) * sqrt(s.nn)), 4) DESC,
+                      s.vec_id) AS crn
+    FROM q CROSS JOIN s WHERE query_id <> s.vec_id)
+  WHERE crn <= {S.SHORTLIST}),
+rescored AS (
+  SELECT query_id, vec_id,
+         round({_COS.format(a='qfull', b='cfull')}, 4) AS sim
+  FROM coarse),
+r AS (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM rescored)
+SELECT query_id, vec_id, sim, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= {S.TOP_K} ORDER BY query_id, rn
+"""
+
+register("q_sim_rerank", S.q_sim_rerank, _Q_SIM_RERANK_SQL)
 
 # contrastive hard negatives: top-k most-similar vectors of another label
 register(
@@ -3240,6 +3349,9 @@ register(
 )
 # hashing-trick sparse features + frequency label indexing (ML prep)
 register("q_x_feature_hash", LP.q_x_feature_hash, LP.Q_X_FEATURE_HASH_SQL)
+# DSIR importance selection: hashed-unigram target-vs-raw log-ratio,
+# integer micro-nat weights (64-row table), exact BIGINT doc sums
+register("q_x_dsir_select", LP.q_x_dsir_select, LP.Q_X_DSIR_SELECT_SQL)
 register("q_x_label_index", LP.q_x_label_index, LP.Q_X_LABEL_INDEX_SQL)
 # length-bucketed token-budget batches (padding-efficient batching)
 register("q_x_length_batches", LP.q_x_length_batches, LP.Q_X_LENGTH_BATCHES_SQL)

@@ -707,3 +707,27 @@ def test_low_complexity_flags_homopolymer(spark):
     # exact DUST integers for the homopolymer: 11 AAA triplets ->
     # num = 11*10 = 110, den = 10
     assert (rows[0].dust_num, rows[0].dust_den) == (110, 10)
+
+
+def test_tip_unitigs_planted(spark):
+    """Planted junction graph: main path A->B->C->D with a 1-node head
+    tip X->B and a branch C->Y (Y dangles). Expected tips: A and X
+    (head-dangling singles hanging into junction B), D and Y
+    (tail-dangling singles hanging off branch point C). The internal
+    B->C chain dangles at NEITHER end and the isolated P->Q chain
+    dangles at BOTH ends — neither is a tip."""
+    from bigdatagenomic_spark.operators.graph import tip_unitigs
+
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D"), ("X", "B"), ("C", "Y"),
+         ("P", "Q")],
+        "src STRING, dst STRING",
+    )
+    got = {(r.unitig_id, r.n_nodes, r.tip_end)
+           for r in tip_unitigs(e).collect()}
+    assert got == {
+        ("A", 1, "head"), ("X", 1, "head"),
+        ("D", 1, "tail"), ("Y", 1, "tail"),
+    }
+    # threshold: with tip_len=0 nothing qualifies
+    assert tip_unitigs(e, tip_len=0).count() == 0

@@ -167,6 +167,35 @@ def test_sq_topk_recall_and_scale_invariance(spark):
     assert got[(1, 3)] == -1.0  # negated copy: exactly opposite
 
 
+def test_rerank_topk_exactness_and_recall(spark):
+    """Two-stage rerank: (a) with the shortlist covering the whole
+    corpus the result must EQUAL the exact top-k — stage 2 is exact
+    float cosine, so the only approximation is shortlist truncation;
+    (b) at the default shortlist the coarse stage feeds the exact one,
+    so recall must be at least as good as raw SQ8 search demands."""
+    from pyspark.sql import functions as F  # noqa: F401 (fixture parity)
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.query_id, r.vec_id, r.rn)
+        for r in S.q26_cosine_topk(spark, sf).collect()
+    }
+    vecs = S._vecs(spark, sf)
+    full = {
+        (r.query_id, r.vec_id, r.rn)
+        for r in S.rerank_topk(
+            vecs.where(F.col("vec_id") < S.N_QUERIES), vecs, shortlist=10**6
+        ).collect()
+    }
+    assert full == exact
+
+    got = {
+        (r.query_id, r.vec_id) for r in S.q_sim_rerank(spark, sf).collect()
+    }
+    exact_pairs = {(q, v) for q, v, _ in exact}
+    assert len(got & exact_pairs) / len(exact_pairs) >= 0.8
+
+
 def test_near_dup_survivors_match_union_find(spark):
     sf = "/root/testdata/sf0.001"
     got = {r.doc_id for r in D.q_dedup_survivors(spark, sf).collect()}
@@ -1050,3 +1079,34 @@ def test_bloom_flag_no_false_negatives(spark):
         for r in bloom_flag_against_corpus(batch, corpus).collect()
     }
     assert got == {10: True, 11: False}
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR selection: a raw doc written in the target domain's
+    vocabulary must outscore (and be selected over) a raw doc written
+    in vocabulary the target never uses. Scores are integer micro-nat
+    sums, so the comparison is exact."""
+    from unittest import mock
+
+    from bigdatagenomic_spark.operators import llm_prep as LP
+    from bigdatagenomic_spark.sources import tables as T
+
+    tgt_text = "alpha beta gamma delta alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (0, tgt_text, "en", "src0", len(tgt_text)),
+            (1, tgt_text, "en", "src0", len(tgt_text)),
+            (2, "alpha beta gamma delta alpha beta", "en", "src5", 34),
+            (3, "zulu yankee xray whiskey victor uniform", "en", "src5", 39),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    with mock.patch.object(T, "load_table", lambda spark, sf_dir, name: docs):
+        rows = {
+            r.doc_id: r
+            for r in LP.q_x_dsir_select(spark, "unused").collect()
+        }
+    assert set(rows) == {2, 3}  # only raw-pool docs are scored
+    assert rows[2].sum_w_micro > rows[3].sum_w_micro
+    assert rows[2].selected == 1
+    assert rows[3].selected == 0

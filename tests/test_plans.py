@@ -304,6 +304,8 @@ _BNLJ_ALLOWED = {
     "q_dedup_lsh_tuning",    # bounded-sample all-pairs ground truth (embcos contract)
     "q_dedup_lsh_autoconfig",  # embeds the tuning sweep (same bounded contract)
     "q_dedup_semantic",      # broadcast K-row centroid table (kmeans pattern)
+    "q_sim_rerank",          # stage-1 coarse scan inherits sq_topk's bounded broadcast query set
+    "q_x_dsir_select",       # two 1-row corpus-total scalars (tfidf/pmi pattern)
 }
 
 
