@@ -1101,7 +1101,9 @@ def test_dsir_select_prefers_target_like_docs(spark):
         ],
         "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
     )
-    with mock.patch.object(T, "load_table", lambda spark, sf_dir, name: docs):
+    # patch the name llm_prep BOUND at import (llm_prep.py:48), not the
+    # tables module attribute — the latter never intercepts (VERDICT r8 #1b)
+    with mock.patch.object(LP, "load_table", lambda spark, sf_dir, name: docs):
         rows = {
             r.doc_id: r
             for r in LP.q_x_dsir_select(spark, "unused").collect()
