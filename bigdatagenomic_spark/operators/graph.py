@@ -425,7 +425,12 @@ KCORE_ORACLE_ROUNDS = 16     # unrolled oracle replay bound (see k_core;
                              # and sf0.1, 12 at sf0.01)
 
 
-def k_core(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+    rounds_out: list | None = None,
+) -> DataFrame:
     """The k-core of an undirected graph: iteratively peel every vertex
     whose (undirected, de-duplicated, loop-free) degree is < k until a
     fixpoint — the standard graph-density filter (cohesive subgroup
@@ -445,7 +450,11 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS) -> Data
     in tests/test_graph.py).
 
     Returns (id, core_degree): surviving vertices with their degree
-    inside the k-core.
+    inside the k-core. ``rounds_out`` (if given a list) receives the
+    number of PEELING rounds actually executed — the convergence test
+    in tests/test_graph.py asserts this stays within
+    KCORE_ORACLE_ROUNDS on every testdata SF, which is the condition
+    under which the unrolled DuckDB oracle is exact.
     """
     e = (
         edges.where(F.col("src") != F.col("dst"))
@@ -457,11 +466,13 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS) -> Data
         .distinct()
         .localCheckpoint(eager=True)
     )
+    rounds_used = 0
     for _ in range(max_rounds):
         deg = e.groupBy("src").agg(F.count("*").alias("deg"))
         peeled = deg.where(F.col("deg") < k).select("src")
         if peeled.isEmpty():
             break
+        rounds_used += 1
         keep = deg.where(F.col("deg") >= k).select("src")
         e = (
             e.join(keep, "src", "left_semi")
@@ -469,6 +480,8 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS) -> Data
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
+    if rounds_out is not None:
+        rounds_out.append(rounds_used)
     return (
         e.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").cast("long").alias("core_degree"))
@@ -1082,6 +1095,19 @@ def strongly_connected_components(
             .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+    # Non-convergence must be loud, not a silently partial result: the
+    # outer loop peels >=1 SCC-DAG level per round, so leftovers mean
+    # the caps were too small for this graph's DAG depth (ADVICE r8).
+    if not remaining.isEmpty():
+        raise RuntimeError(
+            "strongly_connected_components did not converge within "
+            f"max_outer={max_outer} outer rounds; "
+            f"{remaining.count()} vertices unresolved — raise the caps"
+        )
+    if not pieces:  # edge-free input: empty result, src's own dtype
+        return edges.select(
+            F.col("src").alias("id"), F.col("src").alias("scc")
+        ).where(F.lit(False))
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)

@@ -309,8 +309,13 @@ def bloom_flag_against_corpus(
 def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replayed-shard scenario: the corpus holds doc_id < 150 and
     # tonight's batch re-delivers 100-249, so 100-149 are true
-    # members the sketch must flag (plus any false positives)
-    d = _docs(spark, sf_dir)
+    # members the sketch must flag (plus any false positives).
+    # NULL texts are excluded up front on BOTH engines: a NULL text
+    # hashes to NULL positions, which Spark's min(coalesce(hit,0))
+    # reads as maybe_dup=false but DuckDB's bool_and over NULL IN
+    # predicates reads as NULL (ADVICE r8) — and a NULL document has
+    # no dedup meaning anyway (same contract as dsir_scores).
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     existing = d.where(F.col("doc_id") < 150)
     new_batch = d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 250))
     return bloom_flag_against_corpus(new_batch, existing).orderBy("doc_id")
@@ -326,7 +331,7 @@ Q_DEDUP_BLOOM_SQL = f"""
 WITH nt AS (
   SELECT doc_id,
          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 pos AS (
   SELECT doc_id, unnest([{_BLOOM_POS_SQL}]) AS pos FROM nt),
 bloom AS (SELECT DISTINCT pos FROM pos WHERE doc_id < 150)
@@ -1194,11 +1199,18 @@ def dsir_scores(
     raw-like scores positive and is selected.
 
     Integer-exact by construction: the per-bucket log weight is
-    quantized ONCE to micro-nats (floor(1e6*lnratio + 0.5), a
-    64-row table), and each document's score is the exact BIGINT sum
-    of its tokens' quantized weights — no float aggregate ever crosses
-    the engine boundary (the round-half-up-over-grid-averages gotcha
-    from the round-5 preflight). ``selected = sum > 0`` is the
+    quantized ONCE (a 64-row table), and each document's score is the
+    exact BIGINT sum of its tokens' quantized weights — no float
+    aggregate ever crosses the engine boundary (the
+    round-half-up-over-grid-averages gotcha from the round-5
+    preflight). The quantization itself is ulp-guarded (ADVICE r8):
+    the only op whose result can differ between JVM ``Math.log`` and
+    libm ``ln`` is the transcendental, so the log-ratio is snapped at
+    the COARSE 1e-4 grid — ``floor(1e4*lnratio + 0.5)`` — where a
+    1-ulp disagreement (abs ~1e-15) has 100x fewer boundaries to
+    straddle than a direct micro-nat floor, and every op after the
+    snap is exact integer arithmetic (``w_micro = 100 * snapped``),
+    bit-identical by construction. ``selected = sum > 0`` is the
     sign-equivalent of the paper's positive mean log importance;
     full DSIR resamples ~ exp(score), which preserves the same
     ordering.
@@ -1247,9 +1259,10 @@ def dsir_scores(
         .crossJoin(F.broadcast(raw_tot))
         .select(
             "bucket",
-            F.floor(F.lit(1e6) * lnratio + F.lit(0.5))
-            .cast("long")
-            .alias("w_micro"),
+            (
+                F.lit(100)
+                * F.floor(F.lit(1e4) * lnratio + F.lit(0.5)).cast("long")
+            ).alias("w_micro"),
         )
     )
     return (
@@ -1289,7 +1302,7 @@ tt AS (SELECT count(*) AS t_tot FROM tgt),
 rt AS (SELECT count(*) AS r_tot FROM raw),
 b AS (SELECT unnest(range(0, {DSIR_BUCKETS})) AS bucket),
 w AS (SELECT b.bucket,
-             CAST(floor(1000000.0 * (
+             100 * CAST(floor(10000.0 * (
                     ln(coalesce(t_cnt, 0) + 1.0)
                   - ln(t_tot + {DSIR_BUCKETS}.0)
                   - ln(coalesce(r_cnt, 0) + 1.0)

@@ -3396,28 +3396,36 @@ _PRIORITY_PREFIX = [
     # q_x_golden_record, q_x_bootstrap_ci, q_text_winnow_pairs,
     # q_x_curriculum. All stay hash-checked every round by the sf0.001
     # pytest oracle suite + the full-registry preflight.
-    "q_dedup_survivors",
-    # -- round-6 flagships (3rd/4th driver round): composed production ANN
-    #    (k-means coarse lists + PQ/ADC), C4-style boilerplate scrub,
-    #    training-shard shuffle, split-leakage audit, BPE training,
-    #    ExactSubstr span profiling, perceptual-hash payload dedup
-    "q_sim_ivfpq_topk", "q_text_boilerplate",
-    "q_x_train_shards", "q_x_split_leakage",
-    "q_text_bpe_train", "q_text_dup_spans", "q_mm_phash_pairs",
-    # -- round-5 families (2nd driver round)
-    "q_asm_kmer_counts", "q_x_rfm_segments",
-    # -- bench headliners kept under rule 4 (2nd driver round for CC)
-    "q_graph_cc",
-    # -- round 8 rotated IN (ROTATION.md round-8 tranche + ADVICE r7):
-    #    rule-2 rows for the round-7 operators that never faced the
-    #    driver or changed this round — semantic dedup (adaptive k landed
-    #    round 8), unitig compaction, and the contig speller whose oracle
-    #    was fixed this round (DISTINCT heads, b453be9 gotcha) — plus the
-    #    scheduled never-driver-checked tranche
-    "q_dedup_semantic", "q_asm_unitigs", "q_asm_contig_spell",
-    "q_tpch_q9_shape", "q_text_bpe_encode", "q_mm_resize",
-    "q_sim_pq_topk", "q_x_cms_words", "q_x_token_budget_mix",
-    "q_pipeline_curation",
+    # Round 9 rotated OUT (ROTATION.md): the round-8 rule-2/tranche
+    # one-shots that went green in CORRECTNESS_r08 (q_dedup_semantic,
+    # q_asm_unitigs, q_asm_contig_spell, q_tpch_q9_shape,
+    # q_text_bpe_encode, q_mm_resize, q_sim_pq_topk, q_x_cms_words,
+    # q_x_token_budget_mix, q_pipeline_curation), q_dedup_survivors
+    # (5 green), q_graph_cc (3 green, rule 4 satisfied), and the
+    # round-6 flagship / round-5 tranche at >=3 green each
+    # (q_sim_ivfpq_topk, q_text_boilerplate, q_x_train_shards,
+    # q_x_split_leakage, q_text_bpe_train, q_text_dup_spans,
+    # q_mm_phash_pairs, q_asm_kmer_counts, q_x_rfm_segments). All stay
+    # hash-checked every round by the sf0.001 pytest oracle suite +
+    # the full-registry preflight.
+    #
+    # -- round 9 rotated IN, rule 2 FIRST (new in round 8, no driver
+    #    row yet — ROTATION.md round-9 block + VERDICT r8 #2/#3):
+    "q_sim_sq_topk", "q_mm_shot_bounds", "q_dedup_bloom",
+    "q_graph_kcore", "q_graph_scc", "q_graph_hits", "q_graph_sssp",
+    "q_asm_minimizers", "q_asm_minimizer_overlaps",
+    "q_asm_canonical_kmers", "q_asm_bubbles", "q_asm_low_complexity",
+    "q_asm_tandem_repeats", "q_s14_trending_shape",
+    # the snapshot-commit trio that slipped past the round-8 preflight
+    # (VERDICT r8 #2) — q_x_dsir_select also behavior-changed this
+    # round (ulp-guarded quantization), q_dedup_bloom above likewise
+    # (NULL-text guard)
+    "q_asm_tips", "q_sim_rerank", "q_x_dsir_select",
+    # the rewritten q5 (plan-changed in round 8; driver row re-validates)
+    "q_tpch_q5_shape",
+    # -- scheduled tail (ROTATION.md round 9): the rows-only contract
+    #    row + never-driver-checked iterative flagships
+    "q_x_hll_rollup", "q_graph_pagerank", "q_cluster_kmeans",
 ]
 
 

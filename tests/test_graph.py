@@ -731,3 +731,63 @@ def test_tip_unitigs_planted(spark):
     }
     # threshold: with tip_len=0 nothing qualifies
     assert tip_unitigs(e, tip_len=0).count() == 0
+
+
+def test_k_core_converges_within_oracle_bound(spark):
+    """The DuckDB oracle replays peeling unrolled to KCORE_ORACLE_ROUNDS;
+    it is exact iff Spark's fixpoint peel converges within that bound on
+    the data it is checked against. Assert that on EVERY testdata SF
+    (the docstring-claimed test — ADVICE r8)."""
+    import pytest
+
+    from bigdatagenomic_spark.operators.graph import (
+        KCORE_ORACLE_ROUNDS,
+        k_core,
+    )
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        li = load_table(spark, f"/root/testdata/{sf}", "lineitem").where(
+            F.col("l_orderkey") < 200
+        )
+        items = li.select("l_orderkey", "l_partkey").distinct()
+        o1 = items.select(F.col("l_orderkey").alias("src"), "l_partkey")
+        o2 = items.select(F.col("l_orderkey").alias("dst"), "l_partkey")
+        edges = (
+            o1.join(o2, "l_partkey")
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+        rounds: list[int] = []
+        k_core(edges, k=2, rounds_out=rounds).count()
+        assert rounds[0] <= KCORE_ORACLE_ROUNDS, (
+            f"{sf}: peel took {rounds[0]} rounds > oracle bound "
+            f"{KCORE_ORACLE_ROUNDS} — the unrolled oracle would diverge"
+        )
+
+
+def test_scc_empty_and_nonconvergent_inputs(spark):
+    """SCC must not silently drop rows: an edge-free input returns an
+    EMPTY (id, scc) frame (not IndexError), and exhausting max_outer
+    raises instead of returning a partial result (ADVICE r8)."""
+    import pytest
+
+    from bigdatagenomic_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    empty = spark.createDataFrame([], "src LONG, dst LONG")
+    out = strongly_connected_components(empty)
+    assert out.columns == ["id", "scc"] and out.count() == 0
+    # only self-loops: dropped up front -> also the empty frame
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src LONG, dst LONG")
+    assert strongly_connected_components(loops).count() == 0
+
+    # a 2-deep SCC-DAG chain of 2-cycles with max_outer=1: round 1
+    # resolves only the source SCC, so the cap must raise loudly
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3)], "src LONG, dst LONG"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components(chain, max_outer=1)
