@@ -943,6 +943,7 @@ def strongly_connected_components(
     edges: DataFrame,
     max_outer: int = SCC_MAX_OUTER,
     max_rounds: int = SCC_MAX_ROUNDS,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """(id, scc) over a DIRECTED edge set — scc = min vertex id in the
     strongly connected component (u,v share an scc iff u reaches v AND
@@ -980,6 +981,13 @@ def strongly_connected_components(
     step is a key-partitioned join/aggregate on vertex id over frames
     that only shrink; ``localCheckpoint`` cuts lineage per round
     exactly as in the CC/k-core loops.
+
+    ``stats_out`` (if given a dict) receives the executed round counts
+    {outer, trim, color, mark} — each trim round costs two ``distinct``
+    projections, two semi-joins and an ``isEmpty`` driver action, so
+    these counts ARE the driver-side job budget the ×N scale sweep
+    (tools/scale_check_graph.py) pins: replica-disjoint growth must not
+    grow them.
     """
     e_all = (
         edges.where(F.col("src") != F.col("dst"))
@@ -994,12 +1002,15 @@ def strongly_connected_components(
         .localCheckpoint(eager=True)
     )
     pieces: list[DataFrame] = []
+    stats = {"outer": 0, "trim": 0, "color": 0, "mark": 0}
     e = e_all
     for _ in range(max_outer):
         if remaining.isEmpty():
             break
+        stats["outer"] += 1
         # ---- 1. trim singleton SCCs (no in- or no out-edge) ----
         for _ in range(max_rounds):
+            stats["trim"] += 1
             has_out = e.select(F.col("src").alias("id")).distinct()
             has_in = e.select(F.col("dst").alias("id")).distinct()
             core = (
@@ -1028,6 +1039,7 @@ def strongly_connected_components(
             eager=True
         )
         for _ in range(max_rounds):
+            stats["color"] += 1
             incoming = (
                 e.join(labels, e["src"] == labels["id"])
                 .select(e["dst"].alias("id"), F.col("color").alias("_msg"))
@@ -1067,6 +1079,7 @@ def strongly_connected_components(
             eager=True
         )
         for _ in range(max_rounds):
+            stats["mark"] += 1
             preds = (
                 e.join(marked, e["dst"] == marked["id"])
                 .select(e["src"].alias("id"), marked["color"].alias("_mc"))
@@ -1095,6 +1108,8 @@ def strongly_connected_components(
             .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+    if stats_out is not None:
+        stats_out.update(stats)
     # Non-convergence must be loud, not a silently partial result: the
     # outer loop peels >=1 SCC-DAG level per round, so leftovers mean
     # the caps were too small for this graph's DAG depth (ADVICE r8).
