@@ -1485,3 +1485,159 @@ def tip_unitigs(edges: DataFrame, tip_len: int = TIP_MAX_LEN) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("tip_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (topic-sensitive teleport)
+# ---------------------------------------------------------------------------
+
+PPR_N_SOURCES = 5
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_iter: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(id, rank) — PageRank with the teleport vector concentrated on
+    ``sources`` (topic-sensitive PageRank, Haveliwala 2002): random
+    walks restart uniformly over the source set instead of the whole
+    vertex set, so rank measures proximity TO the sources. Total mass
+    is 1; dangling mass teleports back to the sources.
+
+    Same superstep economics as :func:`pagerank` — per iteration one
+    message-aggregation shuffle, a 1-row broadcast for the dangling
+    mass, ``localCheckpoint`` to cut lineage. The personalization
+    vector rides as a column on the (checkpointed) vertex frame, so the
+    loop body is identical work to the uniform variant.
+    """
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    srcs = sources.select("id").distinct()
+    ns = srcs.agg(F.count("*").cast("double").alias("ns"))
+    vp = (
+        verts.join(srcs.withColumn("_s", F.lit(1)), "id", "left")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "id",
+            F.when(F.col("_s").isNotNull(), F.lit(1.0) / F.col("ns"))
+            .otherwise(F.lit(0.0))
+            .alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    contrib_edges = (
+        edges.join(deg, edges["src"] == deg["id"])
+        .select("src", "dst", "out_degree")
+        .localCheckpoint(eager=True)
+    )
+    ranks = vp.select("id", F.col("p").alias("rank"))
+    for _ in range(n_iter):
+        msgs = (
+            contrib_edges.join(ranks, contrib_edges["src"] == ranks["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("_msg"),
+            )
+            .groupBy("id")
+            .agg(F.sum("_msg").alias("recv"))
+        )
+        dangling = ranks.join(deg.select("id"), "id", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+        )
+        ranks = (
+            vp.join(msgs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("recv", F.lit(0.0))
+                        + F.col("dmass") * F.col("p")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def q_graph_ppr(spark, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the same bounded customer→customer
+    order graph as q_graph_pagerank, teleporting to the PPR_N_SOURCES
+    smallest vertex ids. Fixed-iteration → hash-checked against a
+    loop-unrolled CTE oracle."""
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    nxt = o.select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("src")
+    ).join(
+        o.select(
+            (F.col("o_orderkey") - 1).alias("k"), F.col("o_custkey").alias("dst")
+        ),
+        "k",
+    )
+    edges = nxt.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    srcs = verts.orderBy("id").limit(PPR_N_SOURCES)
+    pr = personalized_pagerank(edges, srcs, n_iter=8)
+    return pr.select(
+        "id", (F.floor(F.col("rank") * 10000 + F.lit(0.5)) / 10000).alias("rank")
+    ).orderBy("id")
+
+
+def _ppr_oracle_sql(n_iter: int = 8, damping: float = 0.85) -> str:
+    """Loop-unrolled personalized-PageRank oracle (one CTE per power
+    iteration, same replay pattern as _pagerank_oracle_sql)."""
+    base = f"""
+  o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 500),
+  nxt AS (SELECT a.o_custkey AS src, b.o_custkey AS dst
+          FROM o a JOIN o b ON b.o_orderkey = a.o_orderkey + 1),
+  edges AS (SELECT DISTINCT src, dst FROM nxt WHERE src <> dst),
+  verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+  srcs AS (SELECT id FROM verts ORDER BY id LIMIT {PPR_N_SOURCES}),
+  ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM srcs),
+  vp AS MATERIALIZED (
+    SELECT v.id,
+           CASE WHEN s.id IS NOT NULL THEN 1.0 / ns.ns ELSE 0.0 END AS p
+    FROM verts v CROSS JOIN ns LEFT JOIN srcs s ON v.id = s.id),
+  deg AS (SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src),
+  contrib AS (SELECT e.src, e.dst, d.out_degree
+              FROM edges e JOIN deg d ON e.src = d.id),
+  r0 AS (SELECT id, p AS rank FROM vp)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+  r{k} AS MATERIALIZED (
+    SELECT vp.id,
+           {1.0 - damping} * vp.p
+             + {damping} * (coalesce(m.recv, 0.0) + d.dmass * vp.p) AS rank
+    FROM vp
+    CROSS JOIN (SELECT coalesce(sum(rank), 0.0) AS dmass FROM r{k - 1}
+                WHERE id NOT IN (SELECT id FROM deg)) d
+    LEFT JOIN (SELECT c.dst AS id, sum(r.rank / c.out_degree) AS recv
+               FROM contrib c JOIN r{k - 1} r ON c.src = r.id
+               GROUP BY c.dst) m ON vp.id = m.id)""")
+    return (
+        "WITH" + base + "," + ",".join(steps)
+        + f"""
+SELECT id, floor(rank * 10000 + 0.5) / 10000 AS rank
+FROM r{n_iter} ORDER BY id"""
+    )
+
+
+Q_GRAPH_PPR_SQL = _ppr_oracle_sql()

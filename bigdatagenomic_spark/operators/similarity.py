@@ -1281,3 +1281,215 @@ def rerank_topk(
 def q_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir).localCheckpoint(eager=False)
     return rerank_topk(vecs.where(F.col("vec_id") < N_QUERIES), vecs)
+
+
+# ---------------------------------------------------------------------------
+# cosine range search (threshold retrieval)
+# ---------------------------------------------------------------------------
+
+RANGE_THRESHOLD = 0.55
+
+
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold (range) retrieval: ALL corpus vectors within a cosine
+    radius of each bounded query — the recall-complete sibling of the
+    top-k search (dedup sweeps and contamination audits want "everything
+    closer than t", not "the best k"). Same plan economics as
+    q26_cosine_topk: the bounded query set broadcasts, the corpus scans
+    once, and the output is filtered by the rounded similarity grid so
+    the result set (unlike top-k) needs no window at all — a pure scan
+    + broadcast join, the cheapest possible shape at 100 TB.
+    """
+    vecs = _vecs(spark, sf_dir)
+    from bigdatagenomic_spark.functions import dot
+
+    def norm(v):
+        return F.sqrt(dot(v, v))
+
+    q = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
+    )
+    c = vecs.select(
+        F.col("vec_id"), F.col("v").alias("cv"), norm(F.col("v")).alias("cn")
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+                ),
+                4,
+            ).alias("sim"),
+        )
+    )
+    return sims.where(F.col("sim") >= RANGE_THRESHOLD).orderBy(
+        "query_id", "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+MMR_N_QUERIES = 4
+MMR_SHORTLIST = 12
+MMR_K = 5
+# lambda = 0.7 expressed as exact integer weights over the micro-sim grid:
+# mmr = MMR_W_REL * rel_m - MMR_W_RED * red_m  (7:3)
+MMR_W_REL = 7
+MMR_W_RED = 3
+
+
+def _micro_sim(a, b, an, bn):
+    """Cosine on the signed micro grid (x1e4, half-away-from-zero) as a
+    BIGINT — the exact currency the MMR algebra runs in."""
+    from bigdatagenomic_spark.functions import dot
+
+    return F.round(
+        F.try_divide(dot(a, b), an * bn) * 10000
+    ).cast("long")
+
+
+def mmr_select(
+    queries: DataFrame,
+    candidates: DataFrame,
+    shortlist: int = MMR_SHORTLIST,
+    k: int = MMR_K,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k results trading relevance to the query
+    against redundancy to the already-picked set —
+    ``mmr(c) = 7*rel(c) - 3*max_{s in picked} sim(c, s)`` on the exact
+    integer micro-sim grid (so both engines rank identical BIGINTs; the
+    max over the empty set is 0 by contract, making pick 1 the pure
+    relevance argmax).
+
+    Scale shape: the expensive stage (exact sims) is bounded — Q
+    queries x the corpus for the shortlist, then shortlist² pairwise
+    sims; the k greedy rounds run over Q x shortlist rows, so the
+    unrolled loop adds fixed driver-side plan depth, never data-sized
+    work. This is the standard diversified-serving stage downstream of
+    any of the ANN indexes (q_sim_*_topk).
+    """
+    from bigdatagenomic_spark.functions import dot
+
+    def norm(v):
+        return F.sqrt(dot(v, v))
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
+    )
+    c = candidates.select(
+        F.col("vec_id"), F.col("v").alias("cv"), norm(F.col("v")).alias("cn")
+    )
+    rel = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "cv",
+            "cn",
+            _micro_sim(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
+                "rel_m"
+            ),
+        )
+    )
+    w_short = W.partitionBy("query_id").orderBy(F.desc("rel_m"), F.asc("vec_id"))
+    short = (
+        rel.withColumn("rn", F.row_number().over(w_short))
+        .where(F.col("rn") <= shortlist)
+        .select("query_id", "vec_id", "cv", "cn", "rel_m")
+        .localCheckpoint(eager=True)
+    )
+    a = short.select(
+        "query_id",
+        F.col("vec_id").alias("c_id"),
+        F.col("cv").alias("av"),
+        F.col("cn").alias("an"),
+    )
+    b = short.select(
+        "query_id",
+        F.col("vec_id").alias("s_id"),
+        F.col("cv").alias("bv"),
+        F.col("cn").alias("bn"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("c_id") != F.col("s_id"))
+        .select(
+            "query_id",
+            "c_id",
+            "s_id",
+            _micro_sim(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")).alias(
+                "r_m"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cands = short.select("query_id", "vec_id", "rel_m")
+    w_pick = W.partitionBy("query_id")
+    sel = (
+        cands.withColumn(
+            "rn",
+            F.row_number().over(
+                w_pick.orderBy(F.desc("rel_m"), F.asc("vec_id"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            F.lit(1).alias("pick"),
+            (F.lit(MMR_W_REL) * F.col("rel_m")).alias("mmr_m"),
+        )
+    )
+    for t in range(2, k + 1):
+        red = (
+            pairs.join(
+                sel.select("query_id", F.col("vec_id").alias("s_id")),
+                ["query_id", "s_id"],
+            )
+            .join(
+                sel.select("query_id", F.col("vec_id").alias("c_id")),
+                ["query_id", "c_id"],
+                "left_anti",
+            )
+            .groupBy("query_id", F.col("c_id").alias("vec_id"))
+            .agg(F.max("r_m").alias("red_m"))
+        )
+        scored = cands.join(red, ["query_id", "vec_id"]).select(
+            "query_id",
+            "vec_id",
+            (
+                F.lit(MMR_W_REL) * F.col("rel_m")
+                - F.lit(MMR_W_RED) * F.col("red_m")
+            ).alias("mmr_m"),
+        )
+        pick_t = (
+            scored.withColumn(
+                "rn",
+                F.row_number().over(
+                    w_pick.orderBy(F.desc("mmr_m"), F.asc("vec_id"))
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("query_id", "vec_id", F.lit(t).alias("pick"), "mmr_m")
+        )
+        sel = sel.unionByName(pick_t)
+    return sel.orderBy("query_id", "pick")
+
+
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    return mmr_select(vecs.where(F.col("vec_id") < MMR_N_QUERIES), vecs)

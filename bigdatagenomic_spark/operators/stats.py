@@ -1055,3 +1055,95 @@ SELECT d.event_type, d.day, CAST(d.n_rows AS BIGINT) AS n_rows,
 FROM daily d JOIN stats st USING (event_type)
 ORDER BY d.event_type, d.day
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend (closed-form linear regression)
+# ---------------------------------------------------------------------------
+
+LINREG_X0 = 9000  # epoch-day center: keeps x small so moment sums stay narrow
+
+
+def q_x_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS trend of order value over time.
+
+    Closed-form simple linear regression per group — the trend-detection
+    primitive behind drift monitors and forecast baselines:
+    ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`` with
+    ``x = epoch_day - LINREG_X0`` (centering keeps per-row moments
+    small) and ``y = order cents`` (exact integers).
+
+    One map-side-combined hash aggregate per group computes the four
+    moment sums EXACTLY — per-row products fit BIGINT, the sums are
+    accumulated as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so the
+    numerator/denominator algebra is integer-exact at any corpus size
+    (a 1e10-row group's n*Sxy is ~1e31, inside DECIMAL(38)). Only the
+    final division happens in floating point, on bit-identical casts of
+    the same exact integers — floor-rounded at 6 decimals. No second
+    pass, no window: this is a single shuffle on the group key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            - F.lit(LINREG_X0)
+        ).cast("long").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = base.groupBy("grp").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast(dec).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast(dec).alias("sxy"),
+    )
+
+    def _r6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    icept_num = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+        "double"
+    )
+    return s.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        _r6(F.try_divide(slope_num, F.nullif(den, F.lit(0.0)))).alias(
+            "slope_cents_per_day"
+        ),
+        _r6(F.try_divide(icept_num, F.nullif(den, F.lit(0.0)))).alias(
+            "intercept_cents"
+        ),
+    ).orderBy("grp")
+
+
+Q_X_LINREG_SQL = f"""
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') - {LINREG_X0}
+              AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+), s AS (
+  SELECT grp,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM base GROUP BY grp
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       floor(CAST(n*sxy - sx*sy AS DOUBLE)
+             / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0)
+             * 1000000 + 0.5) / 1000000 AS slope_cents_per_day,
+       floor(CAST(sy*sxx - sx*sxy AS DOUBLE)
+             / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0)
+             * 1000000 + 0.5) / 1000000 AS intercept_cents
+FROM s ORDER BY grp
+"""

@@ -1067,3 +1067,179 @@ WITH {winnow_pair_ctes_for(100)}
 SELECT a_id, b_id, n_shared FROM wpairs
 ORDER BY a_id, b_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity (type-token ratio)
+# ---------------------------------------------------------------------------
+
+def q_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type/token counts + TTR.
+
+    The standard word-salad / template-spam screen between the length
+    heuristics (q_text_quality) and the repetition profile
+    (q_text_repetition): a low type-token ratio means the document
+    reuses a tiny vocabulary. Map-only — the tokenizer, the distinct
+    count and the integer-exact ratio are all row-local expressions, so
+    the plan is a single scan projection at any corpus size (no explode,
+    no shuffle). ``ttr_micro`` is the truncated integer
+    ``n_types*1e6 div n_tokens`` — exact in both engines (positive
+    BIGINT division truncates identically in Spark and DuckDB).
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    s1 = d.select("doc_id", tok.alias("tok"))
+    return (
+        s1.select(
+            "doc_id",
+            F.size("tok").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("tok")).cast("long").alias("n_types"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn(
+            "ttr_micro", F.expr("n_types * 1000000L div n_tokens")
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_TTR_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+       CAST(len(list_distinct(t)) * 1000000 // len(t) AS BIGINT) AS ttr_micro
+FROM tok WHERE len(t) > 0
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ["merge", "window", "stream"]
+BM25_TOP_N = 10
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-N documents for a fixed query.
+
+    The sparse-retrieval baseline next to the dense stack
+    (q26/q_sim_*): Okapi BM25 with the standard k1=1.2, b=0.75 and the
+    +1-smoothed idf ``ln(1 + (N-df+0.5)/(df+0.5))`` (always positive).
+
+    Plan shape for 100 TB: NO explode and NO per-token shuffle — per-doc
+    term frequencies for the (bounded) query terms and the doc length
+    are row-local array expressions over one tokenizer pass, so stage 1
+    is a map-only scan projection. The corpus stats (N, total length,
+    one df per query term) reduce to ONE 1-row aggregate that broadcasts
+    back for scoring; the only other exchange is the top-N TakeOrdered.
+    Scores floor-round at 4 decimals for the cross-engine hash; ties
+    break by doc_id.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    s1 = d.select("doc_id", tok.alias("tok"))
+    tf_cols = [
+        F.size(F.filter("tok", lambda t: t == F.lit(term)))
+        .cast("long")
+        .alias(f"tf{i}")
+        for i, term in enumerate(BM25_QUERY_TERMS)
+    ]
+    s2 = s1.select(
+        "doc_id", F.size("tok").cast("long").alias("dl"), *tf_cols
+    ).where(F.col("dl") > 0)
+    stats = s2.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("tot_len"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    )
+    scored = s2.crossJoin(F.broadcast(stats))
+    score = None
+    n_match = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        denom = F.col(f"tf{i}") + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B)
+            * F.col("dl")
+            / (F.col("tot_len").cast("double") / F.col("n_docs"))
+        )
+        part = idf * (F.col(f"tf{i}") * F.lit(BM25_K1 + 1.0)) / denom
+        hit = (F.col(f"tf{i}") > 0).cast("long")
+        score = part if score is None else score + part
+        n_match = hit if n_match is None else n_match + hit
+    return (
+        scored.select(
+            "doc_id",
+            n_match.alias("n_match"),
+            (F.floor(score * 10000 + F.lit(0.5)) / 10000).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP_N)
+    )
+
+
+def _bm25_oracle_sql() -> str:
+    """Replays the same expression tree: row-local tf/dl arrays, one
+    stats row, left-associated per-term score sum, floor-round 4."""
+    tf_exprs = ",\n         ".join(
+        f"len(list_filter(t, x -> x = '{term}')) AS tf{i}"
+        for i, term in enumerate(BM25_QUERY_TERMS)
+    )
+    df_exprs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    parts = []
+    hits = []
+    for i in range(len(BM25_QUERY_TERMS)):
+        idf = f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        denom = (
+            f"(tf{i} + {BM25_K1} * ({round(1.0 - BM25_B, 10)} + {BM25_B}"
+            f" * dl / (CAST(tot_len AS DOUBLE) / n_docs)))"
+        )
+        parts.append(f"({idf} * (tf{i} * {BM25_K1 + 1.0}) / {denom})")
+        hits.append(f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END")
+    score = " + ".join(parts)
+    n_match = " + ".join(hits)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), pertf AS (
+  SELECT doc_id, len(t) AS dl,
+         {tf_exprs}
+  FROM tok
+), perdoc AS (SELECT * FROM pertf WHERE dl > 0),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS tot_len, {df_exprs} FROM perdoc
+)
+SELECT doc_id,
+       CAST({n_match} AS BIGINT) AS n_match,
+       floor(({score}) * 10000 + 0.5) / 10000 AS score
+FROM perdoc CROSS JOIN stats
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP_N}
+"""

@@ -3358,6 +3358,101 @@ register("q_x_length_batches", LP.q_x_length_batches, LP.Q_X_LENGTH_BATCHES_SQL)
 
 
 # ---------------------------------------------------------------------------
+# round-9 additions
+# ---------------------------------------------------------------------------
+
+# per-doc lexical diversity (type-token ratio, integer-exact)
+register("q_text_ttr", T.q_text_ttr, T.Q_TEXT_TTR_SQL)
+# Okapi BM25 keyword retrieval (sparse baseline next to the dense stack)
+register("q_text_bm25", T.q_text_bm25, T._bm25_oracle_sql())
+# per-group closed-form OLS trend (exact DECIMAL/HUGEINT moment sums)
+register("q_x_linreg", ST.q_x_linreg, ST.Q_X_LINREG_SQL)
+# topic-sensitive (personalized) PageRank, loop-unrolled oracle
+from bigdatagenomic_spark.operators.graph import (  # noqa: E402
+    Q_GRAPH_PPR_SQL as _PPR_SQL,
+    q_graph_ppr as _q_ppr,
+)
+
+register("q_graph_ppr", _q_ppr, _PPR_SQL)
+# cosine range (threshold) retrieval for a bounded query set
+register(
+    "q_sim_range_search",
+    S.q_sim_range_search,
+    f"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM s WHERE vec_id < {S.N_QUERIES})
+        SELECT query_id, vec_id, round({_COS.format(a='qv', b='v')}, 4) AS sim
+        FROM q CROSS JOIN s
+        WHERE query_id <> vec_id
+          AND round({_COS.format(a='qv', b='v')}, 4) >= {S.RANGE_THRESHOLD}
+        ORDER BY query_id, vec_id""",
+)
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled MMR replay: shortlist + pairwise micro-sims, then one
+    MATERIALIZED CTE per greedy pick (each round references the prior
+    selection set twice — DuckDB 1.0 inlines plain CTEs)."""
+    cos_qv = _COS.format(a="qv", b="v")
+    cos_ab = _COS.format(a="a.cv", b="b.cv")
+    head = f"""
+  s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  q AS (SELECT vec_id AS query_id, v AS qv FROM s
+        WHERE vec_id < {S.MMR_N_QUERIES}),
+  rel AS (
+    SELECT query_id, vec_id, v AS cv,
+           CAST(round(({cos_qv}) * 10000) AS BIGINT) AS rel_m
+    FROM q CROSS JOIN s WHERE query_id <> vec_id),
+  short AS MATERIALIZED (
+    SELECT query_id, vec_id, cv, rel_m FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rel_m DESC, vec_id) AS rn
+      FROM rel) WHERE rn <= {S.MMR_SHORTLIST}),
+  pr AS MATERIALIZED (
+    SELECT a.query_id, a.vec_id AS c_id, b.vec_id AS s_id,
+           CAST(round(({cos_ab}) * 10000) AS BIGINT) AS r_m
+    FROM short a JOIN short b USING (query_id)
+    WHERE a.vec_id <> b.vec_id),
+  sel1 AS MATERIALIZED (
+    SELECT query_id, vec_id, 1 AS pick, {S.MMR_W_REL} * rel_m AS mmr_m
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rel_m DESC, vec_id) AS rn
+          FROM short) WHERE rn = 1)"""
+    steps = []
+    for t in range(2, S.MMR_K + 1):
+        prev = f"sel{t - 1}"
+        steps.append(f"""
+  red{t} AS (
+    SELECT p.query_id, p.c_id AS vec_id, max(p.r_m) AS red_m
+    FROM pr p JOIN {prev} w ON p.query_id = w.query_id AND p.s_id = w.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                      WHERE x.query_id = p.query_id AND x.vec_id = p.c_id)
+    GROUP BY p.query_id, p.c_id),
+  pick{t} AS (
+    SELECT query_id, vec_id, {t} AS pick, mmr_m FROM (
+      SELECT c.query_id, c.vec_id,
+             {S.MMR_W_REL} * c.rel_m - {S.MMR_W_RED} * r.red_m AS mmr_m,
+             row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY {S.MMR_W_REL} * c.rel_m - {S.MMR_W_RED} * r.red_m DESC,
+                        c.vec_id) AS rn
+      FROM short c JOIN red{t} r
+        ON c.query_id = r.query_id AND c.vec_id = r.vec_id)
+    WHERE rn = 1),
+  sel{t} AS MATERIALIZED (
+    SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t})""")
+    return (
+        "WITH" + head + "," + ",".join(steps)
+        + f"""
+SELECT query_id, vec_id, CAST(pick AS INT) AS pick, mmr_m
+FROM sel{S.MMR_K} ORDER BY query_id, pick"""
+    )
+
+
+# MMR diversified re-ranking (integer micro-sim grid, greedy unrolled)
+register("q_sim_mmr", S.q_sim_mmr, _mmr_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks registry entries in
 # insertion order and may cap how many it runs (round 1 capped at 50), so
 # contract-critical entries must come first:

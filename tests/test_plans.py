@@ -315,6 +315,9 @@ _BNLJ_ALLOWED = {
     "q_dedup_semantic",      # broadcast K-row centroid table (kmeans pattern)
     "q_sim_rerank",          # stage-1 coarse scan inherits sq_topk's bounded broadcast query set
     "q_x_dsir_select",       # two 1-row corpus-total scalars (tfidf/pmi pattern)
+    "q_text_bm25",           # 1-row corpus-stats scalar (tfidf pattern)
+    "q_sim_range_search",    # bounded broadcast query set (q26 pattern)
+    "q_sim_mmr",             # bounded broadcast query set (q26 pattern)
 }
 
 
