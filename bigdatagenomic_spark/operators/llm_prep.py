@@ -1316,3 +1316,56 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM raw JOIN w USING (bucket)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# fuzzy eval-set decontamination (MinHash-LSH candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+DECON_FUZZY_MOD = 41  # doc_id % 41 == 0 -> held-out eval split
+DECON_FUZZY_THRESHOLD = 0.5  # shingle-Jaccard above this = contaminated
+
+
+def q_x_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train/eval decontamination: near-duplicate matches between
+    the training pool and a held-out eval split.
+
+    q_text_decontam catches EXACT n-gram overlap; this is the fuzzy
+    sibling (the GPT-3/Llama-style 'dirty-dedup' audit): MinHash-LSH
+    band keys propose train-x-eval candidates, exact shingle Jaccard
+    confirms. Reuses the q_dedup_minhash_pairs machinery end-to-end —
+    map-only signatures, a NARROW (band, bkey, doc_id) equi-join that
+    only pairs docs sharing a 16-bit band signature (never train x eval
+    all-pairs), and an array_intersect verify that shuffles
+    |candidates| rows. At 100 TB the eval side is tiny and broadcasts;
+    train-side cost is one signature scan — the same economics that
+    make the dedup pass scale.
+
+    Output: (train_id, eval_id, jacc) for every confirmed contaminated
+    pair at the rounded-grid threshold.
+    """
+    from bigdatagenomic_spark.operators.dedup import (
+        _jaccard_verify,
+        _shingle_base,
+        lsh_band_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % DECON_FUZZY_MOD) == 0
+    tb = lsh_band_table(d.where(~is_eval)).select(
+        F.col("doc_id").alias("a_id"), "band", "bkey"
+    )
+    eb = lsh_band_table(d.where(is_eval)).select(
+        F.col("doc_id").alias("b_id"), "band", "bkey"
+    )
+    cand = tb.join(eb, ["band", "bkey"]).select("a_id", "b_id").dropDuplicates()
+    verified = _jaccard_verify(cand, _shingle_base(d))
+    return (
+        verified.where(F.col("jacc") >= DECON_FUZZY_THRESHOLD)
+        .select(
+            F.col("a_id").alias("train_id"),
+            F.col("b_id").alias("eval_id"),
+            "jacc",
+        )
+        .orderBy("train_id", "eval_id")
+    )

@@ -1287,7 +1287,9 @@ def q_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cosine range search (threshold retrieval)
 # ---------------------------------------------------------------------------
 
-RANGE_THRESHOLD = 0.55
+# 0.35 sits above the word-soup background (~0.3) but below the planted
+# near-dup band — non-trivial hit sets at every testdata SF
+RANGE_THRESHOLD = 0.35
 
 
 def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:

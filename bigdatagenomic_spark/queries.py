@@ -3451,6 +3451,39 @@ FROM sel{S.MMR_K} ORDER BY query_id, pick"""
 # MMR diversified re-ranking (integer micro-sim grid, greedy unrolled)
 register("q_sim_mmr", S.q_sim_mmr, _mmr_oracle_sql())
 
+# fuzzy train/eval decontamination: LSH candidates + exact-Jaccard verify
+# over the mod-41 eval split. Reuses the unbounded shingle/sig CTEs (the
+# unused `common` CTE inside _shingles_cte_for is lazy — never evaluated).
+register(
+    "q_x_decontam_fuzzy",
+    LP.q_x_decontam_fuzzy,
+    f"""WITH {_shingles_cte_for(10**18)}, {_SIG_CTE},
+        bands AS ({_BANDS_SQL}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b USING (band, bkey)
+          WHERE a.doc_id % {LP.DECON_FUZZY_MOD} <> 0
+            AND b.doc_id % {LP.DECON_FUZZY_MOD} = 0),
+        common2 AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+          FROM sh a JOIN sh b USING (sh)
+          WHERE a.doc_id % {LP.DECON_FUZZY_MOD} <> 0
+            AND b.doc_id % {LP.DECON_FUZZY_MOD} = 0
+          GROUP BY 1, 2)
+        SELECT c.a_id AS train_id, c.b_id AS eval_id,
+               round(coalesce(cm.n_common, 0)
+                     / CAST(sa.n_sh + sb.n_sh - coalesce(cm.n_common, 0)
+                            AS DOUBLE), 4) AS jacc
+        FROM cand c
+        LEFT JOIN common2 cm ON c.a_id = cm.a_id AND c.b_id = cm.b_id
+        JOIN sizes sa ON c.a_id = sa.doc_id
+        JOIN sizes sb ON c.b_id = sb.doc_id
+        WHERE round(coalesce(cm.n_common, 0)
+                    / CAST(sa.n_sh + sb.n_sh - coalesce(cm.n_common, 0)
+                           AS DOUBLE), 4) >= {LP.DECON_FUZZY_THRESHOLD}
+        ORDER BY train_id, eval_id""",
+)
+
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks registry entries in

@@ -1,0 +1,170 @@
+"""Behavioral pins for the round-9 operators (BM25, MMR, range search,
+PPR, OLS trend, TTR, fuzzy decontam) — semantics the DuckDB hash parity
+can't express: planted-pair recovery, mass conservation, diversity
+invariants. Oracle parity itself is covered registry-wide by
+tests/test_relational_oracle.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    import __spark_entry__ as e
+
+    return e.queries()[name]
+
+
+def test_decontam_fuzzy_flags_planted_pair(spark):
+    rows = _q("q_x_decontam_fuzzy")(spark, SF).collect()
+    from bigdatagenomic_spark.operators.llm_prep import (
+        DECON_FUZZY_MOD,
+        DECON_FUZZY_THRESHOLD,
+    )
+
+    assert rows, "expected contaminated pairs in the planted-dup testdata"
+    # the known cross-split near-dup must be recovered
+    assert any(r.train_id == 16 and r.eval_id == 369 for r in rows)
+    for r in rows:
+        assert r.train_id % DECON_FUZZY_MOD != 0  # train side only
+        assert r.eval_id % DECON_FUZZY_MOD == 0   # eval side only
+        assert r.jacc >= DECON_FUZZY_THRESHOLD
+
+
+def test_mmr_first_pick_is_relevance_argmax_and_selection_valid(spark):
+    from bigdatagenomic_spark.operators.similarity import (
+        MMR_K,
+        MMR_N_QUERIES,
+        MMR_W_REL,
+    )
+
+    sel = _q("q_sim_mmr")(spark, SF).collect()
+    by_q: dict = {}
+    for r in sel:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == MMR_N_QUERIES
+    # exact cosine top-k gives the relevance argmax per query
+    top1 = {
+        r.query_id: (r.vec_id, r.sim)
+        for r in _q("q26_cosine_topk")(spark, SF).collect()
+        if r.rn == 1
+        if r.query_id < MMR_N_QUERIES
+    }
+    for qid, picks in by_q.items():
+        assert sorted(p.pick for p in picks) == list(range(1, MMR_K + 1))
+        assert len({p.vec_id for p in picks}) == MMR_K  # no repeats
+        p1 = next(p for p in picks if p.pick == 1)
+        assert p1.vec_id == top1[qid][0]
+        # pick 1's mmr is pure relevance on the micro grid
+        assert p1.mmr_m == MMR_W_REL * round(top1[qid][1] * 10000)
+
+
+def test_mmr_diversifies_vs_pure_topk(spark):
+    """On the planted near-dup embeddings, at least one query's MMR set
+    must differ from its pure relevance top-5 (otherwise the redundancy
+    term did nothing on data with duplicate-heavy neighborhoods)."""
+    from bigdatagenomic_spark.operators.similarity import MMR_N_QUERIES
+
+    sel = _q("q_sim_mmr")(spark, SF).collect()
+    topk = _q("q26_cosine_topk")(spark, SF).collect()
+    diffs = 0
+    for qid in range(MMR_N_QUERIES):
+        mmr_set = {r.vec_id for r in sel if r.query_id == qid}
+        top_set = {r.vec_id for r in topk if r.query_id == qid}
+        if mmr_set != top_set:
+            diffs += 1
+    assert diffs >= 1
+
+
+def test_ppr_mass_conservation_and_source_locality(spark):
+    from bigdatagenomic_spark.operators.graph import PPR_N_SOURCES
+
+    rows = _q("q_graph_ppr")(spark, SF).collect()
+    total = sum(r.rank for r in rows)
+    # mass 1 by construction (teleport + dangling both renormalize to
+    # the source set); rounding at 1e-4 x |V| bounds the drift
+    assert total == pytest.approx(1.0, abs=1e-3 + 1e-4 * len(rows))
+    srcs = sorted(r.id for r in rows)[:PPR_N_SOURCES]
+    src_mass = sum(r.rank for r in rows if r.id in set(srcs))
+    # walks restart at the sources: they must hold well above the
+    # uniform share of the mass
+    assert src_mass > PPR_N_SOURCES / len(rows) * 5
+
+
+def test_bm25_returns_full_topn_with_positive_scores(spark):
+    from bigdatagenomic_spark.operators.text import BM25_TOP_N
+
+    rows = _q("q_text_bm25")(spark, SF).collect()
+    assert len(rows) == BM25_TOP_N
+    for r in rows:
+        assert r.score > 0 and r.n_match >= 1
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_range_search_threshold_and_topk_consistency(spark):
+    """Every range hit at t must also appear in exact top-k when the
+    top-k's k-th sim clears t — the two retrieval modes agree."""
+    from bigdatagenomic_spark.operators.similarity import RANGE_THRESHOLD
+
+    hits = _q("q_sim_range_search")(spark, SF).collect()
+    assert hits, "planted near-dup embeddings guarantee range hits"
+    for r in hits:
+        assert r.sim >= RANGE_THRESHOLD
+    topk = _q("q26_cosine_topk")(spark, SF).collect()
+    topk_pairs = {(r.query_id, r.vec_id) for r in topk}
+    by_q_hits: dict = {}
+    for r in hits:
+        by_q_hits.setdefault(r.query_id, []).append(r)
+    for qid, qhits in by_q_hits.items():
+        ksims = sorted(
+            (r.sim for r in topk if r.query_id == qid), reverse=True
+        )
+        if not ksims:
+            continue
+        kth = ksims[-1]
+        for r in qhits:
+            if r.sim > kth:
+                assert (qid, r.vec_id) in topk_pairs
+
+
+def test_linreg_recovers_planted_line(spark):
+    """Exact-moment OLS on a planted y = 2x + 300 line (cents) must
+    recover slope/intercept exactly on the micro grid."""
+    import bigdatagenomic_spark.operators.stats as ST
+
+    rows = [(i, "G", 2 * i + 300) for i in range(-50, 51)]
+    df = spark.createDataFrame(rows, "x long, grp string, y long")
+    dec = "decimal(38,0)"
+    s = df.groupBy("grp").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast(dec).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast(dec).alias("sxy"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / den
+    icept = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+        "double"
+    ) / den
+    r = s.select(slope.alias("m"), icept.alias("b")).collect()[0]
+    assert r.m == pytest.approx(2.0, abs=1e-12)
+    assert r.b == pytest.approx(300.0, abs=1e-9)
+    # and the registered query is sane on testdata: one row per priority
+    out = _q("q_x_linreg")(spark, SF).collect()
+    assert len(out) == 5 and all(o.n > 0 for o in out)
+
+
+def test_ttr_bounds(spark):
+    rows = _q("q_text_ttr")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_types <= r.n_tokens
+        assert 0 < r.ttr_micro <= 1_000_000
+        assert r.ttr_micro == r.n_types * 1_000_000 // r.n_tokens
