@@ -537,6 +537,57 @@ Q18_MIN_QTY = 150
 
 
 def q_tpch_q18_shape(spark, sf_dir):
+    """Round-9 rewrite (SCALING.md Part 6): top-100 BELOW the customer
+    join. The sort key (rounded o_totalprice, o_orderkey) uses no
+    customer column, and orders⋈customer is a 1:1 FK lookup (every
+    o_custkey resolves — verified on all three testdata SFs), so the
+    TakeOrdered(100) commutes below the join. That makes the customer
+    join's build side a CONSTANT 100 rows at any scale factor — the
+    legacy shape fed it the whole (big⋈orders) stream, which grows
+    linearly with SF (the HAVING selectivity is scale-invariant), so
+    at 100 TB it was millions of rows through the custkey exchange for
+    a 100-row answer. The explicit broadcast hint keeps the 100-row
+    side off the wire even where AQE's estimator is off."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    top = (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        F.broadcast(top)
+        .join(c, top["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+def q18_limit_above_customer_join(spark, sf_dir):
+    """The pre-round-9 q18 shape (limit after the customer join) — kept
+    ONLY as the 'before' arm of the Part-6 shuffle audit
+    (tools/audit_q18.py); not registered."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")

@@ -261,13 +261,28 @@ def test_tpch_q7_pushes_date_filter_and_broadcasts_nations(spark):
 
 def test_tpch_q18_aggregates_before_joins(spark):
     """The HAVING aggregate must sit BELOW the joins (lineitem is
-    reduced to qualifying orderkeys before touching orders/customer)."""
+    reduced to qualifying orderkeys before touching orders/customer),
+    and — the round-9 rewrite — the top-100 must sit BELOW the customer
+    join, whose build side is then a constant 100 broadcast rows at any
+    SF (SCALING.md Part 6)."""
     df = _df(spark, "q_tpch_q18_shape")
     plan = formatted_plan(df)
     assert "partial_sum" in plan
     # the filter on the aggregated quantity exists pre-join
     assert "sum_qty" in plan
     assert has_operator(df, "TakeOrderedAndProject")
+    # the 100-row side broadcasts into the customer join (explicit hint)
+    assert "BroadcastHashJoin" in join_kinds(df)
+    # the limit lives below the join: the plan ROOT is the re-sort of
+    # the joined 100 rows, and the TakeOrderedAndProject sits under the
+    # BroadcastExchange that feeds the customer join
+    lines = plan.splitlines()
+    root = next(
+        ln for ln in lines if ln and not ln.startswith(("==", "Adaptive"))
+    )
+    assert "Sort" in root and "TakeOrderedAndProject" not in root
+    bx = next(i for i, ln in enumerate(lines) if "BroadcastExchange" in ln)
+    assert any("TakeOrderedAndProject" in ln for ln in lines[bx:])
 
 
 def test_sessionize_windows_share_one_shuffle(spark):
