@@ -1369,3 +1369,116 @@ def q_x_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_id", "eval_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC — storage-level dedup primitive)
+# ---------------------------------------------------------------------------
+
+CDC_W = 16   # rolling window (chars)
+CDC_DIV = 64  # boundary when window-hash % CDC_DIV == 0 -> ~64-char chunks
+
+
+def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: split each document at hash-determined
+    boundaries and fingerprint the chunks — the storage-dedup primitive
+    (LBFS/FastCDC family) that keeps chunk boundaries STABLE under
+    insertions, unlike fixed-size blocks: an edit only reshuffles the
+    chunks it touches, so shared chunks across near-duplicate docs keep
+    identical hashes. ``n_dup`` counts corpus-wide occurrences of each
+    chunk hash — the dedupable-bytes signal.
+
+    Boundary rule (deterministic, engines agree exactly): cut after
+    position ``p + W - 1`` wherever the 60-bit md5 of the W-char window
+    at p is ≡ 0 (mod CDC_DIV); no min/max chunk clamp (the clamp makes
+    boundary choice sequential — this formulation keeps the whole doc a
+    row-local array computation). Docs shorter than W are excluded by
+    contract.
+
+    Scale shape: boundary detection + chunking are MAP-ONLY array
+    expressions (O(len·W) md5 work per row, zero shuffle — production
+    would swap a true rolling polynomial into the same plan); the only
+    exchange is the chunk-hash window for n_dup, keyed on the
+    high-cardinality hash."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    s1 = d.select("doc_id", "text", F.length("text").alias("tlen")).where(
+        F.length("text") >= CDC_W
+    )
+    s2 = s1.withColumn(
+        "cuts",
+        F.expr(
+            f"transform(filter(sequence(1, tlen - {CDC_W} + 1),"
+            f" p -> CAST(conv(substring(md5(substring(text, p, {CDC_W})),"
+            f" 1, 15), 16, 10) AS BIGINT) % {CDC_DIV} = 0),"
+            f" p -> p + {CDC_W} - 1)"
+        ),
+    ).withColumn(
+        "ends_all",
+        F.expr("concat(filter(cuts, c -> c < tlen), array(tlen))"),
+    ).withColumn(
+        "starts",
+        F.expr(
+            "transform(concat(array(0),"
+            " slice(ends_all, 1, size(ends_all) - 1)), e -> e + 1)"
+        ),
+    )
+    chunks = s2.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.arrays_zip("starts", "ends_all")).alias("i", "se"),
+    ).select(
+        "doc_id",
+        (F.col("i") + 1).alias("chunk_idx"),
+        F.col("se.starts").cast("long").alias("start"),
+        (F.col("se.ends_all") - F.col("se.starts") + 1)
+        .cast("long")
+        .alias("clen"),
+        F.md5(
+            F.expr("substring(text, se.starts, se.ends_all - se.starts + 1)")
+        ).alias("chash"),
+    )
+    from pyspark.sql import Window as W
+
+    return chunks.withColumn(
+        "n_dup", F.count("*").over(W.partitionBy("chash")).cast("long")
+    ).orderBy("doc_id", "chunk_idx")
+
+
+Q_TEXT_CDC_CHUNKS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS tlen FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {CDC_W}
+), c AS (
+  SELECT doc_id, text, tlen,
+         list_transform(
+           list_filter(range(1, tlen - {CDC_W} + 2),
+             p -> CAST(('0x' || substr(md5(substr(text, p, {CDC_W})), 1, 15))
+                       AS BIGINT) % {CDC_DIV} = 0),
+           p -> p + {CDC_W} - 1) AS cuts
+  FROM d
+), b AS (
+  SELECT doc_id, text, tlen,
+         list_concat(list_filter(cuts, x -> x < tlen), [tlen]) AS ends_all
+  FROM c
+), s AS (
+  SELECT doc_id, text,
+         list_transform(
+           list_concat([0], ends_all[1:len(ends_all) - 1]), e -> e + 1)
+           AS starts,
+         ends_all
+  FROM b
+), x AS (
+  SELECT doc_id, text,
+         generate_subscripts(starts, 1) AS chunk_idx,
+         unnest(starts) AS st, unnest(ends_all) AS en
+  FROM s
+), ch AS (
+  SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         CAST(st AS BIGINT) AS start, CAST(en - st + 1 AS BIGINT) AS clen,
+         md5(substr(text, st, en - st + 1)) AS chash
+  FROM x
+)
+SELECT doc_id, chunk_idx, start, clen, chash,
+       CAST(count(*) OVER (PARTITION BY chash) AS BIGINT) AS n_dup
+FROM ch ORDER BY doc_id, chunk_idx
+"""

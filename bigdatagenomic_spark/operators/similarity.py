@@ -1495,3 +1495,14 @@ def mmr_select(
 def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir)
     return mmr_select(vecs.where(F.col("vec_id") < MMR_N_QUERIES), vecs)
+
+
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against the exact cosine top-k —
+    completes the ANN quality-monitor set (LSH: q_sim_lsh_recall, PQ:
+    q_sim_pq_recall, IVF: this). Both sides are deterministic
+    pipelines, so the measurement itself hash-checks; the monitor join
+    is queries x k rows, trivial at any scale."""
+    exact = q26_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    ann = q_sim_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
+    return _recall_report(exact, ann)

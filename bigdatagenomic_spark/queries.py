@@ -3451,6 +3451,29 @@ FROM sel{S.MMR_K} ORDER BY query_id, pick"""
 # MMR diversified re-ranking (integer micro-sim grid, greedy unrolled)
 register("q_sim_mmr", S.q_sim_mmr, _mmr_oracle_sql())
 
+# recall@k of the IVF index vs exact — completes the LSH/PQ/IVF monitor
+# set; same CTE-subquery replay as q_sim_lsh_recall
+register(
+    "q_sim_ivf_recall",
+    S.q_sim_ivf_recall,
+    f"""WITH exact AS (SELECT query_id, vec_id FROM ({_Q26_COSINE_TOPK_SQL}) ex),
+        ann AS (SELECT query_id, vec_id FROM ({S.Q_SIM_IVF_TOPK_SQL}) an),
+        hits AS (
+          SELECT e.query_id, count(*) AS n_hit
+          FROM exact e JOIN ann a
+            ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+          GROUP BY e.query_id),
+        base AS (SELECT query_id, count(*) AS n_exact
+                 FROM exact GROUP BY query_id)
+        SELECT b.query_id,
+               CAST(b.n_exact AS INT) AS n_exact,
+               CAST(coalesce(h.n_hit, 0) AS INT) AS n_hit,
+               round(coalesce(h.n_hit, 0) / CAST(b.n_exact AS DOUBLE), 4)
+                 AS recall
+        FROM base b LEFT JOIN hits h USING (query_id)
+        ORDER BY b.query_id""",
+)
+
 # fuzzy train/eval decontamination: LSH candidates + exact-Jaccard verify
 # over the mod-41 eval split. Reuses the unbounded shingle/sig CTEs (the
 # unused `common` CTE inside _shingles_cte_for is lazy — never evaluated).
@@ -3483,6 +3506,9 @@ register(
                            AS DOUBLE), 4) >= {LP.DECON_FUZZY_THRESHOLD}
         ORDER BY train_id, eval_id""",
 )
+
+# content-defined chunking: hash-stable chunk boundaries + dup counts
+register("q_text_cdc_chunks", LP.q_text_cdc_chunks, LP.Q_TEXT_CDC_CHUNKS_SQL)
 
 
 # ---------------------------------------------------------------------------

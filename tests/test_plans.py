@@ -333,6 +333,7 @@ _BNLJ_ALLOWED = {
     "q_text_bm25",           # 1-row corpus-stats scalar (tfidf pattern)
     "q_sim_range_search",    # bounded broadcast query set (q26 pattern)
     "q_sim_mmr",             # bounded broadcast query set (q26 pattern)
+    "q_sim_ivf_recall",      # composes q26 + ivf_topk (both allowlisted)
 }
 
 

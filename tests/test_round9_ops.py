@@ -168,3 +168,45 @@ def test_ttr_bounds(spark):
         assert 0 < r.n_types <= r.n_tokens
         assert 0 < r.ttr_micro <= 1_000_000
         assert r.ttr_micro == r.n_types * 1_000_000 // r.n_tokens
+
+
+def test_cdc_chunks_reassemble_and_dedupe(spark):
+    """CDC invariants: per-doc chunks tile the document exactly
+    (contiguous, full cover), and the planted near-dup docs share
+    chunk hashes (the dedupable-bytes signal)."""
+    rows = _q("q_text_cdc_chunks")(spark, SF).collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    lens = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        pos = 1
+        for c in chunks:
+            assert c.start == pos, (doc_id, c.chunk_idx)
+            assert c.clen >= 1
+            pos += c.clen
+        assert pos - 1 == lens[doc_id]  # full cover, no gaps/overlap
+    assert any(r.n_dup > 1 for r in rows)  # near-dups share chunks
+
+
+def test_ivf_recall_bounds_and_agreement(spark):
+    rows = _q("q_sim_ivf_recall")(spark, SF).collect()
+    from bigdatagenomic_spark.operators.similarity import N_QUERIES, TOP_K
+
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert r.n_exact == TOP_K
+        assert 0 <= r.n_hit <= r.n_exact
+        assert r.recall == round(r.n_hit / r.n_exact, 4)
+    # the probe set covers most of the exact neighbors on testdata
+    assert sum(r.n_hit for r in rows) / sum(r.n_exact for r in rows) >= 0.5
