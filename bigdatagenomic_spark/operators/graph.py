@@ -1641,3 +1641,87 @@ FROM r{n_iter} ORDER BY id"""
 
 
 Q_GRAPH_PPR_SQL = _ppr_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# common-neighbor link prediction
+# ---------------------------------------------------------------------------
+
+LINKPRED_MAX_POSTING = 30  # drop hub parts shared by more orders
+
+
+def q_graph_linkpred(spark, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction over the bounded bipartite order—part
+    graph: score order pairs at distance 2 by the Jaccard of their
+    part neighborhoods — the classic common-neighbors recommender
+    (predict a link where neighborhoods overlap).
+
+    Scale shape is the winnow/minimizer posting-cap pattern: candidate
+    pairs come from an equi-join on the shared part key, and HUB parts
+    (posting lists longer than LINKPRED_MAX_POSTING) are dropped BEFORE
+    the wedge join — the quadratic fan-out of a power-law hub never
+    materializes, exactly like minimizer_overlaps' high-frequency
+    mask. Degrees are computed over the same capped edge set so the
+    score stays self-consistent."""
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    edges = li.select(
+        F.col("l_orderkey").alias("id"), F.col("l_partkey").alias("p")
+    ).distinct()
+    keep = (
+        edges.groupBy("p")
+        .agg(F.count("*").alias("np"))
+        .where(F.col("np") <= LINKPRED_MAX_POSTING)
+        .select("p")
+    )
+    kept = edges.join(keep, "p", "left_semi")
+    deg = kept.groupBy("id").agg(F.count("*").alias("d"))
+    a = kept.select(F.col("id").alias("a_id"), "p")
+    b = kept.select(F.col("id").alias("b_id"), "p")
+    common = (
+        a.join(b, "p")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(deg.select(F.col("id").alias("a_id"), F.col("d").alias("da")), "a_id")
+        .join(deg.select(F.col("id").alias("b_id"), F.col("d").alias("db")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                4,
+            ).alias("jacc"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+Q_GRAPH_LINKPRED_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT l_orderkey AS id, l_partkey AS p
+  FROM lineitem WHERE l_orderkey < 200
+), keep AS (
+  SELECT p FROM edges GROUP BY p
+  HAVING count(*) <= {LINKPRED_MAX_POSTING}
+), kept AS (
+  SELECT e.id, e.p FROM edges e JOIN keep k ON e.p = k.p
+), deg AS (
+  SELECT id, count(*) AS d FROM kept GROUP BY id
+), common AS (
+  SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.p = b.p AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT c.a_id, c.b_id, CAST(c.n_common AS BIGINT) AS n_common,
+       round(c.n_common / CAST(da.d + db.d - c.n_common AS DOUBLE), 4) AS jacc
+FROM common c
+JOIN deg da ON c.a_id = da.id
+JOIN deg db ON c.b_id = db.id
+ORDER BY c.a_id, c.b_id
+"""

@@ -2559,3 +2559,106 @@ SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
        (min(struct_pack(i := id, v := segment))).v AS golden_segment
 FROM labeled GROUP BY cluster ORDER BY cluster
 """
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution (marketing-funnel credit assignment)
+# ---------------------------------------------------------------------------
+
+ATTR_TOUCH_TYPES = ("click", "view", "signup")
+ATTR_CONVERT_TYPE = "purchase"
+ATTR_LOOKBACK_SEC = 7200  # 2h credit window
+
+
+def q_x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: credit each purchase to the latest prior
+    touch event (click/view/signup) by the same user, within a 2-hour
+    lookback — the standard marketing-warehouse credit assignment.
+
+    One window pass does everything: ``last(..., ignorenulls)`` over
+    (user, ts, event_id) with a ROWS UNBOUNDED..1-PRECEDING frame
+    carries the most recent touch's id/type/epoch alongside every
+    event; purchases outside the lookback (or with no prior touch)
+    come out explicitly unattributed. Scale shape: a single exchange
+    keyed on the high-cardinality user_id, then map-only arithmetic —
+    no join, no second scan of events.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*ATTR_TOUCH_TYPES)
+
+    def last_touch(col):
+        return F.last(F.when(is_touch, col), ignorenulls=True).over(w)
+
+    carried = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        last_touch(F.col("event_id")).alias("t_id"),
+        last_touch(F.col("event_type")).alias("t_type"),
+        last_touch(F.unix_timestamp("ts")).alias("t_epoch"),
+    )
+    purchases = carried.where(F.col("event_type") == ATTR_CONVERT_TYPE)
+    in_window = (
+        F.col("t_id").isNotNull()
+        & ((F.col("ts_epoch") - F.col("t_epoch")) <= ATTR_LOOKBACK_SEC)
+    )
+    return purchases.select(
+        "event_id",
+        "user_id",
+        round2_portable(F.col("value")).alias("value"),
+        F.when(in_window, F.col("t_id")).alias("touch_event_id"),
+        F.when(in_window, F.col("t_type")).alias("touch_type"),
+        F.when(in_window, F.col("ts_epoch") - F.col("t_epoch"))
+        .cast("long")
+        .alias("secs_since_touch"),
+        in_window.alias("attributed"),
+    ).orderBy("event_id")
+
+
+_ATTR_TOUCH_SQL = "', '".join(ATTR_TOUCH_TYPES)
+Q_X_ATTRIBUTION_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, ts
+  FROM events
+), carried AS (
+  SELECT event_id, user_id, event_type, value, ts_epoch,
+         last_value(CASE WHEN event_type IN ('{_ATTR_TOUCH_SQL}')
+                         THEN event_id END IGNORE NULLS)
+           OVER w AS t_id,
+         last_value(CASE WHEN event_type IN ('{_ATTR_TOUCH_SQL}')
+                         THEN event_type END IGNORE NULLS)
+           OVER w AS t_type,
+         last_value(CASE WHEN event_type IN ('{_ATTR_TOUCH_SQL}')
+                         THEN ts_epoch END IGNORE NULLS)
+           OVER w AS t_epoch
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       floor(value * 100 + 0.5) / 100 AS value,
+       CASE WHEN t_id IS NOT NULL
+                 AND ts_epoch - t_epoch <= {ATTR_LOOKBACK_SEC}
+            THEN t_id END AS touch_event_id,
+       CASE WHEN t_id IS NOT NULL
+                 AND ts_epoch - t_epoch <= {ATTR_LOOKBACK_SEC}
+            THEN t_type END AS touch_type,
+       CAST(CASE WHEN t_id IS NOT NULL
+                      AND ts_epoch - t_epoch <= {ATTR_LOOKBACK_SEC}
+                 THEN ts_epoch - t_epoch END AS BIGINT) AS secs_since_touch,
+       (t_id IS NOT NULL AND ts_epoch - t_epoch <= {ATTR_LOOKBACK_SEC})
+         AS attributed
+FROM carried
+WHERE event_type = '{ATTR_CONVERT_TYPE}'
+ORDER BY event_id
+"""

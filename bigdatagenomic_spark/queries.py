@@ -3510,6 +3510,16 @@ register(
 # content-defined chunking: hash-stable chunk boundaries + dup counts
 register("q_text_cdc_chunks", LP.q_text_cdc_chunks, LP.Q_TEXT_CDC_CHUNKS_SQL)
 
+# last-touch attribution over the events stream (single user-keyed window)
+register("q_x_attribution", RX.q_x_attribution, RX.Q_X_ATTRIBUTION_SQL)
+# common-neighbor (Jaccard) link prediction with the posting-cap hub mask
+from bigdatagenomic_spark.operators.graph import (  # noqa: E402
+    Q_GRAPH_LINKPRED_SQL as _LINKPRED_SQL,
+    q_graph_linkpred as _q_linkpred,
+)
+
+register("q_graph_linkpred", _q_linkpred, _LINKPRED_SQL)
+
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks registry entries in

@@ -210,3 +210,30 @@ def test_ivf_recall_bounds_and_agreement(spark):
         assert r.recall == round(r.n_hit / r.n_exact, 4)
     # the probe set covers most of the exact neighbors on testdata
     assert sum(r.n_hit for r in rows) / sum(r.n_exact for r in rows) >= 0.5
+
+
+def test_attribution_credits_within_lookback(spark):
+    from bigdatagenomic_spark.operators.relational_ext import (
+        ATTR_LOOKBACK_SEC,
+        ATTR_TOUCH_TYPES,
+    )
+
+    rows = _q("q_x_attribution")(spark, SF).collect()
+    assert rows  # every purchase appears, attributed or not
+    attributed = [r for r in rows if r.attributed]
+    unattributed = [r for r in rows if not r.attributed]
+    assert attributed and unattributed  # both outcomes occur on testdata
+    for r in attributed:
+        assert r.touch_type in ATTR_TOUCH_TYPES
+        assert 0 <= r.secs_since_touch <= ATTR_LOOKBACK_SEC
+    for r in unattributed:
+        assert r.touch_event_id is None and r.secs_since_touch is None
+
+
+def test_linkpred_scores_are_valid_jaccards(spark):
+    rows = _q("q_graph_linkpred")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.a_id < r.b_id
+        assert r.n_common >= 1
+        assert 0 < r.jacc <= 1.0
