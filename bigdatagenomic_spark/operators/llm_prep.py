@@ -1322,7 +1322,10 @@ GROUP BY doc_id ORDER BY doc_id
 # fuzzy eval-set decontamination (MinHash-LSH candidates + exact verify)
 # ---------------------------------------------------------------------------
 
-DECON_FUZZY_MOD = 41  # doc_id % 41 == 0 -> held-out eval split
+DECON_FUZZY_MOD = 19  # doc_id % 19 == 0 -> held-out eval split
+# (19 splits at least one planted near-dup pair at BOTH sf0.001 and
+# sf0.01, so the driver row and the pytest row are both non-trivial;
+# 41 left the sf0.01 result empty)
 DECON_FUZZY_THRESHOLD = 0.5  # shingle-Jaccard above this = contaminated
 
 

@@ -3475,7 +3475,7 @@ register(
 )
 
 # fuzzy train/eval decontamination: LSH candidates + exact-Jaccard verify
-# over the mod-41 eval split. Reuses the unbounded shingle/sig CTEs (the
+# over the mod-19 eval split. Reuses the unbounded shingle/sig CTEs (the
 # unused `common` CTE inside _shingles_cte_for is lazy — never evaluated).
 register(
     "q_x_decontam_fuzzy",
