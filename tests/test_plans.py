@@ -624,3 +624,37 @@ def test_dup_spans_frequency_shuffle_is_narrow(spark):
     assert h_exchanges, "expected an (h1, h2)-keyed exchange in:\n" + plan
     for s in h_exchanges:
         assert "span" not in s.split("Arguments:")[0], s
+
+
+def test_round9_ops_plan_shapes(spark):
+    """Shuffle-budget pins for the round-9 operators: the map-only ops
+    may shuffle only for their final deterministic ORDER BY (and a
+    1-row stats/agg exchange where declared); none may plan a
+    SortMergeJoin over corpus-sized streams."""
+    # TTR: pure scan projection + output sort
+    df = _df(spark, "q_text_ttr")
+    assert join_kinds(df) == []
+    assert exchange_count(df) <= 1
+    # BM25: 1-row stats aggregate + TakeOrdered, no corpus join
+    df = _df(spark, "q_text_bm25")
+    assert "SortMergeJoin" not in join_kinds(df)
+    assert exchange_count(df) <= 2
+    assert has_operator(df, "TakeOrderedAndProject")
+    # attribution: ONE user-keyed window exchange + output sort, no join
+    df = _df(spark, "q_x_attribution")
+    assert join_kinds(df) == []
+    assert exchange_count(df) <= 2
+    # OLS trend: one map-side-combined hash aggregate + output sort
+    df = _df(spark, "q_x_linreg")
+    assert join_kinds(df) == []
+    assert exchange_count(df) <= 2
+    plan = formatted_plan(df)
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+    # range search: scan + broadcast, NO window operator at all
+    df = _df(spark, "q_sim_range_search")
+    assert not has_operator(df, "Window")
+    assert "SortMergeJoin" not in join_kinds(df)
+    # CDC: chunk-hash window + output sort only; no join anywhere
+    df = _df(spark, "q_text_cdc_chunks")
+    assert join_kinds(df) == []
+    assert exchange_count(df) <= 2

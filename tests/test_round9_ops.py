@@ -238,3 +238,49 @@ def test_linkpred_scores_are_valid_jaccards(spark):
         assert r.a_id < r.b_id
         assert r.n_common >= 1
         assert 0 < r.jacc <= 1.0
+
+
+def test_cdc_boundaries_stable_under_prefix_edit(spark):
+    """THE content-defined-chunking guarantee (vs fixed-size blocks): an
+    edit only disturbs the chunks it touches. Prepending text to a
+    document must leave every chunk that starts after the edit's last
+    affected window with an IDENTICAL hash — that's why near-duplicate
+    docs share storage."""
+    from bigdatagenomic_spark.operators.llm_prep import CDC_W
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the merge "
+        "window stream sort join table scan batch value key part column "
+        "agg group row data line query fast slow small big customer "
+        "order filter hash spark dup error view click signup purchase"
+    )
+    edited = "PREFIX EDIT INSERTED HERE " + base
+    df = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id long, text string"
+    )
+    # run the same chunking expressions via a temp view + the operator's
+    # internal pipeline (reuse the registered query's logic by pointing
+    # load_table at a temp dir would be heavier; instead replicate via
+    # the oracle on DuckDB AND spark expressions through a local table)
+    import duckdb
+
+    import bigdatagenomic_spark.operators.llm_prep as LP
+
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    sql = LP.Q_TEXT_CDC_CHUNKS_SQL.replace("FROM documents", "FROM docs")
+    rows = con.sql(sql).fetchall()
+    by_doc = {0: [], 1: []}
+    for doc_id, idx, start, clen, chash, _ in rows:
+        by_doc[doc_id].append((start, clen, chash))
+    h0 = {h for (_, _, h) in by_doc[0]}
+    h1 = {h for (_, _, h) in by_doc[1]}
+    shared = h0 & h1
+    # all chunks of the ORIGINAL doc that begin after the first cut
+    # must reappear verbatim in the edited doc (the prefix edit can
+    # only disturb chunks up to the first boundary after the edit)
+    tail_chunks = [h for (s, _, h) in by_doc[0] if s > CDC_W]
+    assert tail_chunks, "fixture must produce multiple chunks"
+    missing = [h for h in tail_chunks[1:] if h not in h1]
+    assert not missing, f"CDC stability violated: {len(missing)} lost"
+    assert shared, "edited doc shares no chunks with the original"
