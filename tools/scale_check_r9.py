@@ -37,12 +37,18 @@ def force(df) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    opt_values = {
+        argv[i + 1]
+        for i, a in enumerate(argv)
+        if a.startswith("--") and i + 1 < len(argv)
+    }
+    args = [a for a in argv if not a.startswith("--") and a not in opt_values]
     corpus_dir = args[0] if len(args) > 0 else "/tmp/scale_corpus"
     rel_dir = args[1] if len(args) > 1 else "/tmp/scale_rel"
     out = None
-    if "--out" in sys.argv:
-        out = sys.argv[sys.argv.index("--out") + 1]
+    if "--out" in argv:
+        out = argv[argv.index("--out") + 1]
 
     from bigdatagenomic_spark.operators.llm_prep import (
         q_text_cdc_chunks,
