@@ -67,6 +67,10 @@ HEADLINE = [
     # per-query dict is the stable comparison)
     "q_sim_sq_topk",
     "q_graph_kcore",
+    # round 9: the heaviest new map-side pass (CDC boundary hashing +
+    # chunk-hash dup window) and the single-window event family
+    "q_text_cdc_chunks",
+    "q_x_attribution",
 ]
 
 
