@@ -198,3 +198,214 @@ def test_linreg_oracle_matches_exact_fractions(points):
         """
     ).fetchone()
     assert row == (slope, icept)
+
+
+def _bm25_python(docs, terms, k1, b, top_n):
+    import re
+
+    tok = {
+        d: [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        for d, text in docs.items()
+    }
+    perdoc = {d: t for d, t in tok.items() if len(t) > 0}
+    if not perdoc:
+        return []
+    n_docs = len(perdoc)
+    avgdl = sum(len(t) for t in perdoc.values()) / n_docs
+    df = {
+        term: sum(1 for t in perdoc.values() if term in t) for term in terms
+    }
+    rows = []
+    for d, t in perdoc.items():
+        score, n_match = 0.0, 0
+        for term in terms:
+            tf = sum(1 for x in t if x == term)
+            idf = math.log(1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+            denom = tf + k1 * ((1.0 - b) + b * len(t) / avgdl)
+            score = score + (idf * (tf * (k1 + 1.0)) / denom)
+            n_match += 1 if tf > 0 else 0
+        rows.append((d, n_match, math.floor(score * 10000 + 0.5) / 10000))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return rows[:top_n]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("abcdefg "),
+            min_size=1,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bm25_oracle_matches_python_reference(texts):
+    import bigdatagenomic_spark.operators.text as T
+
+    con = duckdb.connect()
+    con.register(
+        "docs",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    sql = T._bm25_oracle_sql().replace("FROM documents", "FROM docs")
+    got = con.sql(sql).fetchall()
+    want = _bm25_python(
+        dict(enumerate(texts)), T.BM25_QUERY_TERMS, T.BM25_K1, T.BM25_B,
+        T.BM25_TOP_N,
+    )
+    assert got == want
+
+
+def _ppr_python(edges, n_sources, n_iter, damping):
+    verts = sorted({a for a, _ in edges} | {b for _, b in edges})
+    srcs = verts[:n_sources]
+    ns = float(len(srcs))
+    p = {v: (1.0 / ns if v in srcs else 0.0) for v in verts}
+    outd = {}
+    for a, _ in edges:
+        outd[a] = outd.get(a, 0) + 1
+    rank = dict(p)
+    for _ in range(n_iter):
+        recv = {v: 0.0 for v in verts}
+        for a, b in edges:
+            recv[b] += rank[a] / outd[a]
+        dmass = sum(rank[v] for v in verts if v not in outd)
+        rank = {
+            v: (1.0 - damping) * p[v]
+            + damping * (recv[v] + dmass * p[v])
+            for v in verts
+        }
+    return {
+        v: math.floor(r * 10000 + 0.5) / 10000 for v, r in rank.items()
+    }
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_ppr_oracle_matches_python_power_iteration(raw_edges):
+    from bigdatagenomic_spark.operators.graph import (
+        PPR_N_SOURCES,
+        _ppr_oracle_sql,
+    )
+
+    edges = sorted({(a, b) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    # feed the oracle a synthetic orders table that reproduces exactly
+    # these edges through its own (o_orderkey, o_custkey) chain: row k
+    # has custkey=src_k, row k+1000000 unreachable — instead rebuild the
+    # oracle's edge CTE by injecting a literal edge relation
+    sql = _ppr_oracle_sql()
+    edge_rows = ", ".join(f"({a}, {b})" for a, b in edges)
+    inject = (
+        "  edges AS (SELECT * FROM (VALUES " + edge_rows
+        + ") AS t(src, dst)),"
+    )
+    # drop the o/nxt/edges CTEs, splice the literal edges in
+    head, rest = sql.split("  edges AS (SELECT DISTINCT src, dst FROM nxt"
+                           " WHERE src <> dst),")
+    head = head.split("  o AS")[0]
+    sql2 = head + inject + rest
+    con = duckdb.connect()
+    got = dict((v, r) for v, r in con.sql(sql2).fetchall())
+    want = _ppr_python(edges, PPR_N_SOURCES, 8, 0.85)
+    # float-sum order differs python vs SQL; compare at the rounded grid
+    # with a 1-ulp-at-1e-4 tolerance
+    assert set(got) == set(want)
+    for v in got:
+        assert abs(got[v] - want[v]) <= 1e-4 + 1e-9
+
+
+def _attr_python(events, touch_types, convert, lookback):
+    rows = []
+    by_user: dict = {}
+    for e in events:
+        by_user.setdefault(e["user_id"], []).append(e)
+    for _, evs in by_user.items():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        last = None
+        for e in evs:
+            if e["event_type"] == convert:
+                ok = (
+                    last is not None
+                    and e["ts"] - last["ts"] <= lookback
+                )
+                rows.append(
+                    (
+                        e["event_id"],
+                        e["user_id"],
+                        last["event_id"] if ok else None,
+                        last["event_type"] if ok else None,
+                        e["ts"] - last["ts"] if ok else None,
+                        ok,
+                    )
+                )
+            if e["event_type"] in touch_types:
+                last = e
+    rows.sort(key=lambda r: r[0])
+    return rows
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),  # user
+            st.integers(0, 100000),  # ts seconds
+            st.sampled_from(["click", "view", "signup", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_attribution_oracle_matches_python_reference(raw):
+    from bigdatagenomic_spark.operators.relational_ext import (
+        ATTR_CONVERT_TYPE,
+        ATTR_LOOKBACK_SEC,
+        ATTR_TOUCH_TYPES,
+        Q_X_ATTRIBUTION_SQL,
+    )
+
+    events = [
+        {
+            "event_id": i,
+            "user_id": u,
+            "ts": ts,
+            "event_type": et,
+        }
+        for i, (u, ts, et) in enumerate(raw)
+    ]
+    con = duckdb.connect()
+    con.register(
+        "ev",
+        pd.DataFrame(
+            {
+                "event_id": [e["event_id"] for e in events],
+                "user_id": [e["user_id"] for e in events],
+                "event_type": [e["event_type"] for e in events],
+                "value": [1.0] * len(events),
+                "ts": pd.to_datetime(
+                    [e["ts"] for e in events], unit="s"
+                ),
+            }
+        ),
+    )
+    con.sql("CREATE VIEW events AS SELECT * FROM ev")
+    got = [
+        (eid, uid, tid, ttype, secs, attr)
+        for (eid, uid, _v, tid, ttype, secs, attr) in con.sql(
+            Q_X_ATTRIBUTION_SQL
+        ).fetchall()
+    ]
+    want = _attr_python(
+        events, set(ATTR_TOUCH_TYPES), ATTR_CONVERT_TYPE, ATTR_LOOKBACK_SEC
+    )
+    assert got == want
