@@ -409,3 +409,85 @@ def test_attribution_oracle_matches_python_reference(raw):
         events, set(ATTR_TOUCH_TYPES), ATTR_CONVERT_TYPE, ATTR_LOOKBACK_SEC
     )
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 8)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_linkpred_oracle_matches_python_reference(raw):
+    from bigdatagenomic_spark.operators.graph import (
+        LINKPRED_MAX_POSTING,
+        Q_GRAPH_LINKPRED_SQL,
+    )
+
+    edges = sorted({(o, p) for o, p in raw})
+    con = duckdb.connect()
+    con.register(
+        "li",
+        pd.DataFrame(
+            {
+                "l_orderkey": [o for o, _ in edges],
+                "l_partkey": [p for _, p in edges],
+            }
+        ),
+    )
+    con.sql("CREATE VIEW lineitem AS SELECT * FROM li")
+    got = con.sql(Q_GRAPH_LINKPRED_SQL).fetchall()
+    # reference: cap hub parts, jaccard of kept neighborhoods
+    from collections import Counter, defaultdict
+
+    posting = Counter(p for _, p in edges)
+    kept = [(o, p) for o, p in edges if posting[p] <= LINKPRED_MAX_POSTING]
+    nbr = defaultdict(set)
+    for o, p in kept:
+        nbr[o].add(p)
+    want = []
+    orders = sorted(nbr)
+    for i, a in enumerate(orders):
+        for b in orders[i + 1 :]:
+            c = len(nbr[a] & nbr[b])
+            if c:
+                j = c / (len(nbr[a]) + len(nbr[b]) - c)
+                want.append((a, b, c, _round4_like_sql(j)))
+    assert got == want
+
+
+def _round4_like_sql(x: float) -> float:
+    # DuckDB round(): half away from zero on the same double
+    s = 1 if x >= 0 else -1
+    return s * math.floor(abs(x) * 10000 + 0.5) / 10000
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("ab c1"), max_size=30),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ttr_oracle_matches_python_reference(texts):
+    import re
+
+    from bigdatagenomic_spark.operators.text import Q_TEXT_TTR_SQL
+
+    con = duckdb.connect()
+    con.register(
+        "docs", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    sql = Q_TEXT_TTR_SQL.replace("FROM documents", "FROM docs")
+    got = con.sql(sql).fetchall()
+    want = []
+    for d, text in enumerate(texts):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if not toks:
+            continue
+        want.append(
+            (d, len(toks), len(set(toks)), len(set(toks)) * 1_000_000 // len(toks))
+        )
+    assert got == want
