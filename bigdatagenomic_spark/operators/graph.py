@@ -1725,3 +1725,213 @@ JOIN deg da ON c.a_id = da.id
 JOIN deg db ON c.b_id = db.id
 ORDER BY c.a_id, c.b_id
 """
+
+
+# ---------------------------------------------------------------------------
+# GNN-style neighborhood feature aggregation (2-hop mean propagation)
+# ---------------------------------------------------------------------------
+
+NEIGHBOR_AGG_MAX_ORDERKEY = 2000  # bounded deterministic graph slice
+
+
+def q_graph_neighbor_agg(spark, sf_dir: str) -> DataFrame:
+    """Two-layer GraphSAGE-mean-style feature propagation over the
+    customer co-order graph: layer 1 aggregates each vertex's neighbor
+    account balances, layer 2 aggregates the neighbors' layer-1
+    aggregates — the feature-engineering primitive GNN pipelines
+    precompute at corpus scale (2-hop "social proof" features).
+
+    Integer-exact by construction: the vertex feature is the balance
+    in CENTS (BIGINT), every layer emits (sum, count) pairs — long
+    addition is order-independent — and the mean is published as the
+    truncated ``1000*sum div weight`` milli-value; no float aggregate
+    crosses the engine boundary.
+
+    Scale shape: each layer is ONE aggregateMessages superstep (edge
+    join + map-side-combined sum on the vertex key) — the exact GAS
+    gather of the reference (assembly_final.cpp:264-272) with a narrow
+    (id, sum, cnt) message, never the neighborhood itself; 2 layers =
+    2 shuffles on vertex id regardless of corpus size.
+    """
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < NEIGHBOR_AGG_MAX_ORDERKEY
+    )
+    nxt = o.select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("src")
+    ).join(
+        o.select((F.col("o_orderkey") - 1).alias("k"), F.col("o_custkey").alias("dst")),
+        "k",
+    )
+    directed = nxt.select("src", "dst").where(F.col("src") != F.col("dst"))
+    # undirected neighbor SET: both directions, deduped
+    nbrs = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("feat_cents"),
+    )
+    # layer 1: gather neighbor features
+    h1 = (
+        nbrs.join(cust, nbrs["dst"] == cust["id"])
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.sum("feat_cents").cast("long").alias("h1_sum"),
+            F.count("*").cast("long").alias("deg"),
+        )
+    )
+    # layer 2: gather neighbor (h1_sum, deg) pairs
+    h2 = (
+        nbrs.join(h1, nbrs["dst"] == h1["id"])
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.sum("h1_sum").cast("long").alias("h2_sum"),
+            F.sum("deg").cast("long").alias("h2_wt"),
+        )
+    )
+    return (
+        h1.join(h2, "id", "left")
+        .select(
+            "id",
+            "deg",
+            "h1_sum",
+            F.expr("1000 * h1_sum div deg").alias("h1_milli"),
+            F.coalesce("h2_sum", F.lit(0)).alias("h2_sum"),
+            F.coalesce("h2_wt", F.lit(0)).alias("h2_wt"),
+            F.coalesce(F.expr("1000 * h2_sum div h2_wt"), F.lit(0)).alias(
+                "h2_milli"
+            ),
+        )
+        .orderBy("id")
+    )
+
+
+Q_GRAPH_NEIGHBOR_AGG_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderkey < {NEIGHBOR_AGG_MAX_ORDERKEY}),
+nxt AS (
+  SELECT a.o_custkey AS src, b.o_custkey AS dst
+  FROM o a JOIN o b ON b.o_orderkey = a.o_orderkey + 1
+  WHERE a.o_custkey <> b.o_custkey),
+nbrs AS (
+  SELECT DISTINCT src, dst FROM
+    (SELECT src, dst FROM nxt UNION ALL SELECT dst, src FROM nxt)),
+cust AS (
+  SELECT c_custkey AS id, CAST(round(c_acctbal * 100) AS BIGINT) AS feat_cents
+  FROM customer),
+h1 AS (
+  SELECT n.src AS id, CAST(sum(c.feat_cents) AS BIGINT) AS h1_sum,
+         CAST(count(*) AS BIGINT) AS deg
+  FROM nbrs n JOIN cust c ON n.dst = c.id GROUP BY n.src),
+h2 AS (
+  SELECT n.src AS id, CAST(sum(h.h1_sum) AS BIGINT) AS h2_sum,
+         CAST(sum(h.deg) AS BIGINT) AS h2_wt
+  FROM nbrs n JOIN h1 h ON n.dst = h.id GROUP BY n.src)
+SELECT h1.id, h1.deg, h1.h1_sum,
+       1000 * h1.h1_sum // h1.deg AS h1_milli,
+       coalesce(h2.h2_sum, 0) AS h2_sum,
+       coalesce(h2.h2_wt, 0) AS h2_wt,
+       coalesce(1000 * h2.h2_sum // h2.h2_wt, 0) AS h2_milli
+FROM h1 LEFT JOIN h2 ON h1.id = h2.id
+ORDER BY h1.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-seeded random walks (node2vec-style sampling)
+# ---------------------------------------------------------------------------
+
+WALK_N_STARTS = 50
+WALK_STEPS = 3
+
+
+def q_graph_walks(spark, sf_dir: str) -> DataFrame:
+    """Fixed-length graph walks from a bounded start set — the
+    node2vec/DeepWalk sampling primitive that feeds embedding trainers.
+    The next hop from ``v`` at step ``s`` is the out-neighbor
+    minimizing ``md5(s:src:dst)`` — hash-argmin instead of an RNG, the
+    codebase's standard derandomization (q_x_sample_hash, corpus_mix):
+    the walk distribution is uniform-ish over neighbors, reproducible
+    across engines and retries, and each step is pure relational
+    algebra. Dead ends carry NULL for the remaining positions (walks
+    never restart).
+
+    Scale shape: one equi-join (frontier x out-edges on the current
+    vertex) + one map-side-combined min-struct aggregate per step —
+    the frontier row count never exceeds the walker count, so cost is
+    O(steps) narrow supersteps, not O(paths); at a billion walkers the
+    shuffles stay (walk_id, vertex)-wide.
+    """
+    from bigdatagenomic_spark.functions import md5_long
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < NEIGHBOR_AGG_MAX_ORDERKEY
+    )
+    nxt = o.select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("src")
+    ).join(
+        o.select((F.col("o_orderkey") - 1).alias("k"), F.col("o_custkey").alias("dst")),
+        "k",
+    )
+    edges = nxt.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    starts = (
+        edges.select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(WALK_N_STARTS)
+        .select(F.col("src").alias("walk_id"), F.col("src").alias("v0"))
+    )
+    walks = starts
+    for s in range(1, WALK_STEPS + 1):
+        cur = f"v{s - 1}"
+        h = md5_long(
+            F.concat_ws(":", F.lit(s), F.col("src"), F.col("dst"))
+        )
+        pick = (
+            walks.join(edges, walks[cur] == edges["src"])
+            .groupBy("walk_id")
+            .agg(F.min(F.struct(h.alias("h"), F.col("dst").alias("d")))["d"].alias(f"v{s}"))
+        )
+        walks = walks.join(pick, "walk_id", "left")
+    return walks.orderBy("walk_id")
+
+
+def _walks_oracle_sql() -> str:
+    base = f"""
+  o AS (SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderkey < {NEIGHBOR_AGG_MAX_ORDERKEY}),
+  edges AS (SELECT DISTINCT a.o_custkey AS src, b.o_custkey AS dst
+            FROM o a JOIN o b ON b.o_orderkey = a.o_orderkey + 1
+            WHERE a.o_custkey <> b.o_custkey),
+  w0 AS (SELECT src AS walk_id, src AS v0 FROM
+           (SELECT DISTINCT src FROM edges ORDER BY src
+            LIMIT {WALK_N_STARTS}))"""
+    steps = []
+    for s in range(1, WALK_STEPS + 1):
+        steps.append(f"""
+  p{s} AS (
+    SELECT walk_id, dst AS v{s} FROM (
+      SELECT w.walk_id, e.dst,
+             row_number() OVER (
+               PARTITION BY w.walk_id
+               ORDER BY CAST('0x' || substr(md5(concat_ws(':', {s}, e.src,
+                         e.dst)), 1, 15) AS BIGINT), e.dst) AS rn
+      FROM w{s - 1} w JOIN edges e ON w.v{s - 1} = e.src)
+    WHERE rn = 1),
+  w{s} AS (
+    SELECT w.*, p.v{s} FROM w{s - 1} w LEFT JOIN p{s} p USING (walk_id))""")
+    return (
+        "WITH" + base + "," + ",".join(steps)
+        + f"""
+SELECT * FROM w{WALK_STEPS} ORDER BY walk_id"""
+    )
+
+
+Q_GRAPH_WALKS_SQL = _walks_oracle_sql()

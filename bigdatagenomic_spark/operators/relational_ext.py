@@ -2662,3 +2662,64 @@ FROM carried
 WHERE event_type = '{ATTR_CONVERT_TYPE}'
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) query
+# ---------------------------------------------------------------------------
+
+def q_x_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over parts: every part not dominated on
+    (minimize p_retailprice, maximize p_size) — the Pareto-frontier
+    query (Börzsönyi et al., ICDE 2001) behind "best tradeoff"
+    shortlists. A part is dominated when some other part is
+    cheaper-or-equal AND bigger-or-equal with at least one strict.
+
+    The naive NOT EXISTS dominance test is an O(n²) inequality
+    self-join. The 2-D skyline admits a linear formulation: group to
+    per-price max sizes, and a price level is on the frontier iff its
+    max size beats the EXCLUSIVE running max over all strictly cheaper
+    price levels — a record-detection pass. That prefix max runs
+    through :func:`two_phase_prefix_max` (range-partitioned, pinned
+    pids, broadcast offsets), so there is NO single-partition window
+    and no quadratic join at any cardinality; the final join back to
+    part rows is an equi-join on (price, size). Ties: equal (price,
+    size) rows do not dominate each other (no strict coordinate), so
+    all of them stay — the groupBy/join-back reproduces exactly the
+    NOT EXISTS semantics (pinned by the brute-force property test).
+    """
+    from bigdatagenomic_spark.operators.scale import two_phase_prefix_max
+
+    p = load_table(spark, sf_dir, "part")
+    m = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("msize")
+    )
+    pm = two_phase_prefix_max(
+        m, "msize", [F.col("price").asc()], out_col="_pm", inclusive=False
+    )
+    sky = pm.where(F.col("_pm").isNull() | (F.col("msize") > F.col("_pm")))
+    return (
+        p.join(
+            sky,
+            (p["p_retailprice"] == sky["price"]) & (p["p_size"] == sky["msize"]),
+            "left_semi",
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+Q_X_SKYLINE_SQL = """
+WITH m AS (
+  SELECT p_retailprice AS price, max(p_size) AS msize
+  FROM part GROUP BY p_retailprice),
+w AS (
+  SELECT price, msize,
+         max(msize) OVER (ORDER BY price
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM m),
+sky AS (SELECT price, msize FROM w WHERE pm IS NULL OR msize > pm)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p JOIN sky s ON p.p_retailprice = s.price AND p.p_size = s.msize
+ORDER BY p.p_partkey
+"""

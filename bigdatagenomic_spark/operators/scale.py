@@ -601,3 +601,202 @@ def q_x_zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_X_ZORDER_VALUE_SQL = (
     """SELECT o_orderkey, CAST((((o_custkey >> 0) & 1) << 0) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 0) & 1) << 1) + (((o_custkey >> 1) & 1) << 2) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 1) & 1) << 3) + (((o_custkey >> 2) & 1) << 4) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 2) & 1) << 5) + (((o_custkey >> 3) & 1) << 6) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 3) & 1) << 7) + (((o_custkey >> 4) & 1) << 8) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 4) & 1) << 9) + (((o_custkey >> 5) & 1) << 10) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 5) & 1) << 11) + (((o_custkey >> 6) & 1) << 12) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 6) & 1) << 13) + (((o_custkey >> 7) & 1) << 14) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 7) & 1) << 15) + (((o_custkey >> 8) & 1) << 16) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 8) & 1) << 17) + (((o_custkey >> 9) & 1) << 18) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 9) & 1) << 19) + (((o_custkey >> 10) & 1) << 20) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 10) & 1) << 21) + (((o_custkey >> 11) & 1) << 22) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 11) & 1) << 23) + (((o_custkey >> 12) & 1) << 24) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 12) & 1) << 25) + (((o_custkey >> 13) & 1) << 26) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 13) & 1) << 27) + (((o_custkey >> 14) & 1) << 28) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 14) & 1) << 29) + (((o_custkey >> 15) & 1) << 30) + ((( CAST(floor(o_totalprice / 1000) AS BIGINT) >> 15) & 1) << 31) AS BIGINT) AS zval FROM orders ORDER BY o_orderkey"""
 )
+
+
+# ---------------------------------------------------------------------------
+# two-phase prefix max (the running-max sibling of two_phase_cumsum)
+# ---------------------------------------------------------------------------
+
+def two_phase_prefix_max(
+    df: DataFrame,
+    val_col: str,
+    order_cols: list,
+    n_parts: int | None = None,
+    out_col: str = "prefix_max",
+    inclusive: bool = False,
+) -> DataFrame:
+    """Exact running max of ``val_col`` in ``order_cols`` order WITHOUT
+    a single-partition window — same machinery as
+    :func:`two_phase_cumsum` (range-repartition with pinned partition
+    ids, bounded per-partition offsets, local window + broadcast
+    offset), but for MAX, which is associative AND idempotent, so it
+    composes across the range boundaries for any comparable type.
+    ``inclusive=False`` gives the EXCLUSIVE prefix (strictly-preceding
+    rows; NULL for the global first row) — the record-detection /
+    skyline primitive. ``order_cols`` must be a total order.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parts = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    maxes = parts.groupBy("_pid").agg(F.max(val_col).alias("_m")).collect()
+    acc = None
+    off_rows = []
+    for pid, m in sorted((r["_pid"], r["_m"]) for r in maxes):
+        off_rows.append((pid, acc))
+        if m is not None:
+            acc = m if acc is None or m > acc else acc
+    schema = StructType(
+        [
+            StructField("_pid", IntegerType()),
+            StructField("_off", parts.schema[val_col].dataType, True),
+        ]
+    )
+    off_df = df.sparkSession.createDataFrame(off_rows, schema)
+    end = 0 if inclusive else -1
+    local = F.max(val_col).over(
+        W.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+            W.unboundedPreceding, end
+        )
+    )
+    return (
+        parts.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(out_col, F.greatest(F.col("_off"), local))
+        .drop("_pid", "_off")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join reduction (runtime-filter pattern, made explicit)
+# ---------------------------------------------------------------------------
+
+BJ_M = 8192   # bloom bits
+BJ_K = 2      # salted hashes per key
+BJ_NATION = 3  # selective dim predicate
+
+
+def _bj_positions(key) -> list:
+    from bigdatagenomic_spark.functions import md5_long
+
+    return [
+        (md5_long(F.concat(F.lit(f"bj{i}|"), key.cast("string"))) % BJ_M).alias(
+            f"_p{i}"
+        )
+        for i in range(BJ_K)
+    ]
+
+
+def q_x_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: per-supplier volume for ONE
+    nation's suppliers, with the fact side pre-filtered through a
+    bounded Bloom sketch of the reduced dim keys BEFORE any join or
+    shuffle — the explicit form of Spark's runtime bloom filter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) and of
+    warehouse sideways information passing, as an operator the engine
+    controls and the oracle can check.
+
+    Exactness: the Bloom pass only REMOVES rows that cannot join
+    (no false negatives); false positives are eliminated by the exact
+    equi-join that follows, so the result is hash-identical to the
+    plain join — the sketch is pure plan shape. The DuckDB oracle is
+    the plain join.
+
+    Scale shape: the set-bit table is ≤ min(2*|dim_keys|, 8192) rows
+    no matter how large the dim is, and membership is BJ_K chained
+    BROADCAST left-semi joins on the bit position — map-side, zero
+    fact shuffle, no explode (an explode+groupBy membership test would
+    re-shuffle the whole fact). At 100 TB this is the difference
+    between shuffling the full lineitem and shuffling only the ~1/25
+    that survives the nation filter.
+    """
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == BJ_NATION)
+        .select("s_suppkey")
+    )
+    bits = None
+    for i in range(BJ_K):
+        p = sup.select(_bj_positions(F.col("s_suppkey"))[i].alias("pos"))
+        bits = p if bits is None else bits.unionByName(p)
+    bits = bits.distinct()
+    li = load_table(spark, sf_dir, "lineitem")
+    probe = li.select(
+        "l_suppkey", "l_quantity", *_bj_positions(F.col("l_suppkey"))
+    )
+    for i in range(BJ_K):
+        probe = probe.join(
+            F.broadcast(bits.withColumnRenamed("pos", f"_p{i}")),
+            f"_p{i}",
+            "left_semi",
+        )
+    return (
+        probe.join(F.broadcast(sup), probe["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q_X_BLOOM_JOIN_SQL = f"""
+SELECT s.s_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+WHERE s.s_nationkey = {BJ_NATION}
+GROUP BY s.s_suppkey ORDER BY s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join-size / skew estimation WITHOUT running the join
+# ---------------------------------------------------------------------------
+
+def q_x_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact output cardinality + skew profile of the events-x-events
+    self-join on user_id, computed from per-key counts — O(distinct
+    keys) work instead of O(join output). The capacity-planning
+    primitive behind every "will this join fit" decision at 100 TB:
+    ``|A ⋈ B| = sum_k n_A(k) * n_B(k)`` needs only the two count
+    tables, and the argmax term is the skew culprit AQE's skew-join
+    split (or a salting pass) will have to handle. One
+    map-side-combined count aggregate + two 1-row reductions; the join
+    itself never runs.
+    """
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    contrib = per_key.select(
+        "user_id", (F.col("n") * F.col("n")).cast("long").alias("pairs")
+    )
+    totals = contrib.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("pairs").cast("long").alias("est_rows"),
+    )
+    top = (
+        contrib.select(
+            F.max(F.struct(F.col("pairs"), F.col("user_id"))).alias("_t")
+        )
+        .select(
+            F.col("_t.user_id").alias("top_user_id"),
+            F.col("_t.pairs").alias("top_pairs"),
+        )
+    )
+    return totals.crossJoin(F.broadcast(top))
+
+
+Q_X_JOIN_SIZE_SQL = """
+WITH per_key AS (
+  SELECT user_id, count(*) AS n FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id),
+contrib AS (
+  SELECT user_id, CAST(n * n AS BIGINT) AS pairs FROM per_key),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(pairs) AS BIGINT) AS est_rows FROM contrib),
+top AS (
+  SELECT user_id AS top_user_id, pairs AS top_pairs
+  FROM contrib ORDER BY pairs DESC, user_id DESC LIMIT 1)
+SELECT t.n_keys, t.est_rows, p.top_user_id, p.top_pairs
+FROM totals t CROSS JOIN top p
+"""

@@ -1147,3 +1147,215 @@ SELECT grp, CAST(n AS BIGINT) AS n,
              * 1000000 + 0.5) / 1000000 AS intercept_cents
 FROM s ORDER BY grp
 """
+
+
+# ---------------------------------------------------------------------------
+# Level-shift changepoint screen (rolling before/after window contrast)
+# ---------------------------------------------------------------------------
+
+LEVEL_SHIFT_W = 7  # observed-days window on each side of the candidate day
+
+
+def q_x_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift changepoint screen over the per-type daily volumes.
+
+    The monitoring sibling of q_x_volume_anomalies: instead of flagging
+    single-day outliers against the global mean, contrast the total
+    volume of the LEVEL_SHIFT_W observed days before each day with the
+    window starting at the day itself — a sustained regime change
+    (traffic migration, pipeline stall, source cutover) moves the whole
+    window, not one point. A day is flagged when the relative contrast
+    exceeds 30% of the pooled mean, tested integer-exactly by
+    cross-multiplication: ``20*|next-prev| >= 3*(prev+next)`` — no
+    float ever crosses the engine boundary.
+
+    Windows count OBSERVED days (rows of the daily aggregate), not
+    calendar days — densify with q_x_resample_ffill first if gap
+    semantics matter. Scale: the window runs over the PRE-AGGREGATED
+    (type, day) series — bounded by calendar x type cardinality at any
+    raw-event volume — after one map-side-combinable count aggregate,
+    the same shape as q_x_volume_anomalies.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n_rows"))
+    w = W.partitionBy("event_type").orderBy("day")
+    prev_w = w.rowsBetween(-LEVEL_SHIFT_W, -1)
+    next_w = w.rowsBetween(0, LEVEL_SHIFT_W - 1)
+    out = daily.select(
+        "event_type",
+        "day",
+        "n_rows",
+        F.sum("n_rows").over(prev_w).cast("long").alias("prev_total"),
+        F.count("n_rows").over(prev_w).alias("_np"),
+        F.sum("n_rows").over(next_w).cast("long").alias("next_total"),
+        F.count("n_rows").over(next_w).alias("_nn"),
+    ).where(
+        (F.col("_np") == LEVEL_SHIFT_W) & (F.col("_nn") == LEVEL_SHIFT_W)
+    )
+    delta = F.col("next_total") - F.col("prev_total")
+    return out.select(
+        "event_type",
+        "day",
+        "n_rows",
+        "prev_total",
+        "next_total",
+        delta.alias("delta"),
+        (
+            F.abs(delta) * 20 >= 3 * (F.col("prev_total") + F.col("next_total"))
+        ).alias("is_shift"),
+    ).orderBy("event_type", "day")
+
+
+Q_X_LEVEL_SHIFT_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)),
+win AS (
+  SELECT event_type, day, n_rows,
+         CAST(sum(n_rows) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN {LEVEL_SHIFT_W} PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS prev_total,
+         count(n_rows) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN {LEVEL_SHIFT_W} PRECEDING AND 1 PRECEDING)
+              AS _np,
+         CAST(sum(n_rows) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN CURRENT ROW AND {LEVEL_SHIFT_W - 1} FOLLOWING)
+              AS BIGINT) AS next_total,
+         count(n_rows) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN CURRENT ROW AND {LEVEL_SHIFT_W - 1} FOLLOWING)
+              AS _nn
+  FROM daily)
+SELECT event_type, day, n_rows, prev_total, next_total,
+       next_total - prev_total AS delta,
+       abs(next_total - prev_total) * 20 >= 3 * (prev_total + next_total)
+         AS is_shift
+FROM win WHERE _np = {LEVEL_SHIFT_W} AND _nn = {LEVEL_SHIFT_W}
+ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Probability-calibration report (reliability bins + ECE numerators)
+# ---------------------------------------------------------------------------
+
+CALIB_N_BINS = 10
+
+
+def q_x_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a scored binary outcome — the
+    model-monitoring readout behind expected-calibration-error (ECE):
+    bucket predictions by score decile, compare the bucket's mean
+    predicted probability with its observed positive rate.
+
+    The score here is the engine-portable md5 grid over event ids
+    (``pmod(md5_long(id), 1000) / 1000`` — a stand-in for a model
+    score column, same device as q_x_sample_hash), the label is
+    ``event_type = 'purchase'``. Everything emitted is integer-exact:
+    per bin ``n``, positives, the milli-score sum, and the ECE
+    numerator ``|1000*n_pos - sum_score_milli|`` (the bin's
+    |accuracy-confidence| gap scaled by 1000*n) — the caller divides by
+    1000*N once; no float average ever crosses the engine boundary
+    (the round-5 grid-average gotcha).
+
+    Scale: one map-only projection + one CALIB_N_BINS-row hash
+    aggregate; map-side combinable, no window, no join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    score_milli = F.pmod(md5_long(F.col("event_id").cast("string")), F.lit(1000))
+    s = ev.select(
+        (score_milli * CALIB_N_BINS).cast("long").alias("_sm1000"),
+        score_milli.cast("long").alias("score_milli"),
+        (F.col("event_type") == "purchase").cast("long").alias("label"),
+    )
+    return (
+        s.groupBy(F.expr("_sm1000 div 1000").cast("long").alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.sum("score_milli").cast("long").alias("sum_score_milli"),
+        )
+        .withColumn(
+            "ece_num_milli",
+            F.abs(F.lit(1000) * F.col("n_pos") - F.col("sum_score_milli")),
+        )
+        .orderBy("bin")
+    )
+
+
+Q_X_CALIBRATION_SQL = f"""
+WITH s AS (
+  SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 1000 AS score_milli,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events)
+SELECT CAST(score_milli * {CALIB_N_BINS} // 1000 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(label) AS BIGINT) AS n_pos,
+       CAST(sum(score_milli) AS BIGINT) AS sum_score_milli,
+       CAST(abs(1000 * sum(label) - sum(score_milli)) AS BIGINT)
+         AS ece_num_milli
+FROM s GROUP BY 1 ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization (PAA + rank breakpoints) of the daily order series
+# ---------------------------------------------------------------------------
+
+SAX_WEEK_DAYS = 7
+SAX_ALPHABET = 4  # quartile symbols a..d
+
+
+def q_x_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolization of the daily order-volume series
+    (Lin et al. 2003's PAA + breakpoint discretization, adapted to
+    rank breakpoints for engine exactness).
+
+    Piecewise Aggregate Approximation: calendar-aligned 7-day chunks
+    (``epoch_day div 7``) reduce the daily series to one integer total
+    per week; each chunk is then assigned one of SAX_ALPHABET symbols
+    by QUARTILE RANK over the chunk totals (``ntile`` on the
+    (total, chunk) total order) — rank breakpoints instead of the
+    paper's Gaussian breakpoints, so the symbolization is exact
+    integer/rank arithmetic in both engines (the z-normalized Gaussian
+    variant needs mean/stddev floats that can straddle a bin edge).
+    The symbol string is the standard motif-mining / similarity-search
+    representation for long series.
+
+    Scale: the chunk aggregate is map-side combinable on raw orders;
+    the ntile window runs over the PRE-AGGREGATED weekly series —
+    calendar-bounded cardinality (~52 rows/year) at any order volume.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
+    weekly = o.groupBy(
+        F.floor(F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")) / SAX_WEEK_DAYS)
+        .cast("long")
+        .alias("week")
+    ).agg(F.count("*").cast("long").alias("paa_total"))
+    q = F.ntile(SAX_ALPHABET).over(W.orderBy("paa_total", "week"))
+    return (
+        weekly.select("week", "paa_total", q.alias("quartile"))
+        .withColumn(
+            "symbol", F.substring(F.lit("abcd"), F.col("quartile"), 1)
+        )
+        .orderBy("week")
+    )
+
+
+Q_X_SAX_SQL = f"""
+WITH weekly AS (
+  SELECT CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+              // {SAX_WEEK_DAYS} AS BIGINT) AS week,
+         CAST(count(*) AS BIGINT) AS paa_total
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1)
+SELECT week, paa_total,
+       ntile({SAX_ALPHABET}) OVER (ORDER BY paa_total, week) AS quartile,
+       substr('abcd', ntile({SAX_ALPHABET}) OVER (ORDER BY paa_total, week), 1)
+         AS symbol
+FROM weekly ORDER BY week
+"""

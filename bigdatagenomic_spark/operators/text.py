@@ -1243,3 +1243,149 @@ FROM perdoc CROSS JOIN stats
 ORDER BY score DESC, doc_id
 LIMIT {BM25_TOP_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy quality screen
+# ---------------------------------------------------------------------------
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy — the information-density
+    quality screen between q_text_ttr (pure type/token counts) and the
+    LM proxies (q_text_unigram_logprob): template spam and keyword
+    stuffing concentrate probability mass on a few tokens and score a
+    LOW entropy even when the type count looks healthy.
+
+    ``H = ln(n) - (sum_c c*ln(c)) / n`` over the doc's token counts —
+    computed ROW-LOCALLY: the token array, the sorted type list, the
+    per-type counts and the entropy fold are all single-row array
+    expressions, so the plan is a map-only scan projection with NO
+    explode and NO shuffle at any corpus size (the (doc, token)
+    groupBy formulation shuffles the whole corpus for what is
+    per-document arithmetic — the simhash_signatures lesson). Both
+    engines fold the counts in the SAME sorted-type order, so the
+    float sums are IEEE-identical op-for-op; the only cross-engine
+    hazard is a transcendental ulp, snapped at the coarse 1e-4 grid
+    (the dsir_scores ADVICE-r8 pattern).
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+
+    def ent_cols(t):
+        types = F.array_sort(F.array_distinct(t))
+        counts = F.transform(
+            types,
+            lambda c: F.size(F.filter(t, lambda x: x == c)).cast("double"),
+        )
+        n = F.size(t).cast("double")
+        s = F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, c: acc + c * F.log(c),
+        )
+        ent = F.log(n) - s / n
+        return F.struct(
+            F.size(t).cast("long").alias("n_tokens"),
+            F.size(types).cast("long").alias("n_types"),
+            (F.floor(ent * 10000 + F.lit(0.5)) / 10000).alias("ent"),
+        )
+
+    s1 = d.select("doc_id", let_bound(tokens(F.col("text")), ent_cols).alias("_e"))
+    return (
+        s1.select("doc_id", "_e.n_tokens", "_e.n_types", "_e.ent")
+        .where(F.col("n_tokens") > 0)
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_ENTROPY_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         list_transform(list_sort(list_distinct(t)),
+                        c -> CAST(len(list_filter(t, x -> x = c)) AS DOUBLE))
+           AS counts
+  FROM tok WHERE len(t) > 0
+)
+SELECT doc_id, n_tokens, CAST(len(counts) AS BIGINT) AS n_types,
+       floor((ln(CAST(n_tokens AS DOUBLE))
+              - list_sum(list_transform(counts, c -> c * ln(c)))
+                / CAST(n_tokens AS DOUBLE)) * 10000 + 0.5) / 10000 AS ent
+FROM base ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty vs the corpus
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 5  # word n-gram width
+
+
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct word
+    5-grams that occur in NO other document — the data-mixing signal
+    dual to deduplication (near-dups score ~0, memorization-risky
+    template text scores low, fresh prose scores high; used to
+    prioritize novel text under a token budget).
+
+    Scale shape: the only shuffle key is the 60-bit md5 of the shingle
+    (never the shingle string — the boilerplate/winnow fingerprint
+    lesson: a 5-word string key is ~40 bytes of wire per occurrence,
+    the hash is 8); document-frequency is one map-side-combinable
+    count over (hash) and the novel flag joins back on the same
+    narrow key. Short docs (< 5 tokens) contribute their partial
+    shingle like the other shingle ops (concat_ws null-skip == the
+    oracle's NULL list indexing).
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    from bigdatagenomic_spark.functions import word_shingles
+
+    sh = d.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), NOVELTY_N)).alias("sh"),
+    ).select("doc_id", md5_long(F.col("sh")).alias("h"))
+    df_h = sh.groupBy("h").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df_h, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_novel"),
+        )
+    )
+    return per_doc.withColumn(
+        "novelty_micro", F.expr("n_novel * 1000000L div n_shingles")
+    ).orderBy("doc_id")
+
+
+_NOVELTY_GRAM = " ".join(f"t[i+{j}]" for j in range(NOVELTY_N)).replace(" ", ", ")
+
+Q_TEXT_NOVELTY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(unnest(list_distinct(
+             list_transform(range(1, greatest(len(t) - {NOVELTY_N - 1}, 1) + 1),
+                            i -> concat_ws(' ', {_NOVELTY_GRAM}))))), 1, 15)
+           AS BIGINT) AS h
+  FROM tok
+), dfh AS (
+  SELECT h, count(*) AS df FROM sh GROUP BY h
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS novelty_micro
+FROM sh s JOIN dfh d USING (h)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""

@@ -3522,6 +3522,41 @@ register("q_graph_linkpred", _q_linkpred, _LINKPRED_SQL)
 
 
 # ---------------------------------------------------------------------------
+# round-10 additions
+# ---------------------------------------------------------------------------
+
+# level-shift changepoint screen over per-type daily volumes (integer-exact
+# cross-multiplied 30%-contrast test; the regime-change sibling of
+# q_x_volume_anomalies)
+register("q_x_level_shift", ST.q_x_level_shift, ST.Q_X_LEVEL_SHIFT_SQL)
+# reliability-diagram calibration bins + integer ECE numerators
+register("q_x_calibration", ST.q_x_calibration, ST.Q_X_CALIBRATION_SQL)
+# SAX symbolization (PAA + rank breakpoints) of the daily order series
+register("q_x_sax", ST.q_x_sax, ST.Q_X_SAX_SQL)
+# row-local token-entropy quality screen (sorted fold, 1e-4 snap)
+register("q_text_entropy", T.q_text_entropy, T.Q_TEXT_ENTROPY_SQL)
+# corpus n-gram novelty per doc (hash-keyed df, integer-exact ratio)
+register("q_text_novelty", T.q_text_novelty, T.Q_TEXT_NOVELTY_SQL)
+# 2-layer GraphSAGE-mean feature propagation (integer-exact sums)
+from bigdatagenomic_spark.operators.graph import (  # noqa: E402
+    Q_GRAPH_NEIGHBOR_AGG_SQL as _NAGG_SQL,
+    Q_GRAPH_WALKS_SQL as _WALKS_SQL,
+    q_graph_neighbor_agg as _q_nagg,
+    q_graph_walks as _q_walks,
+)
+
+register("q_graph_neighbor_agg", _q_nagg, _NAGG_SQL)
+# deterministic hash-seeded fixed-length walks (node2vec sampling shape)
+register("q_graph_walks", _q_walks, _WALKS_SQL)
+# Bloom semi-join reduction (explicit runtime-filter pattern, exact result)
+register("q_x_bloom_join", SC.q_x_bloom_join, SC.Q_X_BLOOM_JOIN_SQL)
+# join-size/skew estimation from per-key counts (the join never runs)
+register("q_x_join_size", SC.q_x_join_size, SC.Q_X_JOIN_SIZE_SQL)
+# 2-D skyline (Pareto frontier) via two-phase exclusive prefix max
+register("q_x_skyline", RX.q_x_skyline, RX.Q_X_SKYLINE_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks registry entries in
 # insertion order and may cap how many it runs (round 1 capped at 50), so
 # contract-critical entries must come first:
@@ -3572,24 +3607,30 @@ _PRIORITY_PREFIX = [
     # q_mm_phash_pairs, q_asm_kmer_counts, q_x_rfm_segments). All stay
     # hash-checked every round by the sf0.001 pytest oracle suite +
     # the full-registry preflight.
+    # Round 10 rotated OUT (ROTATION.md): the round-9 rule-2 one-shots
+    # (q_sim_sq_topk, q_mm_shot_bounds, q_dedup_bloom, q_graph_kcore,
+    # q_graph_scc, q_graph_hits, q_graph_sssp, q_asm_minimizers,
+    # q_asm_minimizer_overlaps, q_asm_canonical_kmers, q_asm_bubbles,
+    # q_asm_low_complexity, q_asm_tandem_repeats, q_s14_trending_shape,
+    # q_asm_tips, q_sim_rerank, q_x_dsir_select, q_tpch_q5_shape,
+    # q_x_hll_rollup, q_graph_pagerank, q_cluster_kmeans), all verified
+    # at sf0.01 by the vanilla-session preflight_r9.json (249/249) and
+    # hash-checked every round by the sf0.001 pytest oracle suite.
     #
-    # -- round 9 rotated IN, rule 2 FIRST (new in round 8, no driver
-    #    row yet — ROTATION.md round-9 block + VERDICT r8 #2/#3):
-    "q_sim_sq_topk", "q_mm_shot_bounds", "q_dedup_bloom",
-    "q_graph_kcore", "q_graph_scc", "q_graph_hits", "q_graph_sssp",
-    "q_asm_minimizers", "q_asm_minimizer_overlaps",
-    "q_asm_canonical_kmers", "q_asm_bubbles", "q_asm_low_complexity",
-    "q_asm_tandem_repeats", "q_s14_trending_shape",
-    # the snapshot-commit trio that slipped past the round-8 preflight
-    # (VERDICT r8 #2) — q_x_dsir_select also behavior-changed this
-    # round (ulp-guarded quantization), q_dedup_bloom above likewise
-    # (NULL-text guard)
-    "q_asm_tips", "q_sim_rerank", "q_x_dsir_select",
-    # the rewritten q5 (plan-changed in round 8; driver row re-validates)
-    "q_tpch_q5_shape",
-    # -- scheduled tail (ROTATION.md round 9): the rows-only contract
-    #    row + never-driver-checked iterative flagships
-    "q_x_hll_rollup", "q_graph_pagerank", "q_cluster_kmeans",
+    # -- round 10 rotated IN, rule 2 FIRST (new in round 9, no driver
+    #    row yet — ROTATION.md round-10 block):
+    "q_text_ttr", "q_text_bm25", "q_x_linreg", "q_graph_ppr",
+    "q_sim_range_search", "q_sim_mmr", "q_x_decontam_fuzzy",
+    "q_sim_ivf_recall", "q_text_cdc_chunks", "q_x_attribution",
+    "q_graph_linkpred",
+    # the rewritten q18 (plan-changed in round 9; driver row re-validates)
+    "q_tpch_q18_shape",
+    # -- the round-9 rolled tail (ROTATION.md round 10)
+    "q_text_tfidf", "q_dedup_lsh_incremental", "q_x_kanon_release",
+    "q_x_abtest",
+    # -- genomics analytics family, never driver-checked
+    "q_asm_coverage_depth", "q_asm_n50", "q_asm_debruijn_edges",
+    "q_asm_kmer_spectrum", "q_asm_error_correct",
 ]
 
 

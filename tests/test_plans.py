@@ -334,6 +334,7 @@ _BNLJ_ALLOWED = {
     "q_sim_range_search",    # bounded broadcast query set (q26 pattern)
     "q_sim_mmr",             # bounded broadcast query set (q26 pattern)
     "q_sim_ivf_recall",      # composes q26 + ivf_topk (both allowlisted)
+    "q_x_join_size",         # 1-row totals x 1-row argmax scalar attach
 }
 
 

@@ -1,0 +1,183 @@
+"""Behavioral pins for the round-10 operators: Spark-side semantics the
+DuckDB oracle can't see (plan shape, helper exactness vs the
+single-window formulation, sketch boundedness), plus brute-force
+cross-checks on sf0.001."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# two_phase_prefix_max == the single-partition window, wherever the
+# range boundaries land
+# ---------------------------------------------------------------------------
+
+def test_two_phase_prefix_max_matches_single_window(spark):
+    from bigdatagenomic_spark.operators.scale import two_phase_prefix_max
+
+    rows = [(i, (i * 37) % 19 - 9) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    for inclusive in (False, True):
+        got = {
+            r["k"]: r["pm"]
+            for r in two_phase_prefix_max(
+                df, "v", [F.col("k").asc()], n_parts=7,
+                out_col="pm", inclusive=inclusive,
+            ).collect()
+        }
+        end = 0 if inclusive else -1
+        ref = {
+            r["k"]: r["pm"]
+            for r in df.withColumn(
+                "pm",
+                F.max("v").over(
+                    W.orderBy("k").rowsBetween(W.unboundedPreceding, end)
+                ),
+            ).collect()
+        }
+        assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# skyline == brute-force NOT-EXISTS dominance on the real table
+# ---------------------------------------------------------------------------
+
+def test_skyline_matches_brute_force_on_part(spark):
+    from bigdatagenomic_spark.operators.relational_ext import q_x_skyline
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    rows = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in load_table(spark, SF_DIR, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    ref = sorted(
+        k
+        for k, price, size in rows
+        if not any(
+            p2 <= price and s2 >= size and (p2 < price or s2 > size)
+            for _, p2, s2 in rows
+        )
+    )
+    got = [r["p_partkey"] for r in q_x_skyline(spark, SF_DIR).collect()]
+    assert got == ref
+    assert 0 < len(got) < len(rows)  # non-trivial frontier
+
+
+# ---------------------------------------------------------------------------
+# bloom join: plan shape (broadcast left-semi prefilters) + bounded sketch
+# ---------------------------------------------------------------------------
+
+def test_bloom_join_plan_prefilters_fact_with_broadcast_semis(spark):
+    from bigdatagenomic_spark.operators.scale import BJ_M, q_x_bloom_join
+
+    df = q_x_bloom_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the BJ_K membership tests compile to broadcast hash LEFT SEMI
+    # joins (map-side, zero fact shuffle before the exact join)
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_sketch_is_bounded(spark):
+    from bigdatagenomic_spark.operators.scale import (
+        BJ_K,
+        BJ_M,
+        BJ_NATION,
+        _bj_positions,
+    )
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    sup = (
+        load_table(spark, SF_DIR, "supplier")
+        .where(F.col("s_nationkey") == BJ_NATION)
+        .select("s_suppkey")
+    )
+    n_keys = sup.count()
+    bits = None
+    for i in range(BJ_K):
+        p = sup.select(_bj_positions(F.col("s_suppkey"))[i].alias("pos"))
+        bits = p if bits is None else bits.unionByName(p)
+    n_bits = bits.distinct().count()
+    assert 0 < n_bits <= min(BJ_K * n_keys, BJ_M)
+
+
+# ---------------------------------------------------------------------------
+# join-size estimate == the actual join's output cardinality
+# ---------------------------------------------------------------------------
+
+def test_join_size_matches_actual_join(spark):
+    from bigdatagenomic_spark.operators.scale import q_x_join_size
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    row = q_x_join_size(spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    a = ev.select(F.col("user_id").alias("u"))
+    actual = a.join(a.withColumnRenamed("u", "u2"), F.col("u") == F.col("u2")).count()
+    assert row["est_rows"] == actual
+
+
+# ---------------------------------------------------------------------------
+# walks: every hop is a real edge chosen by the hash-argmin rule
+# ---------------------------------------------------------------------------
+
+def test_walks_follow_hash_argmin_edges(spark):
+    from bigdatagenomic_spark.operators.graph import (
+        NEIGHBOR_AGG_MAX_ORDERKEY,
+        WALK_STEPS,
+        q_graph_walks,
+    )
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    o = (
+        load_table(spark, SF_DIR, "orders")
+        .where(F.col("o_orderkey") < NEIGHBOR_AGG_MAX_ORDERKEY)
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    )
+    by_key = {r["o_orderkey"]: r["o_custkey"] for r in o}
+    edges: dict[int, set[int]] = {}
+    for k, src in by_key.items():
+        dst = by_key.get(k + 1)
+        if dst is not None and dst != src:
+            edges.setdefault(src, set()).add(dst)
+    walks = q_graph_walks(spark, SF_DIR).collect()
+    assert walks
+    for r in walks:
+        cur = r["v0"]
+        for s in range(1, WALK_STEPS + 1):
+            nxt = r[f"v{s}"]
+            if cur is None or cur not in edges:
+                assert nxt is None
+                cur = None
+                continue
+            want = min(
+                edges[cur], key=lambda d: (_md5_60(f"{s}:{cur}:{d}"), d)
+            )
+            assert nxt == want
+            cur = nxt
+
+
+# ---------------------------------------------------------------------------
+# entropy: map-only plan (no shuffle before the final sort)
+# ---------------------------------------------------------------------------
+
+def test_entropy_plan_is_map_only(spark):
+    from bigdatagenomic_spark.operators.text import q_text_entropy
+
+    df = q_text_entropy(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan, plan

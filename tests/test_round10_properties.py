@@ -1,0 +1,417 @@
+"""Property tests for the round-10 oracle semantics, engine-independent:
+each test pits the DuckDB oracle SQL against a from-scratch Python
+reference on hypothesis-generated inputs (the tests/test_round9_properties
+pattern). The Spark implementations are hash-pinned to these same oracles
+by tests/test_relational_oracle.py / tools/preflight.py, so agreement here
+transitively validates both engines. DuckDB-only — no SparkSession."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import math
+import re
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bigdatagenomic_spark.operators.graph import (
+    NEIGHBOR_AGG_MAX_ORDERKEY,
+    Q_GRAPH_NEIGHBOR_AGG_SQL,
+    Q_GRAPH_WALKS_SQL,
+    WALK_N_STARTS,
+    WALK_STEPS,
+)
+from bigdatagenomic_spark.operators.relational_ext import Q_X_SKYLINE_SQL
+from bigdatagenomic_spark.operators.scale import Q_X_JOIN_SIZE_SQL
+from bigdatagenomic_spark.operators.stats import (
+    CALIB_N_BINS,
+    LEVEL_SHIFT_W,
+    Q_X_CALIBRATION_SQL,
+    Q_X_LEVEL_SHIFT_SQL,
+    Q_X_SAX_SQL,
+    SAX_ALPHABET,
+    SAX_WEEK_DAYS,
+)
+from bigdatagenomic_spark.operators.text import (
+    NOVELTY_N,
+    Q_TEXT_ENTROPY_SQL,
+    Q_TEXT_NOVELTY_SQL,
+)
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t != ""]
+
+
+# ---------------------------------------------------------------------------
+# skyline vs brute-force NOT-EXISTS dominance
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_oracle_matches_brute_force(points):
+    # price on a coarse decimal grid to exercise ties in both coords
+    rows = [
+        (i, p / 4.0, s) for i, (p, s) in enumerate(points)
+    ]
+    ref = sorted(
+        k
+        for k, price, size in rows
+        if not any(
+            (p2 <= price and s2 >= size and (p2 < price or s2 > size))
+            for _, p2, s2 in rows
+        )
+    )
+    con = duckdb.connect()
+    con.register(
+        "part",
+        pd.DataFrame(
+            rows, columns=["p_partkey", "p_retailprice", "p_size"]
+        ),
+    )
+    got = [r[0] for r in con.sql(Q_X_SKYLINE_SQL).fetchall()]
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# token entropy vs math.log reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab c1.", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_entropy_oracle_matches_python_reference(texts):
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    got = {r[0]: r[1:] for r in con.sql(Q_TEXT_ENTROPY_SQL).fetchall()}
+    for i, text in enumerate(texts):
+        toks = _tokens(text)
+        if not toks:
+            assert i not in got
+            continue
+        n = len(toks)
+        counts = [toks.count(t) for t in sorted(set(toks))]
+        ent = math.log(n) - sum(c * math.log(c) for c in counts) / n
+        n_tok, n_typ, got_ent = got[i]
+        assert (n_tok, n_typ) == (n, len(counts))
+        # same grid snap; allow one 1e-4 step for libm/fold divergence
+        ref = math.floor(ent * 10000 + 0.5) / 10000
+        assert abs(got_ent - ref) < 1.5e-4
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty vs python shingle reference
+# ---------------------------------------------------------------------------
+
+def _shingles(text: str) -> set[int]:
+    toks = _tokens(text)
+    hi = max(len(toks) - (NOVELTY_N - 1), 1)
+    out = set()
+    for i in range(hi):
+        out.add(_md5_60(" ".join(toks[i : i + NOVELTY_N])))
+    return out
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc de", min_size=0, max_size=80),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_novelty_oracle_matches_python_reference(texts):
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    got = {r[0]: r[1:] for r in con.sql(Q_TEXT_NOVELTY_SQL).fetchall()}
+    sh = {i: _shingles(t) for i, t in enumerate(texts)}
+    df: dict[int, int] = {}
+    for s in sh.values():
+        for h in s:
+            df[h] = df.get(h, 0) + 1
+    for i in range(len(texts)):
+        n_sh = len(sh[i])
+        n_novel = sum(1 for h in sh[i] if df[h] == 1)
+        assert got[i] == (n_sh, n_novel, n_novel * 1000000 // n_sh)
+
+
+# ---------------------------------------------------------------------------
+# neighbor aggregation vs python reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(0, 8), min_size=2, max_size=30),
+    st.data(),
+)
+def test_neighbor_agg_oracle_matches_python_reference(custs, data):
+    cents = {
+        c: data.draw(st.integers(-5000, 5000), label=f"bal{c}")
+        for c in set(custs)
+    }
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(custs)),
+            "o_custkey": custs,
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": list(cents),
+            "c_acctbal": [v / 100.0 for v in cents.values()],
+        }
+    )
+    assert len(custs) < NEIGHBOR_AGG_MAX_ORDERKEY
+    con = duckdb.connect()
+    con.register("orders", orders)
+    con.register("customer", customer)
+    got = con.sql(Q_GRAPH_NEIGHBOR_AGG_SQL).fetchall()
+
+    nbrs: dict[int, set[int]] = {}
+    for a, b in zip(custs, custs[1:]):
+        if a != b:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+    h1 = {
+        v: (sum(cents[u] for u in ns), len(ns)) for v, ns in nbrs.items()
+    }
+    def tdiv(a: int, b: int) -> int:
+        # SQL integer division truncates toward zero (Spark `div`,
+        # DuckDB `//`); Python `//` floors — adjust for negatives
+        if b == 0:
+            return 0
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    ref = []
+    for v in sorted(h1):
+        s1, d = h1[v]
+        s2 = sum(h1[u][0] for u in nbrs[v] if u in h1)
+        w2 = sum(h1[u][1] for u in nbrs[v] if u in h1)
+        ref.append((v, d, s1, tdiv(1000 * s1, d), s2, w2, tdiv(1000 * s2, w2)))
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# deterministic walks vs python hash-argmin simulation
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 9), min_size=2, max_size=40))
+def test_walks_oracle_matches_python_reference(custs):
+    orders = pd.DataFrame(
+        {"o_orderkey": range(len(custs)), "o_custkey": custs}
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    got = con.sql(Q_GRAPH_WALKS_SQL).fetchall()
+
+    edges: dict[int, set[int]] = {}
+    for a, b in zip(custs, custs[1:]):
+        if a != b:
+            edges.setdefault(a, set()).add(b)
+    starts = sorted(edges)[:WALK_N_STARTS]
+    ref = []
+    for w in starts:
+        walk = [w]
+        cur = w
+        for s in range(1, WALK_STEPS + 1):
+            if cur is None or cur not in edges:
+                walk.append(None)
+                cur = None
+                continue
+            src = cur
+            cur = min(
+                edges[src],
+                key=lambda d: (_md5_60(f"{s}:{src}:{d}"), d),
+            )
+            walk.append(cur)
+        ref.append((w, *walk))
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# join-size estimation vs exact python self-join count
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 6), min_size=1, max_size=40))
+def test_join_size_oracle_matches_exact_count(users):
+    ev = pd.DataFrame({"event_id": range(len(users)), "user_id": users})
+    con = duckdb.connect()
+    con.register("events", ev)
+    ((n_keys, est_rows, top_user, top_pairs),) = con.sql(
+        Q_X_JOIN_SIZE_SQL
+    ).fetchall()
+    exact = sum(1 for a in users for b in users if a == b)
+    counts: dict[int, int] = {}
+    for u in users:
+        counts[u] = counts.get(u, 0) + 1
+    assert n_keys == len(counts)
+    assert est_rows == exact
+    ref_top = max(counts, key=lambda u: (counts[u] * counts[u], u))
+    assert (top_user, top_pairs) == (
+        ref_top,
+        counts[ref_top] * counts[ref_top],
+    )
+
+
+# ---------------------------------------------------------------------------
+# level-shift screen vs python rolling sums
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.sampled_from(["a", "b"])),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_level_shift_oracle_matches_python_reference(raw):
+    ev = pd.DataFrame(
+        {
+            "event_id": range(len(raw)),
+            "ts": [
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+                for d, _ in raw
+            ],
+            "event_type": [t for _, t in raw],
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    got = con.sql(Q_X_LEVEL_SHIFT_SQL).fetchall()
+
+    ref = []
+    for typ in sorted({t for _, t in raw}):
+        daily: dict[int, int] = {}
+        for d, t in raw:
+            if t == typ:
+                daily[d] = daily.get(d, 0) + 1
+        days = sorted(daily)
+        for i, d in enumerate(days):
+            if i < LEVEL_SHIFT_W or i + LEVEL_SHIFT_W > len(days):
+                continue
+            prev = sum(daily[x] for x in days[i - LEVEL_SHIFT_W : i])
+            nxt = sum(daily[x] for x in days[i : i + LEVEL_SHIFT_W])
+            ref.append(
+                (
+                    typ,
+                    (datetime.datetime(2024, 1, 1)
+                     + datetime.timedelta(days=d)).date(),
+                    daily[d],
+                    prev,
+                    nxt,
+                    nxt - prev,
+                    abs(nxt - prev) * 20 >= 3 * (prev + nxt),
+                )
+            )
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# calibration bins vs python md5 reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**6),
+            st.sampled_from(["purchase", "click", "view"]),
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_calibration_oracle_matches_python_reference(rows):
+    ev = pd.DataFrame(
+        {
+            "event_id": [i for i, _ in rows],
+            "event_type": [t for _, t in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    got = con.sql(Q_X_CALIBRATION_SQL).fetchall()
+
+    bins: dict[int, list[int]] = {}
+    for i, t in rows:
+        sm = _md5_60(str(i)) % 1000
+        b = sm * CALIB_N_BINS // 1000
+        n, pos, ssm = bins.get(b, [0, 0, 0])
+        bins[b] = [n + 1, pos + (1 if t == "purchase" else 0), ssm + sm]
+    ref = [
+        (b, n, pos, ssm, abs(1000 * pos - ssm))
+        for b, (n, pos, ssm) in sorted(bins.items())
+    ]
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization vs python ntile reference
+# ---------------------------------------------------------------------------
+
+def _ntile(n_buckets: int, n_rows: int) -> list[int]:
+    """Bucket id (1-based) per row position, SQL NTILE semantics."""
+    base, extra = divmod(n_rows, n_buckets)
+    out = []
+    for b in range(1, n_buckets + 1):
+        out.extend([b] * (base + (1 if b <= extra else 0)))
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 400), min_size=1, max_size=120))
+def test_sax_oracle_matches_python_reference(day_offsets):
+    base = datetime.datetime(1995, 1, 1)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(day_offsets)),
+            "o_orderdate": [
+                base + datetime.timedelta(days=d) for d in day_offsets
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    got = con.sql(Q_X_SAX_SQL).fetchall()
+
+    epoch = datetime.datetime(1970, 1, 1)
+    weekly: dict[int, int] = {}
+    for d in day_offsets:
+        week = ((base + datetime.timedelta(days=d)) - epoch).days // SAX_WEEK_DAYS
+        weekly[week] = weekly.get(week, 0) + 1
+    order = sorted(weekly, key=lambda w: (weekly[w], w))
+    tiles = _ntile(SAX_ALPHABET, len(order))
+    q_of = {w: tiles[i] for i, w in enumerate(order)}
+    ref = [
+        (w, weekly[w], q_of[w], "abcd"[q_of[w] - 1]) for w in sorted(weekly)
+    ]
+    assert got == ref
