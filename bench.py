@@ -71,6 +71,10 @@ HEADLINE = [
     # chunk-hash dup window) and the single-window event family
     "q_text_cdc_chunks",
     "q_x_attribution",
+    # round 10: the corpus-wide shingle-hash df exchange (the heaviest
+    # new shuffle) and the Bloom-prefiltered fact join family
+    "q_text_novelty",
+    "q_x_bloom_join",
 ]
 
 

@@ -1935,3 +1935,76 @@ SELECT * FROM w{WALK_STEPS} ORDER BY walk_id"""
 
 
 Q_GRAPH_WALKS_SQL = _walks_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Directed 3-motif census (feed-forward vs cycle triangles)
+# ---------------------------------------------------------------------------
+
+def q_graph_motifs(spark, sf_dir: str) -> DataFrame:
+    """Directed triad census over the bounded customer co-order graph:
+    wedges (a→b→c), feed-forward closures (plus a→c) and directed
+    3-cycles (plus c→a) — the Milo et al. network-motif counts that
+    separate hierarchy-shaped graphs (feed-forward-heavy) from
+    feedback-shaped ones, and the directed extension of
+    q_graph_triangles.
+
+    Plan shape: wedges are ONE self-equi-join on the pivot vertex,
+    closures one more equi-join on the wedge's (a, c) endpoints — the
+    standard edge-iterator; each cycle is found at all 3 rotations, so
+    the count divides by 3 (exact: the filter a<b keeps nothing here
+    because rotations are distinct edges; integer div is safe because
+    the raw count is a multiple of 3). Against a power-law graph the
+    wedge join takes the same posting-cap/degree-orientation medicine
+    as triangles/linkpred; the bounded slice keeps the registered
+    entry driver-checkable.
+    """
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < NEIGHBOR_AGG_MAX_ORDERKEY
+    )
+    nxt = o.select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("src")
+    ).join(
+        o.select((F.col("o_orderkey") - 1).alias("k"), F.col("o_custkey").alias("dst")),
+        "k",
+    )
+    e = nxt.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b").where(F.col("a") != F.col("c"))
+    closing = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    ffl = wedges.join(closing, ["a", "c"], "left_semi")
+    back = e.select(F.col("dst").alias("a"), F.col("src").alias("c"))
+    cyc = wedges.join(back, ["a", "c"], "left_semi")
+    n_wedges = wedges.agg(F.count("*").cast("long").alias("n_wedges"))
+    n_ffl = ffl.agg(F.count("*").cast("long").alias("n_ffl"))
+    n_cyc = cyc.agg(
+        F.expr("count(*) div 3").cast("long").alias("n_cycles")
+    )
+    return n_wedges.crossJoin(F.broadcast(n_ffl)).crossJoin(
+        F.broadcast(n_cyc)
+    )
+
+
+Q_GRAPH_MOTIFS_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderkey < {NEIGHBOR_AGG_MAX_ORDERKEY}),
+e AS (
+  SELECT DISTINCT a.o_custkey AS src, b.o_custkey AS dst
+  FROM o a JOIN o b ON b.o_orderkey = a.o_orderkey + 1
+  WHERE a.o_custkey <> b.o_custkey),
+wedges AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  WHERE e1.src <> e2.dst),
+nw AS (SELECT CAST(count(*) AS BIGINT) AS n_wedges FROM wedges),
+nf AS (SELECT CAST(count(*) AS BIGINT) AS n_ffl FROM wedges w
+       WHERE EXISTS (SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.c)),
+nc AS (SELECT CAST(count(*) // 3 AS BIGINT) AS n_cycles FROM wedges w
+       WHERE EXISTS (SELECT 1 FROM e WHERE e.src = w.c AND e.dst = w.a))
+SELECT nw.n_wedges, nf.n_ffl, nc.n_cycles
+FROM nw CROSS JOIN nf CROSS JOIN nc
+"""

@@ -597,3 +597,117 @@ def trim_flat_frames(
 def q_mm_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = attach_payloads(load_table(spark, sf_dir, "documents"))
     return trim_flat_frames(mm).orderBy("doc_id", "frame_idx")
+
+
+# --------------------------------------------------------------------------
+# per-image pixel statistics (mean channel / luminance profiling)
+# --------------------------------------------------------------------------
+
+def fake_rgb_decoder(buf: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in pixel decoder: interpret the payload as
+    packed top-down RGB triples. Returns (n_px, sum_r, sum_g, sum_b) —
+    replayable byte-for-byte by the SQL oracle over the ASCII text."""
+    n_px = len(buf) // 3
+    view = buf[: 3 * n_px]
+    return (
+        n_px,
+        sum(view[0::3]),
+        sum(view[1::3]),
+        sum(view[2::3]),
+    )
+
+
+def bmp_rgb_decoder(buf: bytes) -> tuple[int, int, int, int]:
+    """REAL pixel decoder for the same contract: struct-parse a 24-bpp
+    BMP (the :func:`bmp_image_decoder` walk) and return the channel
+    sums over the decoded top-down RGB bytes."""
+    import struct
+
+    magic, _fsize, _r1, _r2, data_off = struct.unpack_from("<2sIHHI", buf, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    (hdr_size, width, height, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", buf, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} comp={compression}")
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    sum_r = sum_g = sum_b = 0
+    for y in range(height):
+        off = data_off + y * row_stride
+        for x in range(width):
+            sum_b += buf[off + x * 3]
+            sum_g += buf[off + x * 3 + 1]
+            sum_r += buf[off + x * 3 + 2]
+    return width * height, sum_r, sum_g, sum_b
+
+
+def pixel_stats(mm: DataFrame, decoder=None) -> DataFrame:
+    """Per-image channel sums + integer mean luminance — the
+    brightness/color profiling pass an image-curation pipeline runs
+    before filtering (too-dark / single-color screens), and the shape
+    any per-pixel reduction (NSFW heuristics, blur metrics) takes.
+
+    Same codec-boundary contract as :func:`decode_images`: the decoder
+    is injected (``fake_rgb_decoder`` for the oracle-checked entry,
+    ``bmp_rgb_decoder`` REAL in tests), the Spark side is an
+    Arrow-batched ``mapInPandas`` whose output is five BIGINTs per doc
+    — payload bytes never cross a shuffle. ``mean_lum_milli`` is the
+    truncated integer ``(299*sr + 587*sg + 114*sb) div n_px`` (the
+    Rec.601 luma weights x1000) — exact in both engines.
+    """
+    if decoder is None:
+        raise NotImplementedError(
+            "no image codec available in this environment; pass "
+            "decoder=fake_rgb_decoder (oracle) or bmp_rgb_decoder (BMP)"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decoder(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_px": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "sum_r": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "sum_g": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "sum_b": pd.Series([r[3] for r in rows], dtype="int64"),
+                }
+            )
+
+    out = mm.select("doc_id", "payload").mapInPandas(
+        gen,
+        "doc_id BIGINT, n_px BIGINT, sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
+    )
+    return out.where(F.col("n_px") > 0).withColumn(
+        "mean_lum_milli",
+        F.expr("(299 * sum_r + 587 * sum_g + 114 * sum_b) div n_px"),
+    )
+
+
+def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = attach_payloads(load_table(spark, sf_dir, "documents"))
+    return pixel_stats(mm, decoder=fake_rgb_decoder).orderBy("doc_id")
+
+
+Q_MM_PIXEL_STATS_SQL = """
+WITH p AS (
+  SELECT doc_id, text, CAST(length(text) // 3 AS BIGINT) AS n_px
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 3),
+s AS (
+  SELECT doc_id, n_px,
+         CAST(list_sum(list_transform(range(0, CAST(n_px AS INT)),
+              i -> ascii(substr(text, CAST(3*i+1 AS INT), 1)))) AS BIGINT)
+           AS sum_r,
+         CAST(list_sum(list_transform(range(0, CAST(n_px AS INT)),
+              i -> ascii(substr(text, CAST(3*i+2 AS INT), 1)))) AS BIGINT)
+           AS sum_g,
+         CAST(list_sum(list_transform(range(0, CAST(n_px AS INT)),
+              i -> ascii(substr(text, CAST(3*i+3 AS INT), 1)))) AS BIGINT)
+           AS sum_b
+  FROM p)
+SELECT doc_id, n_px, sum_r, sum_g, sum_b,
+       (299 * sum_r + 587 * sum_g + 114 * sum_b) // n_px AS mean_lum_milli
+FROM s ORDER BY doc_id
+"""

@@ -1359,3 +1359,62 @@ SELECT week, paa_total,
          AS symbol
 FROM weekly ORDER BY week
 """
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal decomposition (seasonal mean + residual)
+# ---------------------------------------------------------------------------
+
+def q_x_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-seasonality decomposition of the daily order series:
+    ``observed = seasonal(dow) + residual`` — the STL-lite monitor that
+    separates "Mondays are always low" from a genuinely anomalous
+    Monday (the deseasonalized residual is what q_x_volume_anomalies /
+    q_x_level_shift should really screen; this op emits it).
+
+    Integer-exact: the seasonal component is the truncated milli-mean
+    ``1000*sum div cnt`` per ISO weekday (Monday=1 on both engines:
+    Spark ``weekday()+1`` == DuckDB ``isodow``), the residual is
+    ``1000*n - seasonal_milli`` — pure BIGINT arithmetic. Scale: one
+    map-side-combined daily count over raw orders, a 7-row seasonal
+    aggregate broadcast back onto the calendar-bounded daily series.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    daily = daily.withColumn("iso_dow", (F.weekday("day") + 1).cast("int"))
+    dow = daily.groupBy("iso_dow").agg(
+        F.sum("n_orders").alias("_s"), F.count("*").alias("_c")
+    ).select("iso_dow", F.expr("1000 * _s div _c").alias("dow_mean_milli"))
+    return (
+        daily.join(F.broadcast(dow), "iso_dow")
+        .select(
+            "day",
+            "iso_dow",
+            "n_orders",
+            "dow_mean_milli",
+            (F.lit(1000) * F.col("n_orders") - F.col("dow_mean_milli")).alias(
+                "resid_milli"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+Q_X_SEASONAL_DECOMPOSE_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1),
+d2 AS (SELECT day, n_orders, CAST(isodow(day) AS INT) AS iso_dow FROM daily),
+dow AS (
+  SELECT iso_dow, CAST(1000 * sum(n_orders) // count(*) AS BIGINT)
+           AS dow_mean_milli
+  FROM d2 GROUP BY iso_dow)
+SELECT d.day, d.iso_dow, d.n_orders, w.dow_mean_milli,
+       1000 * d.n_orders - w.dow_mean_milli AS resid_milli
+FROM d2 d JOIN dow w USING (iso_dow)
+ORDER BY d.day
+"""

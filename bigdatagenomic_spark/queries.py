@@ -674,6 +674,95 @@ register(
 )
 
 
+def q_asm_kmer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-read k-mer (k=3) Shannon entropy over the derived ACGT read
+    set — the sequence-complexity screen that complements the DUST
+    collision-mass test (q_asm_low_complexity): homopolymer runs and
+    short-period repeats concentrate the k-mer distribution and score
+    low; SDUST/BBDuk-style pipelines gate reads on exactly this
+    statistic before assembly.
+
+    Same row-local machinery as q_text_entropy: the k-mer list, sorted
+    distinct k-mers, per-k-mer counts and the entropy fold are all
+    single-row array expressions — map-only, no explode, no shuffle;
+    both engines fold in the same sorted order and the transcendental
+    is snapped at the 1e-4 grid.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.functions import let_bound
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    k = 3
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    reads = docs.select(
+        "doc_id",
+        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content"),
+    )
+
+    def ent_cols(kl):
+        types = F.array_sort(F.array_distinct(kl))
+        counts = F.transform(
+            types,
+            lambda c: F.size(F.filter(kl, lambda x: x == c)).cast("double"),
+        )
+        n = F.size(kl).cast("double")
+        s = F.aggregate(
+            counts, F.lit(0.0), lambda acc, c: acc + c * F.log(c)
+        )
+        return F.struct(
+            F.size(kl).cast("long").alias("n_kmers"),
+            F.size(types).cast("long").alias("n_distinct"),
+            (F.floor((F.log(n) - s / n) * 10000 + F.lit(0.5)) / 10000).alias(
+                "ent"
+            ),
+        )
+
+    # char_shingles emits ALL 1-based substrings incl. short tails;
+    # keep only full-length k-mers (the kmer_counts contract), and keep
+    # duplicates — entropy needs the multiset, so shingle positions are
+    # enumerated directly (char_shingles dedups)
+    pos = F.sequence(F.lit(1), F.length("content") - F.lit(k - 1))
+    kmers = F.transform(pos, lambda i: F.substring("content", i, F.lit(k)))
+    s1 = reads.select("doc_id", let_bound(kmers, ent_cols).alias("_e"))
+    return s1.select(
+        "doc_id", "_e.n_kmers", "_e.n_distinct", "_e.ent"
+    ).orderBy("doc_id")
+
+
+register(
+    "q_asm_kmer_entropy",
+    q_asm_kmer_entropy,
+    """
+    WITH r AS (
+      SELECT doc_id,
+             substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'),
+                         17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    ), kl AS (
+      SELECT doc_id,
+             list_transform(range(1, length(content) - 1),
+                            i -> substr(content, CAST(i AS INT), 3)) AS km
+      FROM r
+    ), base AS (
+      SELECT doc_id, CAST(len(km) AS BIGINT) AS n_kmers,
+             list_transform(list_sort(list_distinct(km)),
+                            c -> CAST(len(list_filter(km, x -> x = c))
+                                      AS DOUBLE)) AS counts
+      FROM kl
+    )
+    SELECT doc_id, n_kmers, CAST(len(counts) AS BIGINT) AS n_distinct,
+           floor((ln(CAST(n_kmers AS DOUBLE))
+                  - list_sum(list_transform(counts, c -> c * ln(c)))
+                    / CAST(n_kmers AS DOUBLE)) * 10000 + 0.5) / 10000 AS ent
+    FROM base ORDER BY doc_id
+    """,
+)
+
+
 def q_asm_overlap_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram of overlap lengths between consecutive aligned reads
     (reads sorted by alignment start; overlap = prev_end - start,
@@ -3554,6 +3643,28 @@ register("q_x_bloom_join", SC.q_x_bloom_join, SC.Q_X_BLOOM_JOIN_SQL)
 register("q_x_join_size", SC.q_x_join_size, SC.Q_X_JOIN_SIZE_SQL)
 # 2-D skyline (Pareto frontier) via two-phase exclusive prefix max
 register("q_x_skyline", RX.q_x_skyline, RX.Q_X_SKYLINE_SQL)
+# weekday seasonal decomposition (integer-exact seasonal + residual)
+register(
+    "q_x_seasonal_decompose",
+    ST.q_x_seasonal_decompose,
+    ST.Q_X_SEASONAL_DECOMPOSE_SQL,
+)
+# S15 stream-stream LEFT OUTER interval join, batch shape
+from bigdatagenomic_spark.streaming.ops import (  # noqa: E402
+    Q_S15_LEFTJOIN_SQL as _S15_SQL,
+    q_s15_leftjoin_shape as _q_s15,
+)
+
+register("q_s15_leftjoin_shape", _q_s15, _S15_SQL)
+# per-image pixel statistics through the injected-codec boundary
+register("q_mm_pixel_stats", MM.q_mm_pixel_stats, MM.Q_MM_PIXEL_STATS_SQL)
+# directed 3-motif census (feed-forward vs cycle triangles)
+from bigdatagenomic_spark.operators.graph import (  # noqa: E402
+    Q_GRAPH_MOTIFS_SQL as _MOTIFS_SQL,
+    q_graph_motifs as _q_motifs,
+)
+
+register("q_graph_motifs", _q_motifs, _MOTIFS_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -147,15 +147,23 @@ def stream_stream_click_view_join(
     views: DataFrame,
     max_lag: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each click matched to the same user's
-    views within the preceding ``max_lag``.
+    """Stream-stream join: each click matched to the same user's views
+    within the preceding ``max_lag``.
 
     Both sides carry watermarks and the join condition time-bounds the
     match, so Spark can size and EVICT the buffered state on both sides
     — an unbounded-condition stream-stream join would buffer both
     streams forever. Works identically on batch inputs (the unified-op
     contract), where the time bound is just a predicate.
+
+    ``how="left_outer"`` is S15: clicks with NO qualifying view emit
+    once with NULL view columns — but only when the watermark has
+    passed far enough that no future view can still match (matched
+    rows emit eagerly, like the inner join). Rows whose eviction
+    horizon never arrives before the stream ends stay buffered — the
+    documented outer-join semantics, pinned by the S15 test.
     """
     c = clicks.select(
         F.col("event_id").alias("click_id"),
@@ -175,7 +183,7 @@ def stream_stream_click_view_join(
         (F.col("c_user") == F.col("v_user"))
         & (F.col("view_ts") <= F.col("click_ts"))
         & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {max_lag}")),
-        "inner",
+        how,
     ).select(
         "click_id",
         F.col("c_user").alias("user_id"),
@@ -216,6 +224,33 @@ def q_s07_clickview_shape(spark, sf_dir: str) -> DataFrame:
     return stream_stream_click_view_join(clicks, views).orderBy(
         "click_id", "view_id"
     )
+
+
+def q_s15_leftjoin_shape(spark, sf_dir: str) -> DataFrame:
+    """S15 batch shape: the stream-stream LEFT OUTER interval join on
+    the batch events table — clicks with no same-user view in the
+    preceding 30 minutes carry NULL view columns (the rows the
+    streaming form emits on watermark expiry)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    views = ev.where(F.col("event_type") == "view")
+    return stream_stream_click_view_join(
+        clicks, views, how="left_outer"
+    ).orderBy("click_id", "view_id")
+
+
+Q_S15_LEFTJOIN_SQL = """
+SELECT c.event_id AS click_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts,
+       v.event_id AS view_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+       ON c.user_id = v.user_id
+      AND v.ts <= c.ts
+      AND v.ts >= c.ts - INTERVAL 30 MINUTE
+ORDER BY click_id, view_id
+"""
 
 
 Q_S06_ENRICH_SQL = """

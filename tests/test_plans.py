@@ -335,6 +335,7 @@ _BNLJ_ALLOWED = {
     "q_sim_mmr",             # bounded broadcast query set (q26 pattern)
     "q_sim_ivf_recall",      # composes q26 + ivf_topk (both allowlisted)
     "q_x_join_size",         # 1-row totals x 1-row argmax scalar attach
+    "q_graph_motifs",        # three 1-row census scalars attached
 }
 
 

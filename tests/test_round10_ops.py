@@ -181,3 +181,52 @@ def test_entropy_plan_is_map_only(spark):
     df = q_text_entropy(spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan and "Aggregate" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# wave 2: real BMP pixel decoder through the pixel_stats plan
+# ---------------------------------------------------------------------------
+
+def test_real_bmp_pixel_stats_through_plan(spark):
+    """The pixel-stats codec boundary exercised end-to-end with the
+    REAL BMP decoder: channel sums and the Rec.601 luma over actual
+    decoded pixel bytes (incl. padded-row widths)."""
+    from bigdatagenomic_spark.operators.multimodal import (
+        bmp_rgb_decoder,
+        encode_bmp,
+        pixel_stats,
+    )
+
+    rows = []
+    for doc_id, (w, h) in enumerate([(5, 3), (4, 7), (1, 1), (32, 2)]):
+        rgb = bytes(
+            (x * 7 + y * 13 + c * 29) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        rows.append((doc_id, w, h, rgb, encode_bmp(w, h, rgb)))
+    mm = spark.createDataFrame(
+        [(doc_id, payload) for doc_id, _w, _h, _rgb, payload in rows],
+        "doc_id LONG, payload BINARY",
+    )
+    got = {
+        r.doc_id: (r.n_px, r.sum_r, r.sum_g, r.sum_b, r.mean_lum_milli)
+        for r in pixel_stats(mm, decoder=bmp_rgb_decoder).collect()
+    }
+    for doc_id, w, h, rgb, _payload in rows:
+        sr, sg, sb = sum(rgb[0::3]), sum(rgb[1::3]), sum(rgb[2::3])
+        n_px = w * h
+        assert got[doc_id] == (
+            n_px, sr, sg, sb, (299 * sr + 587 * sg + 114 * sb) // n_px
+        )
+
+
+def test_pixel_stats_requires_decoder(spark):
+    import pytest
+
+    from bigdatagenomic_spark.operators.multimodal import pixel_stats
+
+    mm = spark.createDataFrame([(0, b"x")], "doc_id LONG, payload BINARY")
+    with pytest.raises(NotImplementedError):
+        pixel_stats(mm)

@@ -415,3 +415,164 @@ def test_sax_oracle_matches_python_reference(day_offsets):
         (w, weekly[w], q_of[w], "abcd"[q_of[w] - 1]) for w in sorted(weekly)
     ]
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# wave 2: seasonal decomposition vs python reference
+# ---------------------------------------------------------------------------
+
+def _tdiv(a: int, b: int) -> int:
+    if b == 0:
+        return 0
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 60), min_size=1, max_size=80))
+def test_seasonal_decompose_oracle_matches_python(day_offsets):
+    from bigdatagenomic_spark.operators.stats import Q_X_SEASONAL_DECOMPOSE_SQL
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(day_offsets)),
+            "o_orderdate": [
+                base + datetime.timedelta(days=d) for d in day_offsets
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    got = con.sql(Q_X_SEASONAL_DECOMPOSE_SQL).fetchall()
+
+    daily: dict[int, int] = {}
+    for d in day_offsets:
+        daily[d] = daily.get(d, 0) + 1
+    by_dow: dict[int, list[int]] = {}
+    for d, n in daily.items():
+        by_dow.setdefault(d % 7 + 1, []).append(n)  # Jan 1 2024 = Monday
+    dow_mean = {
+        w: _tdiv(1000 * sum(ns), len(ns)) for w, ns in by_dow.items()
+    }
+    ref = [
+        (
+            (base + datetime.timedelta(days=d)).date(),
+            d % 7 + 1,
+            daily[d],
+            dow_mean[d % 7 + 1],
+            1000 * daily[d] - dow_mean[d % 7 + 1],
+        )
+        for d in sorted(daily)
+    ]
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# wave 2: directed motif census vs brute-force python
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 7), min_size=2, max_size=40))
+def test_motifs_oracle_matches_brute_force(custs):
+    from bigdatagenomic_spark.operators.graph import Q_GRAPH_MOTIFS_SQL
+
+    orders = pd.DataFrame(
+        {"o_orderkey": range(len(custs)), "o_custkey": custs}
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    ((n_wedges, n_ffl, n_cycles),) = con.sql(Q_GRAPH_MOTIFS_SQL).fetchall()
+
+    edges = {
+        (a, b) for a, b in zip(custs, custs[1:]) if a != b
+    }
+    wedges = [
+        (a, b, c)
+        for (a, b) in edges
+        for (b2, c) in edges
+        if b2 == b and c != a
+    ]
+    ref_ffl = sum(1 for (a, b, c) in wedges if (a, c) in edges)
+    ref_cyc = sum(1 for (a, b, c) in wedges if (c, a) in edges)
+    assert ref_cyc % 3 == 0
+    assert (n_wedges, n_ffl, n_cycles) == (
+        len(wedges),
+        ref_ffl,
+        ref_cyc // 3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 2: k-mer entropy vs python reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ACGTx ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_kmer_entropy_oracle_matches_python(texts):
+    from bigdatagenomic_spark.queries import _REGISTRY
+
+    sql = _REGISTRY["q_asm_kmer_entropy"][1]
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    got = {r[0]: r[1:] for r in con.sql(sql).fetchall()}
+    for i, text in enumerate(texts):
+        if i >= 60:
+            continue
+        cleaned = re.sub("[^ACGT]", "", text.upper())
+        length = 13 + (i % 3) * 2
+        content = (cleaned + "A" * 17)[:length]
+        kmers = [content[j : j + 3] for j in range(len(content) - 2)]
+        n = len(kmers)
+        counts = [kmers.count(k) for k in sorted(set(kmers))]
+        ent = math.log(n) - sum(c * math.log(c) for c in counts) / n
+        ref_ent = math.floor(ent * 10000 + 0.5) / 10000
+        n_k, n_d, got_ent = got[i]
+        assert (n_k, n_d) == (n, len(counts))
+        assert abs(got_ent - ref_ent) < 1.5e-4
+
+
+# ---------------------------------------------------------------------------
+# wave 2: pixel stats vs python fake-RGB reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=50,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pixel_stats_oracle_matches_fake_decoder(texts):
+    from bigdatagenomic_spark.operators.multimodal import (
+        Q_MM_PIXEL_STATS_SQL,
+        fake_rgb_decoder,
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    got = {r[0]: r[1:] for r in con.sql(Q_MM_PIXEL_STATS_SQL).fetchall()}
+    for i, text in enumerate(texts):
+        n_px, sr, sg, sb = fake_rgb_decoder(text.encode("utf-8"))
+        if n_px == 0:
+            assert i not in got
+            continue
+        lum = (299 * sr + 587 * sg + 114 * sb) // n_px
+        assert got[i] == (n_px, sr, sg, sb, lum)

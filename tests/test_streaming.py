@@ -509,3 +509,40 @@ def test_sssp_hand_computed(spark):
     )
     got = {(r.id, r.dist) for r in sssp_bellman_ford(e, source=0).collect()}
     assert got == {(0, 0), (2, 1), (1, 3), (3, 4)}
+
+
+def test_s15_stream_stream_left_outer_join(spark, replay_dir):
+    """S15: the LEFT OUTER stream-stream interval join. Matched rows
+    emit eagerly and equal the inner join's; NULL rows emit only for
+    clicks whose eviction horizon passed before the stream ended
+    (watermark semantics), each exactly once, and only for clicks the
+    batch left join also leaves unmatched."""
+    from bigdatagenomic_spark.streaming.ops import stream_stream_click_view_join
+
+    def split(ev):
+        return (
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "view"),
+        )
+
+    sc, sv = split(_stream_events(spark, replay_dir))
+    got = run_to_memory(
+        stream_stream_click_view_join(sc, sv, how="left_outer"), "append"
+    ).collect()
+
+    bc, bv = split(_batch_events(spark))
+    batch = stream_stream_click_view_join(bc, bv, how="left_outer").collect()
+    batch_matched = {(r.click_id, r.view_id) for r in batch if r.view_id is not None}
+    batch_unmatched = {r.click_id for r in batch if r.view_id is None}
+
+    got_matched = {(r.click_id, r.view_id) for r in got if r.view_id is not None}
+    got_null = [r.click_id for r in got if r.view_id is None]
+
+    # inner part: stream == batch exactly
+    assert got_matched == batch_matched
+    # null part: subset of the batch's unmatched clicks (end-of-stream
+    # rows may stay buffered), each emitted at most once, and non-empty
+    # (events span ~30 days vs a 1h watermark, so most horizons pass)
+    assert set(got_null) <= batch_unmatched
+    assert len(got_null) == len(set(got_null))
+    assert len(got_null) > 0
