@@ -87,17 +87,31 @@ def main() -> None:
     ]
 
     spark = get_spark(app_name="scale-check-r10")
+    # warm-up: JVM + codegen for every plan shape at x1, untimed (the
+    # r9 sweep billed first-job costs to the x1 row, which understated
+    # every ratio)
+    for _, fn in corpus_ops:
+        force(fn(spark, os.path.join(corpus_dir, "x1")))
+    for _, fn in rel_ops:
+        force(fn(spark, os.path.join(rel_dir, "x1")))
+    def timed(fn, sf_dir_: str) -> dict:
+        # min-of-2: the shared host carries external load bursts that
+        # inflate single-shot walls 5-10x (the bench.py lesson); the
+        # min is the closest observable to true steady-state
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            force(fn(spark, sf_dir_))
+            runs.append(round(time.monotonic() - t0, 2))
+        return {"sec": min(runs), "runs": runs}
+
     results: dict[str, dict] = {}
     for rep in (1, 10, 100):
-        row: dict = {}
+        row: dict = {"load_avg_start": round(os.getloadavg()[0], 1)}
         for name, fn in corpus_ops:
-            t0 = time.monotonic()
-            force(fn(spark, os.path.join(corpus_dir, f"x{rep}")))
-            row[name] = {"sec": round(time.monotonic() - t0, 2)}
+            row[name] = timed(fn, os.path.join(corpus_dir, f"x{rep}"))
         for name, fn in rel_ops:
-            t0 = time.monotonic()
-            force(fn(spark, os.path.join(rel_dir, f"x{rep}")))
-            row[name] = {"sec": round(time.monotonic() - t0, 2)}
+            row[name] = timed(fn, os.path.join(rel_dir, f"x{rep}"))
         # context rows (counted once, not timed)
         row["novelty"]["rows"] = q_text_novelty(
             spark, os.path.join(corpus_dir, f"x{rep}")
@@ -115,6 +129,7 @@ def main() -> None:
         report[f"ratio_x{hi}"] = {
             op: round(cur[op]["sec"] / max(base[op]["sec"], 1e-9), 2)
             for op in cur
+            if isinstance(cur[op], dict) and "sec" in cur[op]
         }
     print(json.dumps(report, indent=1), flush=True)
     if out:
