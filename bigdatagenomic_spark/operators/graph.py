@@ -2008,3 +2008,105 @@ nc AS (SELECT CAST(count(*) // 3 AS BIGINT) AS n_cycles FROM wedges w
 SELECT nw.n_wedges, nf.n_ffl, nc.n_cycles
 FROM nw CROSS JOIN nf CROSS JOIN nc
 """
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (fixed-round, exact-integer variant)
+# ---------------------------------------------------------------------------
+
+KATZ_ROUNDS = 6
+
+
+def q_graph_katz(spark, sf_dir: str) -> DataFrame:
+    """Katz centrality over the bounded customer co-order graph,
+    truncated at KATZ_ROUNDS with attenuation alpha = 1/2 — the
+    walk-counting centrality between degree (local) and eigenvector /
+    PageRank (global): ``c(v) = sum_k alpha^k · #paths of length k
+    ending at v``.
+
+    Exact-integer by the same device as q_graph_hits: path counts are
+    BIGINTs (order-independent sums), and the alpha weighting is
+    scaled by 2^KATZ_ROUNDS so every term is the integer
+    ``p_k(v) * 2^(K-k)`` — ``katz_num`` is the centrality times 2^K,
+    hash-exact against the loop-unrolled oracle with no float
+    anywhere.
+
+    Scale shape: each round is ONE aggregateMessages superstep (edge
+    join on the sender + map-side-combined sum on the receiver) over a
+    narrow (id, count) frame, localCheckpointed to keep lineage flat;
+    the K round frames then union into one final sum — K+1 shuffles
+    total, independent of graph size.
+    """
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < NEIGHBOR_AGG_MAX_ORDERKEY
+    )
+    nxt = o.select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("src")
+    ).join(
+        o.select((F.col("o_orderkey") - 1).alias("k"), F.col("o_custkey").alias("dst")),
+        "k",
+    )
+    edges = nxt.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    p = verts.select("id", F.lit(1).cast("long").alias("p"))
+    terms = []
+    for k in range(1, KATZ_ROUNDS + 1):
+        p = (
+            edges.join(p, edges["src"] == p["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("p").cast("long").alias("p"))
+            .localCheckpoint()
+        )
+        w = 1 << (KATZ_ROUNDS - k)
+        terms.append(p.select("id", (F.col("p") * w).alias("t")))
+    allt = terms[0]
+    for t in terms[1:]:
+        allt = allt.unionByName(t)
+    katz = allt.groupBy("id").agg(F.sum("t").cast("long").alias("katz_num"))
+    return (
+        verts.join(katz, "id", "left")
+        .select("id", F.coalesce("katz_num", F.lit(0)).alias("katz_num"))
+        .orderBy("id")
+    )
+
+
+def _katz_oracle_sql() -> str:
+    base = f"""
+  o AS (SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderkey < {NEIGHBOR_AGG_MAX_ORDERKEY}),
+  edges AS (SELECT DISTINCT a.o_custkey AS src, b.o_custkey AS dst
+            FROM o a JOIN o b ON b.o_orderkey = a.o_orderkey + 1
+            WHERE a.o_custkey <> b.o_custkey),
+  verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+  p0 AS (SELECT id, CAST(1 AS BIGINT) AS p FROM verts)"""
+    steps = []
+    for k in range(1, KATZ_ROUNDS + 1):
+        steps.append(f"""
+  p{k} AS MATERIALIZED (
+    SELECT e.dst AS id, CAST(sum(q.p) AS BIGINT) AS p
+    FROM edges e JOIN p{k - 1} q ON e.src = q.id GROUP BY e.dst)""")
+    weights = " + ".join(
+        f"coalesce(p{k}.p, 0) * {1 << (KATZ_ROUNDS - k)}"
+        for k in range(1, KATZ_ROUNDS + 1)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN p{k} ON v.id = p{k}.id"
+        for k in range(1, KATZ_ROUNDS + 1)
+    )
+    return (
+        "WITH" + base + "," + ",".join(steps)
+        + f"""
+SELECT v.id, CAST({weights} AS BIGINT) AS katz_num
+FROM verts v
+{joins}
+ORDER BY v.id"""
+    )
+
+
+Q_GRAPH_KATZ_SQL = _katz_oracle_sql()

@@ -1506,3 +1506,70 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = q26_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
     ann = q_sim_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
     return _recall_report(exact, ann)
+
+
+# ---------------------------------------------------------------------------
+# metadata-filtered vector search (label-constrained top-k)
+# ---------------------------------------------------------------------------
+
+def q_sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-filtered exact cosine top-k: each query retrieves only
+    candidates sharing its label — the production "filtered vector
+    search" shape (tenant / language / safety-tier constraints), where
+    the metadata predicate composes with the similarity ranking instead
+    of post-filtering a fixed-k result (post-filtering under-fills
+    the top-k when the filter is selective; this is the pre-filter
+    form, the semantics ANN engines call filtered search).
+
+    Plan: the label filter is an equi-join key — queries broadcast with
+    their label, candidates pair ONLY within the label partition, so
+    the scored set shrinks by the filter's selectivity BEFORE any
+    ranking work; the rank window is per (query) over that reduced
+    set. At 100 TB the label key is exactly the IVF-style partition
+    pruning hook (store candidates partitioned by label and the scan
+    prunes too).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("label").cast("int").alias("label"),
+    )
+    from bigdatagenomic_spark.functions import dot
+
+    def norm(v):
+        return F.sqrt(dot(v, v))
+
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
+    )
+    c = e.select(
+        "vec_id",
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+        norm(F.col("v")).alias("cn"),
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("clabel") == F.col("qlabel"))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            "vec_id",
+            F.round(
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+                ),
+                4,
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "label", "vec_id", "sim", "rn")
+        .orderBy("query_id", "rn")
+    )

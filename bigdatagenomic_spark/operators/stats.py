@@ -1418,3 +1418,74 @@ SELECT d.day, d.iso_dow, d.n_orders, w.dow_mean_milli,
 FROM d2 d JOIN dow w USING (iso_dow)
 ORDER BY d.day
 """
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily order series
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def q_x_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1..ACF_MAX_LAG) of the daily
+    order-volume series — the seasonality detector that says WHICH
+    period q_x_seasonal_decompose should remove (a weekly cycle shows
+    as a lag-7 peak) and the stationarity screen before any
+    forecasting model.
+
+    One pass: the daily aggregate takes ACF_MAX_LAG lag columns from a
+    single window over the calendar-bounded series, then ONE aggregate
+    row computes every lag's Pearson correlation (map-side-combinable
+    moments), unpacked to long form with ``stack`` — no per-lag rescan
+    of the raw facts. ``corr`` rounds at 6 decimals (the q_x_stat_aggs
+    precedent); pair counts are exact BIGINTs.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = W.orderBy("day")
+    lags = [
+        F.lag("n", L).over(w).alias(f"lag{L}")
+        for L in range(1, ACF_MAX_LAG + 1)
+    ]
+    d2 = daily.select("n", *lags)
+    aggs = []
+    for L in range(1, ACF_MAX_LAG + 1):
+        aggs.append(F.count(f"lag{L}").cast("long").alias(f"c{L}"))
+        aggs.append(F.round(F.corr("n", f"lag{L}"), 6).alias(f"r{L}"))
+    one = d2.agg(*aggs)
+    stack_args = ", ".join(
+        f"{L}, c{L}, r{L}" for L in range(1, ACF_MAX_LAG + 1)
+    )
+    return one.selectExpr(
+        f"stack({ACF_MAX_LAG}, {stack_args}) AS (lag, n_pairs, acf)"
+    ).orderBy("lag")
+
+
+def _acf_oracle_sql() -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(n, {L}) OVER (ORDER BY day) AS lag{L}"
+        for L in range(1, ACF_MAX_LAG + 1)
+    )
+    selects = [
+        f"""SELECT {L} AS lag, CAST(count(lag{L}) AS BIGINT) AS n_pairs,
+       round(corr(n, lag{L}), 6) AS acf FROM d2"""
+        for L in range(1, ACF_MAX_LAG + 1)
+    ]
+    return (
+        """WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+d2 AS (
+  SELECT n,
+         """
+        + lag_cols
+        + "\n  FROM daily)\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY lag"
+    )
+
+
+Q_X_ACF_SQL = _acf_oracle_sql()

@@ -1389,3 +1389,80 @@ FROM sh s JOIN dfh d USING (h)
 GROUP BY s.doc_id
 ORDER BY s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Sentence-level statistics (Gopher-style document shape signals)
+# ---------------------------------------------------------------------------
+
+def q_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentence statistics: sentence count, truncated
+    mean words-per-sentence (milli), and the longest sentence — the
+    Gopher/C4 document-shape signals at SENTENCE granularity (word
+    stats live in q_text_quality): list-dump and log-spam documents
+    have degenerate sentence shapes that word counts alone miss.
+
+    Row-local like q_text_ttr/q_text_entropy: the sentence split, the
+    per-sentence word counts and the aggregate moments are single-row
+    array expressions — a map-only scan projection, no explode, no
+    shuffle; every emitted number is an exact integer.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+
+    def stats(sents):
+        wc = F.transform(
+            sents,
+            lambda s: F.size(
+                F.filter(
+                    F.split(F.lower(s), "[^a-z0-9]+"), lambda t: t != F.lit("")
+                )
+            ).cast("long"),
+        )
+        total = F.aggregate(wc, F.lit(0).cast("long"), lambda a, x: a + x)
+        return F.struct(
+            F.size(sents).cast("long").alias("n_sentences"),
+            total.alias("n_words"),
+            F.array_max(wc).cast("long").alias("max_sentence_words"),
+        )
+
+    sents = F.filter(
+        F.split(F.col("text"), "[.!?]+"),
+        lambda s: F.trim(s) != F.lit(""),
+    )
+    s1 = d.select("doc_id", let_bound(sents, stats).alias("_s"))
+    return (
+        s1.select(
+            "doc_id",
+            "_s.n_sentences",
+            "_s.n_words",
+            "_s.max_sentence_words",
+        )
+        .where(F.col("n_sentences") > 0)
+        .withColumn(
+            "mean_words_milli",
+            F.expr("1000 * n_words div n_sentences"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_SENTENCES_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[.!?]+'),
+                     x -> trim(x) <> '') AS sents
+  FROM documents WHERE text IS NOT NULL
+), wc AS (
+  SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+         list_transform(sents,
+             s -> CAST(len(list_filter(
+                 string_split_regex(lower(s), '[^a-z0-9]+'),
+                 t -> t <> '')) AS BIGINT)) AS w
+  FROM s WHERE len(sents) > 0
+)
+SELECT doc_id, n_sentences,
+       CAST(list_sum(w) AS BIGINT) AS n_words,
+       CAST(list_max(w) AS BIGINT) AS max_sentence_words,
+       CAST(1000 * list_sum(w) // n_sentences AS BIGINT) AS mean_words_milli
+FROM wc ORDER BY doc_id
+"""

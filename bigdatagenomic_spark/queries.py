@@ -3665,6 +3665,38 @@ from bigdatagenomic_spark.operators.graph import (  # noqa: E402
 )
 
 register("q_graph_motifs", _q_motifs, _MOTIFS_SQL)
+# autocorrelation function of the daily order series (one-pass, stack)
+register("q_x_acf", ST.q_x_acf, ST.Q_X_ACF_SQL)
+# per-doc sentence-shape statistics (row-local, integer-exact)
+register("q_text_sentences", T.q_text_sentences, T.Q_TEXT_SENTENCES_SQL)
+# metadata-filtered vector search (label-constrained exact top-k)
+register(
+    "q_sim_filtered_topk",
+    S.q_sim_filtered_topk,
+    f"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM s
+              WHERE vec_id < {S.N_QUERIES}),
+        sims AS (
+          SELECT q.query_id, q.qlabel AS label, s.vec_id,
+                 round({_COS.format(a='qv', b='v')}, 4) AS sim
+          FROM q JOIN s ON s.label = q.qlabel
+          WHERE q.query_id <> s.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rn
+          FROM sims)
+        SELECT query_id, label, vec_id, sim, rn FROM ranked
+        WHERE rn <= {S.TOP_K}
+        ORDER BY query_id, rn""",
+)
+# fixed-round exact-integer Katz centrality (loop-unrolled oracle)
+from bigdatagenomic_spark.operators.graph import (  # noqa: E402
+    Q_GRAPH_KATZ_SQL as _KATZ_SQL,
+    q_graph_katz as _q_katz,
+)
+
+register("q_graph_katz", _q_katz, _KATZ_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -576,3 +576,184 @@ def test_pixel_stats_oracle_matches_fake_decoder(texts):
             continue
         lum = (299 * sr + 587 * sg + 114 * sb) // n_px
         assert got[i] == (n_px, sr, sg, sb, lum)
+
+
+# ---------------------------------------------------------------------------
+# wave 3: ACF vs python Pearson reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(1, 5)),
+        min_size=2,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_acf_oracle_matches_python_reference(day_counts):
+    from bigdatagenomic_spark.operators.stats import ACF_MAX_LAG, Q_X_ACF_SQL
+
+    base = datetime.datetime(2020, 3, 1)
+    rows = []
+    next_id = 0
+    for d, n in day_counts:
+        for _ in range(n):
+            rows.append((next_id, base + datetime.timedelta(days=d)))
+            next_id += 1
+    orders = pd.DataFrame(rows, columns=["o_orderkey", "o_orderdate"])
+    con = duckdb.connect()
+    con.register("orders", orders)
+    got = {r[0]: r[1:] for r in con.sql(Q_X_ACF_SQL).fetchall()}
+
+    daily = sorted(day_counts)
+    series = [n for _, n in daily]
+    for lag in range(1, ACF_MAX_LAG + 1):
+        xs = series[lag:]
+        ys = series[:-lag] if lag < len(series) else []
+        n_pairs, acf = got[lag]
+        assert n_pairs == len(xs) if lag < len(series) else n_pairs == 0
+        if len(xs) < 2:
+            assert acf is None
+            continue
+        mx = sum(xs) / len(xs)
+        my = sum(ys) / len(ys)
+        sxx = sum((x - mx) ** 2 for x in xs)
+        syy = sum((y - my) ** 2 for y in ys)
+        sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        if sxx == 0 or syy == 0:
+            assert acf is None
+            continue
+        ref = sxy / math.sqrt(sxx * syy)
+        assert abs(acf - round(ref, 6)) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# wave 3: sentence stats vs python reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab c.!?", min_size=0, max_size=80),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_sentences_oracle_matches_python_reference(texts):
+    from bigdatagenomic_spark.operators.text import Q_TEXT_SENTENCES_SQL
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    got = {r[0]: r[1:] for r in con.sql(Q_TEXT_SENTENCES_SQL).fetchall()}
+    for i, text in enumerate(texts):
+        sents = [s for s in re.split(r"[.!?]+", text) if s.strip() != ""]
+        if not sents:
+            assert i not in got
+            continue
+        wc = [len(_tokens(s)) for s in sents]
+        assert got[i] == (
+            len(sents),
+            sum(wc),
+            max(wc),
+            1000 * sum(wc) // len(sents),
+        )
+
+
+# ---------------------------------------------------------------------------
+# wave 3: Katz centrality vs python path counting
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 7), min_size=2, max_size=30))
+def test_katz_oracle_matches_python_path_counts(custs):
+    from bigdatagenomic_spark.operators.graph import (
+        KATZ_ROUNDS,
+        Q_GRAPH_KATZ_SQL,
+    )
+
+    orders = pd.DataFrame(
+        {"o_orderkey": range(len(custs)), "o_custkey": custs}
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    got = dict(con.sql(Q_GRAPH_KATZ_SQL).fetchall())
+
+    edges = {(a, b) for a, b in zip(custs, custs[1:]) if a != b}
+    verts = {v for e in edges for v in e}
+    p = {v: 1 for v in verts}
+    score = {v: 0 for v in verts}
+    for k in range(1, KATZ_ROUNDS + 1):
+        nxt: dict[int, int] = {}
+        for a, b in edges:
+            if a in p:
+                nxt[b] = nxt.get(b, 0) + p[a]
+        p = nxt
+        w = 1 << (KATZ_ROUNDS - k)
+        for v, c in p.items():
+            score[v] += c * w
+    assert got == score
+
+
+# ---------------------------------------------------------------------------
+# wave 3: filtered top-k vs python brute force
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # label
+            st.lists(
+                st.integers(-4, 4), min_size=3, max_size=3
+            ),  # embedding
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_filtered_topk_oracle_matches_python(rows):
+    from bigdatagenomic_spark.operators.similarity import N_QUERIES, TOP_K
+    from bigdatagenomic_spark.queries import _REGISTRY
+
+    sql = _REGISTRY["q_sim_filtered_topk"][1]
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(len(rows)),
+            "embedding": [[float(x) for x in v] for _, v in rows],
+            "label": [lbl for lbl, _ in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", emb)
+    got = [tuple(r) for r in con.sql(sql).fetchall()]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return None
+        return round(num / (na * nb), 4)
+
+    ref = []
+    for qid in range(min(N_QUERIES, len(rows))):
+        qlbl, qv = rows[qid]
+        cands = []
+        for cid, (clbl, cv) in enumerate(rows):
+            if cid == qid or clbl != qlbl:
+                continue
+            cands.append((cos(qv, cv), cid))
+        cands.sort(key=lambda t: (-(t[0] if t[0] is not None else -9e9), t[1]))
+        for rn, (sim, cid) in enumerate(cands[:TOP_K], start=1):
+            ref.append((qid, qlbl, cid, sim, rn))
+    # NULL sims (zero vectors) sort engine-specifically; restrict the
+    # comparison to runs with no zero vector among scored pairs
+    if any(s is None for (_, _, _, s, _) in ref) or any(
+        s is None for (_, _, _, s, _) in got
+    ):
+        return
+    assert got == ref
