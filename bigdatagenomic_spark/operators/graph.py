@@ -2110,3 +2110,104 @@ ORDER BY v.id"""
 
 
 Q_GRAPH_KATZ_SQL = _katz_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (per-vertex triangle density)
+# ---------------------------------------------------------------------------
+
+def q_graph_clustering_coeff(spark, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected
+    customer co-order graph: ``cc(v) = 2·tri(v) / (deg(v)·(deg(v)-1))``
+    — the Watts-Strogatz small-world statistic, and the per-vertex
+    refinement of q_graph_triangles' global census (community-ish
+    vertices score high, bridge/hub vertices low).
+
+    Integer-exact: emits (deg, n_tri, cc_micro) with
+    ``cc_micro = 2·tri·1e6 div (deg·(deg-1))`` — no float crosses the
+    engine boundary. Plan: neighbor pairs at v come from ONE
+    self-equi-join of the neighbor table on v (u < w kills mirror
+    duplicates), closed by an equi-join against the undirected edge
+    set; on a power-law graph the wedge join takes triangle_count's
+    degree-orientation / posting-cap medicine — the bounded slice
+    keeps the registered entry driver-checkable.
+    """
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < NEIGHBOR_AGG_MAX_ORDERKEY
+    )
+    nxt = o.select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("src")
+    ).join(
+        o.select((F.col("o_orderkey") - 1).alias("k"), F.col("o_custkey").alias("dst")),
+        "k",
+    )
+    d = nxt.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = (
+        d.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nbr = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    deg = nbr.groupBy("v").agg(F.count("*").cast("long").alias("deg"))
+    l = nbr.select("v", F.col("u").alias("u1"))
+    r = nbr.select("v", F.col("u").alias("u2"))
+    pairs = l.join(r, "v").where(F.col("u1") < F.col("u2"))
+    closed = pairs.join(
+        und,
+        (pairs["u1"] == und["a"]) & (pairs["u2"] == und["b"]),
+        "left_semi",
+    )
+    tri = closed.groupBy("v").agg(F.count("*").cast("long").alias("n_tri"))
+    return (
+        deg.join(tri, "v", "left")
+        .select(
+            F.col("v").alias("id"),
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "2 * coalesce(n_tri, 0) * 1000000 div (deg * (deg - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cc_micro"),
+        )
+        .orderBy("id")
+    )
+
+
+Q_GRAPH_CLUSTERING_COEFF_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderkey < {NEIGHBOR_AGG_MAX_ORDERKEY}),
+d AS (
+  SELECT a.o_custkey AS src, b.o_custkey AS dst
+  FROM o a JOIN o b ON b.o_orderkey = a.o_orderkey + 1
+  WHERE a.o_custkey <> b.o_custkey),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM d),
+nbr AS (
+  SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM nbr GROUP BY v),
+tri AS (
+  SELECT l.v, CAST(count(*) AS BIGINT) AS n_tri
+  FROM nbr l JOIN nbr r ON l.v = r.v AND l.u < r.u
+  WHERE EXISTS (SELECT 1 FROM und WHERE und.a = l.u AND und.b = r.u)
+  GROUP BY l.v)
+SELECT deg.v AS id, deg.deg,
+       coalesce(tri.n_tri, 0) AS n_tri,
+       CASE WHEN deg.deg >= 2
+            THEN 2 * coalesce(tri.n_tri, 0) * 1000000
+                 // (deg.deg * (deg.deg - 1))
+            ELSE 0 END AS cc_micro
+FROM deg LEFT JOIN tri ON deg.v = tri.v
+ORDER BY id
+"""

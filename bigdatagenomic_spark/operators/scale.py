@@ -800,3 +800,73 @@ top AS (
 SELECT t.n_keys, t.est_rows, p.top_user_id, p.top_pairs
 FROM totals t CROSS JOIN top p
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed median (two-phase rank, no single-partition sort)
+# ---------------------------------------------------------------------------
+
+def q_x_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-segment median account balance — the scale-honest
+    alternative to percentile_approx when the number matters (SLAs,
+    finance): a naive exact median needs a full per-group sort in one
+    task; this plan ranks through :func:`two_phase_rank`
+    (range-repartitioned, pinned pids, broadcast offsets), joins the
+    per-group counts, and keeps only the middle rank(s), so no task
+    ever holds more than corpus/parallelism rows.
+
+    Integer-exact: emits ``med2_cents = lo + hi`` in CENTS — twice the
+    median, the standard dodge around the odd/even averaging float
+    (odd n: the single middle row counts twice). Ordering ties break
+    by c_custkey, which cannot change which VALUES occupy the middle
+    ranks.
+    """
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("grp"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        "c_custkey",
+    )
+    ranked = two_phase_rank(
+        c,
+        [F.col("cents").asc(), F.col("c_custkey").asc()],
+        group_cols=["grp"],
+        rank_col="r",
+    )
+    counts = c.groupBy("grp").agg(F.count("*").cast("long").alias("n"))
+    mid = counts.select(
+        "grp",
+        "n",
+        ((F.col("n") + 1) / 2).cast("long").alias("m1"),
+        ((F.col("n") + 2) / 2).cast("long").alias("m2"),
+    )
+    sel = ranked.join(F.broadcast(mid), "grp").where(
+        (F.col("r") == F.col("m1")) | (F.col("r") == F.col("m2"))
+    )
+    w = F.when(F.col("m1") == F.col("m2"), F.lit(2)).otherwise(F.lit(1))
+    return (
+        sel.groupBy("grp", "n")
+        .agg(F.sum(F.col("cents") * w).cast("long").alias("med2_cents"))
+        .orderBy("grp")
+    )
+
+
+Q_X_EXACT_MEDIAN_SQL = """
+WITH c AS (
+  SELECT c_mktsegment AS grp,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_custkey
+  FROM customer),
+ranked AS (
+  SELECT grp, cents,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY cents, c_custkey) AS r,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM c)
+SELECT grp, n,
+       CAST(sum(cents * CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                             THEN 2 ELSE 1 END) AS BIGINT) AS med2_cents
+FROM ranked
+WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
+GROUP BY grp, n ORDER BY grp
+"""

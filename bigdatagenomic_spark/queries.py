@@ -763,6 +763,211 @@ register(
 )
 
 
+def q_asm_gc_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GC-skew profile over the derived read set: per-read
+    ``(G-C)/(G+C)`` plus the CUMULATIVE G-C difference in read order —
+    the classic replication-origin detector (the cumulative skew's
+    minimum marks oriC in bacterial genomes; Lobry 1996). Per-read
+    skew is the truncated integer micro-ratio; the cumulative track
+    runs through :func:`two_phase_cumsum` (integral G-C values, total
+    order on doc_id), so there is NO single-partition window at any
+    read count — the same scale machinery as the coverage sweep-line.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    reads = docs.select(
+        "doc_id",
+        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content"),
+    )
+    g = F.length("content") - F.length(F.regexp_replace("content", "G", ""))
+    c = F.length("content") - F.length(F.regexp_replace("content", "C", ""))
+    base = reads.select(
+        "doc_id",
+        g.cast("long").alias("g"),
+        c.cast("long").alias("c"),
+        (g - c).cast("long").alias("gc_diff"),
+    )
+    cum = two_phase_cumsum(
+        base, "gc_diff", [F.col("doc_id").asc()], out_col="cum_gc_diff"
+    )
+    return cum.select(
+        "doc_id",
+        "g",
+        "c",
+        F.when(
+            F.col("g") + F.col("c") > 0,
+            F.expr("(g - c) * 1000000 div (g + c)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("skew_micro"),
+        "cum_gc_diff",
+    ).orderBy("doc_id")
+
+
+register(
+    "q_asm_gc_skew",
+    q_asm_gc_skew,
+    """
+    WITH r AS (
+      SELECT doc_id,
+             substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'),
+                         17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < 60
+    ), base AS (
+      SELECT doc_id,
+             CAST(length(content)
+                  - length(regexp_replace(content, 'G', '', 'g')) AS BIGINT) AS g,
+             CAST(length(content)
+                  - length(regexp_replace(content, 'C', '', 'g')) AS BIGINT) AS c
+      FROM r
+    )
+    SELECT doc_id, g, c,
+           CASE WHEN g + c > 0 THEN (g - c) * 1000000 // (g + c)
+                ELSE 0 END AS skew_micro,
+           CAST(sum(g - c) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_gc_diff
+    FROM base ORDER BY doc_id
+    """,
+)
+
+
+MASH_K = 5
+MASH_GROUPS = 4
+MASH_READS = 200
+
+
+def q_asm_mash_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mash-style genome distance between read groups (Ondov et al.
+    2016): canonical k-mer sets per group, pairwise Jaccard, and the
+    Mash distance ``d = -ln(2j/(1+j)) / k`` — the sketch-based
+    alternative to alignment for all-vs-all genome comparison. Groups
+    here are the ``doc_id % 4`` read bins (4 pseudo-genomes over the
+    derived read set); the Jaccard is EXACT (the MinHash estimator and
+    its calibration live in q_dedup_minhash_est — this op pins the
+    distance transform on the exact value).
+
+    Plan shape: per-group distinct canonical k-mers (map-only shingles
+    + one dedup shuffle on the (group, kmer) key), pair counts via ONE
+    self-equi-join on the k-mer key (groups are bounded, k-mer space
+    ≤ 4^k/2 — never an all-pairs read join), set sizes broadcast back.
+    The transcendental snaps at the 1e-4 grid (the dsir pattern);
+    every other column is an exact integer or a round-4 ratio.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.functions import char_shingles
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < MASH_READS
+    )
+    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    reads = docs.select(
+        (F.col("doc_id") % MASH_GROUPS).cast("int").alias("grp"),
+        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content"),
+    )
+    km = reads.select(
+        "grp",
+        F.explode(
+            F.filter(
+                char_shingles(F.col("content"), MASH_K),
+                lambda s: F.length(s) == MASH_K,
+            )
+        ).alias("kmer"),
+    )
+    rc = F.reverse(F.translate(F.col("kmer"), "ACGT", "TGCA"))
+    sets = km.select("grp", F.least(F.col("kmer"), rc).alias("canon")).distinct()
+    sizes = sets.groupBy("grp").agg(F.count("*").cast("long").alias("n"))
+    a = sets.select(F.col("grp").alias("g_a"), "canon")
+    b = sets.select(F.col("grp").alias("g_b"), "canon")
+    common = (
+        a.join(b, "canon")
+        .where(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    j = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("grp").alias("g_a"), F.col("n").alias("n_a"))),
+            "g_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("grp").alias("g_b"), F.col("n").alias("n_b"))),
+            "g_b",
+        )
+        .select(
+            "g_a",
+            "g_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(j, 4).alias("jacc"),
+            (
+                F.floor(
+                    (-F.log(F.lit(2.0) * j / (F.lit(1.0) + j)) / MASH_K) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("mash_d"),
+        )
+        .orderBy("g_a", "g_b")
+    )
+
+
+register(
+    "q_asm_mash_distance",
+    q_asm_mash_distance,
+    f"""
+    WITH r AS (
+      SELECT CAST(doc_id % {MASH_GROUPS} AS INT) AS grp,
+             substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'),
+                         17, 'A'),
+                    1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+      FROM documents WHERE doc_id < {MASH_READS}
+    ), km AS (
+      SELECT grp,
+             unnest(list_transform(
+                 range(1, greatest(length(content) - {MASH_K - 1}, 1) + 1),
+                 i -> substr(content, i, {MASH_K}))) AS kmer
+      FROM r
+    ), sets AS (
+      SELECT DISTINCT grp,
+             least(kmer, reverse(translate(kmer, 'ACGT', 'TGCA'))) AS canon
+      FROM km WHERE length(kmer) = {MASH_K}
+    ), sizes AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n FROM sets GROUP BY grp
+    ), common AS (
+      SELECT a.grp AS g_a, b.grp AS g_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM sets a JOIN sets b ON a.canon = b.canon AND a.grp < b.grp
+      GROUP BY 1, 2
+    )
+    SELECT c.g_a, c.g_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
+           round(c.n_common / CAST(sa.n + sb.n - c.n_common AS DOUBLE), 4)
+             AS jacc,
+           floor((-ln(2.0 * (c.n_common / CAST(sa.n + sb.n - c.n_common
+                                                AS DOUBLE))
+                      / (1.0 + c.n_common / CAST(sa.n + sb.n - c.n_common
+                                                 AS DOUBLE)))
+                  / {MASH_K}) * 10000 + 0.5) / 10000 AS mash_d
+    FROM common c
+    JOIN sizes sa ON c.g_a = sa.grp
+    JOIN sizes sb ON c.g_b = sb.grp
+    ORDER BY c.g_a, c.g_b
+    """,
+)
+
+
 def q_asm_overlap_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram of overlap lengths between consecutive aligned reads
     (reads sorted by alignment start; overlap = prev_end - start,
@@ -3697,6 +3902,15 @@ from bigdatagenomic_spark.operators.graph import (  # noqa: E402
 )
 
 register("q_graph_katz", _q_katz, _KATZ_SQL)
+# per-vertex local clustering coefficient (integer-exact micro ratio)
+from bigdatagenomic_spark.operators.graph import (  # noqa: E402
+    Q_GRAPH_CLUSTERING_COEFF_SQL as _CCOEF_SQL,
+    q_graph_clustering_coeff as _q_ccoef,
+)
+
+register("q_graph_clustering_coeff", _q_ccoef, _CCOEF_SQL)
+# exact per-group median via two-phase rank (no single-partition sort)
+register("q_x_exact_median", SC.q_x_exact_median, SC.Q_X_EXACT_MEDIAN_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -757,3 +757,163 @@ def test_filtered_topk_oracle_matches_python(rows):
     ):
         return
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# wave 4: clustering coefficient vs brute-force python
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 7), min_size=2, max_size=40))
+def test_clustering_coeff_oracle_matches_brute_force(custs):
+    from bigdatagenomic_spark.operators.graph import (
+        Q_GRAPH_CLUSTERING_COEFF_SQL,
+    )
+
+    orders = pd.DataFrame(
+        {"o_orderkey": range(len(custs)), "o_custkey": custs}
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    got = {r[0]: r[1:] for r in con.sql(Q_GRAPH_CLUSTERING_COEFF_SQL).fetchall()}
+
+    und = {
+        (min(a, b), max(a, b))
+        for a, b in zip(custs, custs[1:])
+        if a != b
+    }
+    nbrs: dict[int, set[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for v, ns in nbrs.items():
+        deg = len(ns)
+        tri = sum(
+            1
+            for u in ns
+            for w in ns
+            if u < w and (min(u, w), max(u, w)) in und
+        )
+        cc = 2 * tri * 1000000 // (deg * (deg - 1)) if deg >= 2 else 0
+        assert got[v] == (deg, tri, cc)
+    assert set(got) == set(nbrs)
+
+
+# ---------------------------------------------------------------------------
+# wave 4: GC skew vs python reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ACGTu", min_size=0, max_size=30),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_gc_skew_oracle_matches_python(texts):
+    from bigdatagenomic_spark.queries import _REGISTRY
+
+    sql = _REGISTRY["q_asm_gc_skew"][1]
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    got = con.sql(sql).fetchall()
+    ref = []
+    cum = 0
+    for i, text in enumerate(texts):
+        if i >= 60:
+            continue
+        cleaned = re.sub("[^ACGT]", "", text.upper())
+        content = (cleaned + "A" * 17)[: 13 + (i % 3) * 2]
+        g, c = content.count("G"), content.count("C")
+        cum += g - c
+        skew = (g - c) * 1000000 // (g + c) if g + c > 0 else 0
+        # DuckDB/Spark integer division truncates; python floors
+        if g + c > 0 and (g - c) < 0 and (g - c) * 1000000 % (g + c) != 0:
+            skew += 1
+        ref.append((i, g, c, skew, cum))
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# wave 4: exact median vs python statistics
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(-400, 400)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_exact_median_oracle_matches_python(rows):
+    from bigdatagenomic_spark.operators.scale import Q_X_EXACT_MEDIAN_SQL
+
+    cust = pd.DataFrame(
+        {
+            "c_custkey": range(len(rows)),
+            "c_mktsegment": [g for g, _ in rows],
+            "c_acctbal": [cents / 100.0 for _, cents in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.register("customer", cust)
+    got = {r[0]: r[1:] for r in con.sql(Q_X_EXACT_MEDIAN_SQL).fetchall()}
+    for grp in sorted({g for g, _ in rows}):
+        vals = sorted(cents for g, cents in rows if g == grp)
+        n = len(vals)
+        lo, hi = vals[(n - 1) // 2], vals[n // 2]
+        assert got[grp] == (n, lo + hi)
+
+
+# ---------------------------------------------------------------------------
+# wave 4: Mash distance vs python reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ACGT", min_size=0, max_size=30),
+        min_size=4,
+        max_size=24,
+    )
+)
+def test_mash_oracle_matches_python(texts):
+    from bigdatagenomic_spark.queries import MASH_GROUPS, MASH_K, _REGISTRY
+
+    sql = _REGISTRY["q_asm_mash_distance"][1]
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    got = {(r[0], r[1]): r[2:] for r in con.sql(sql).fetchall()}
+
+    def revcomp(s: str) -> str:
+        return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+    sets: dict[int, set[str]] = {g: set() for g in range(MASH_GROUPS)}
+    for i, text in enumerate(texts):
+        content = (text.upper() + "A" * 17)[: 13 + (i % 3) * 2]
+        for j in range(len(content) - MASH_K + 1):
+            km = content[j : j + MASH_K]
+            sets[i % MASH_GROUPS].add(min(km, revcomp(km)))
+    for ga in range(MASH_GROUPS):
+        for gb in range(ga + 1, MASH_GROUPS):
+            na, nb = len(sets[ga]), len(sets[gb])
+            ncommon = len(sets[ga] & sets[gb])
+            if ncommon == 0:
+                assert (ga, gb) not in got
+                continue
+            j = ncommon / (na + nb - ncommon)
+            mash = math.floor(
+                (-math.log(2 * j / (1 + j)) / MASH_K) * 10000 + 0.5
+            ) / 10000
+            g = got[(ga, gb)]
+            assert g[:3] == (na, nb, ncommon)
+            assert g[3] == round(j, 4)
+            assert abs(g[4] - mash) < 1.5e-4
