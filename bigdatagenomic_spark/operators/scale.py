@@ -672,12 +672,16 @@ BJ_NATION = 3  # selective dim predicate
 
 
 def _bj_positions(key) -> list:
-    from bigdatagenomic_spark.functions import md5_long
-
+    # ONE xxhash64 per row, BJ_K bit-sliced positions (the
+    # Kirsch-Mitzenmacher double-hashing device): the positions are
+    # internal plan machinery — the exact join downstream erases any
+    # false positive, so no cross-engine hash contract applies and the
+    # cheapest JVM hash wins. (The first cut salted md5 per position:
+    # measured ~4 s of pure probe CPU over the x100 fact — the wire
+    # saving is free, the hash must be too.)
+    h = F.xxhash64(key)
     return [
-        (md5_long(F.concat(F.lit(f"bj{i}|"), key.cast("string"))) % BJ_M).alias(
-            f"_p{i}"
-        )
+        F.shiftright(h, 13 * i).bitwiseAND(F.lit(BJ_M - 1)).alias(f"_p{i}")
         for i in range(BJ_K)
     ]
 
