@@ -2723,3 +2723,154 @@ SELECT p.p_partkey, p.p_retailprice, p.p_size
 FROM part p JOIN sky s ON p.p_retailprice = s.price AND p.p_size = s.msize
 ORDER BY p.p_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Item-item co-occurrence cosine (embedding-free similarity)
+# ---------------------------------------------------------------------------
+
+ITEM_COS_MIN_PAIRS = 2
+ITEM_COS_TOP = 50
+
+
+def q_x_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine over the order-part co-occurrence matrix:
+    ``sim(a,b) = n_ab / sqrt(n_a * n_b)`` — the embedding-free
+    collaborative-filtering similarity (the classic "customers who
+    bought" primitive, and the sparse counterpart of q26's dense
+    cosine; Deshpande & Karypis 2004). Built on the q_x_basket_pairs
+    pair pass: one self equi-join on the basket key (k² per basket,
+    never all-pairs), per-item supports from one count aggregate,
+    supports attached by two joins on the item key. A min-support
+    floor (n_ab >= 2) drops the noise pairs BEFORE the support joins —
+    at retail scale that floor is what keeps the pair table sparse.
+    Top-N goes through TakeOrdered; ties break on the pair key.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    support = items.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= ITEM_COS_MIN_PAIRS)
+    )
+    sa = support.select(F.col("p").alias("part_a"), F.col("n").alias("n_a"))
+    sb = support.select(F.col("p").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab") / F.sqrt(F.col("n_a") * F.col("n_b")), 4
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "part_a", "part_b")
+        .limit(ITEM_COS_TOP)
+    )
+
+
+Q_X_ITEM_COSINE_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+support AS (
+  SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS n
+  FROM items GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {ITEM_COS_MIN_PAIRS})
+SELECT p.part_a, p.part_b, p.n_ab, sa.n AS n_a, sb.n AS n_b,
+       round(p.n_ab / sqrt(sa.n * sb.n), 4) AS cosine
+FROM pairs p
+JOIN support sa ON p.part_a = sa.p
+JOIN support sb ON p.part_b = sb.p
+ORDER BY cosine DESC, part_a, part_b
+LIMIT {ITEM_COS_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation between two event series
+# ---------------------------------------------------------------------------
+
+ROLL_CORR_W = 14
+
+
+def q_x_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day Pearson correlation between the click and
+    purchase daily volumes — the co-movement monitor behind funnel
+    health dashboards (a correlation break flags tracking loss or a
+    funnel change long before totals move). One daily pivot aggregate,
+    then ``corr`` over a rows-frame window on the calendar-bounded
+    joined series; emitted only where the window is full. Rounds at 6
+    decimals (the q_x_stat_aggs corr precedent).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n_click"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purchase"
+        ),
+    )
+    w = W.orderBy("day").rowsBetween(-(ROLL_CORR_W - 1), 0)
+    out = daily.select(
+        "day",
+        F.col("n_click").cast("long").alias("n_click"),
+        F.col("n_purchase").cast("long").alias("n_purchase"),
+        F.count("*").over(w).alias("_n"),
+        F.round(F.corr("n_click", "n_purchase").over(w), 6).alias("roll_corr"),
+    )
+    return (
+        out.where(F.col("_n") == ROLL_CORR_W)
+        .drop("_n")
+        .orderBy("day")
+    )
+
+
+Q_X_ROLLING_CORR_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_click,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchase
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY 1),
+win AS (
+  SELECT day, n_click, n_purchase,
+         count(*) OVER (ORDER BY day
+              ROWS BETWEEN {ROLL_CORR_W - 1} PRECEDING AND CURRENT ROW) AS _n,
+         round(corr(n_click, n_purchase) OVER (ORDER BY day
+              ROWS BETWEEN {ROLL_CORR_W - 1} PRECEDING AND CURRENT ROW), 6)
+           AS roll_corr
+  FROM daily)
+SELECT day, n_click, n_purchase, roll_corr
+FROM win WHERE _n = {ROLL_CORR_W}
+ORDER BY day
+"""

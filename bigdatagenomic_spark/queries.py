@@ -3911,6 +3911,17 @@ from bigdatagenomic_spark.operators.graph import (  # noqa: E402
 register("q_graph_clustering_coeff", _q_ccoef, _CCOEF_SQL)
 # exact per-group median via two-phase rank (no single-partition sort)
 register("q_x_exact_median", SC.q_x_exact_median, SC.Q_X_EXACT_MEDIAN_SQL)
+# item-item co-occurrence cosine (embedding-free CF similarity)
+register("q_x_item_cosine", RX.q_x_item_cosine, RX.Q_X_ITEM_COSINE_SQL)
+# rolling 14-day click/purchase correlation (funnel co-movement monitor)
+register("q_x_rolling_corr", RX.q_x_rolling_corr, RX.Q_X_ROLLING_CORR_SQL)
+# S16 cascaded stream-stream funnel join, batch shape
+from bigdatagenomic_spark.streaming.ops import (  # noqa: E402
+    Q_S16_FUNNEL_JOIN_SQL as _S16_SQL,
+    q_s16_funnel_join_shape as _q_s16,
+)
+
+register("q_s16_funnel_join_shape", _q_s16, _S16_SQL)
 
 
 # ---------------------------------------------------------------------------

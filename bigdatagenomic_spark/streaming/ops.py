@@ -226,6 +226,111 @@ def q_s07_clickview_shape(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_funnel_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    purchases: DataFrame,
+    view_to_click: str = "6 hours",
+    click_to_purchase: str = "12 hours",
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """S16: CASCADED stream-stream inner joins — the three-stage
+    funnel (view → click → purchase, same user, each stage within its
+    window — 6h/12h, sized so the synthetic 30-day event stream yields
+    a non-trivial funnel at every SF) as one continuous query. Spark supports chaining
+    stream-stream joins when every side is watermarked and every join
+    condition time-bounds the match: the intermediate view⋈click state
+    is itself evictable, so state stays bounded at any stream length.
+    Works identically on batch inputs (the unified-op contract).
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    vc = v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {view_to_click}")
+        ),
+        "inner",
+    ).select(
+        # demote the FIRST stage's event-time column to a plain long:
+        # Spark permits at most ONE event-time column per stream side,
+        # so the intermediate keeps click_ts as its sole watermark
+        # carrier into the second join
+        "view_id",
+        F.unix_timestamp("view_ts").alias("view_ts_s"),
+        "click_id",
+        "c_user",
+        "click_ts",
+    )
+    out = vc.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {click_to_purchase}")
+        ),
+        "inner",
+    )
+    return out.select(
+        "view_id",
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.col("view_ts_s").alias("view_ts"),
+        F.unix_timestamp("click_ts").alias("click_ts"),
+        F.unix_timestamp("purchase_ts").alias("purchase_ts"),
+    )
+
+
+def q_s16_funnel_join_shape(spark, sf_dir: str) -> DataFrame:
+    """S16 batch shape: the cascaded view→click→purchase funnel join
+    on the batch events table."""
+    ev = load_table(spark, sf_dir, "events")
+    return stream_funnel_join(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    ).orderBy("view_id", "click_id", "purchase_id")
+
+
+Q_S16_FUNNEL_JOIN_SQL = """
+SELECT v.event_id AS view_id, c.event_id AS click_id,
+       p.event_id AS purchase_id, v.user_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = v.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 12 HOUR
+ORDER BY view_id, click_id, purchase_id
+"""
+
+
 def q_s15_leftjoin_shape(spark, sf_dir: str) -> DataFrame:
     """S15 batch shape: the stream-stream LEFT OUTER interval join on
     the batch events table — clicks with no same-user view in the

@@ -917,3 +917,114 @@ def test_mash_oracle_matches_python(texts):
             assert g[:3] == (na, nb, ncommon)
             assert g[3] == round(j, 4)
             assert abs(g[4] - mash) < 1.5e-4
+
+
+# ---------------------------------------------------------------------------
+# wave 5: item-item cosine vs python reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 6)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_item_cosine_oracle_matches_python(rows):
+    from bigdatagenomic_spark.operators.relational_ext import (
+        ITEM_COS_MIN_PAIRS,
+        ITEM_COS_TOP,
+        Q_X_ITEM_COSINE_SQL,
+    )
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [o for o, _ in rows],
+            "l_partkey": [p for _, p in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    got = [tuple(r) for r in con.sql(Q_X_ITEM_COSINE_SQL).fetchall()]
+
+    items = sorted({(o, p) for o, p in rows})
+    support: dict[int, int] = {}
+    for _, p in items:
+        support[p] = support.get(p, 0) + 1
+    pair_n: dict[tuple[int, int], int] = {}
+    baskets: dict[int, list[int]] = {}
+    for o, p in items:
+        baskets.setdefault(o, []).append(p)
+    for parts in baskets.values():
+        for i, a in enumerate(parts):
+            for b in parts[i + 1 :]:
+                k = (min(a, b), max(a, b))
+                pair_n[k] = pair_n.get(k, 0) + 1
+    ref = []
+    for (a, b), n_ab in pair_n.items():
+        if n_ab < ITEM_COS_MIN_PAIRS:
+            continue
+        na, nb = support[a], support[b]
+        ref.append(
+            (a, b, n_ab, na, nb, round(n_ab / math.sqrt(na * nb), 4))
+        )
+    ref.sort(key=lambda t: (-t[5], t[0], t[1]))
+    assert got == ref[:ITEM_COS_TOP]
+
+
+# ---------------------------------------------------------------------------
+# wave 5: rolling correlation vs python reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["click", "purchase"])),
+        min_size=1,
+        max_size=150,
+    )
+)
+def test_rolling_corr_oracle_matches_python(raw):
+    from bigdatagenomic_spark.operators.relational_ext import (
+        ROLL_CORR_W,
+        Q_X_ROLLING_CORR_SQL,
+    )
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(len(raw)),
+            "ts": [
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+                for d, _ in raw
+            ],
+            "event_type": [t for _, t in raw],
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    got = {r[0]: r[1:] for r in con.sql(Q_X_ROLLING_CORR_SQL).fetchall()}
+
+    daily: dict[int, list[int]] = {}
+    for d, t in raw:
+        n = daily.setdefault(d, [0, 0])
+        n[0 if t == "click" else 1] += 1
+    days = sorted(daily)
+    for i, d in enumerate(days):
+        day = (datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)).date()
+        if i + 1 < ROLL_CORR_W:
+            assert day not in got
+            continue
+        win = [daily[x] for x in days[i + 1 - ROLL_CORR_W : i + 1]]
+        xs = [w[0] for w in win]
+        ys = [w[1] for w in win]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        sxx = sum((x - mx) ** 2 for x in xs)
+        syy = sum((y - my) ** 2 for y in ys)
+        sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        nc, np_, corr = got[day]
+        assert (nc, np_) == tuple(daily[d])
+        if sxx == 0 or syy == 0:
+            assert corr is None
+        else:
+            assert abs(corr - round(sxy / math.sqrt(sxx * syy), 6)) < 2e-6

@@ -546,3 +546,27 @@ def test_s15_stream_stream_left_outer_join(spark, replay_dir):
     assert set(got_null) <= batch_unmatched
     assert len(got_null) == len(set(got_null))
     assert len(got_null) > 0
+
+
+def test_s16_cascaded_funnel_join_stream_equals_batch(spark, replay_dir):
+    """S16: the cascaded view→click→purchase stream-stream join chain
+    equals the batch chain over the same events (inner joins emit
+    eagerly, so end-of-stream buffering cannot drop matches whose
+    horizon passed — and the 30-day replay vs 1h watermark means the
+    chain has real eviction pressure)."""
+    from bigdatagenomic_spark.streaming.ops import stream_funnel_join
+
+    def split(ev):
+        return (
+            ev.where(F.col("event_type") == "view"),
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+        )
+
+    got = run_to_memory(
+        stream_funnel_join(*split(_stream_events(spark, replay_dir))), "append"
+    ).collect()
+    want = stream_funnel_join(*split(_batch_events(spark))).collect()
+    key = lambda r: (r.view_id, r.click_id, r.purchase_id)  # noqa: E731
+    assert {key(r) for r in got} == {key(r) for r in want}
+    assert len(want) > 0
