@@ -230,3 +230,57 @@ def test_pixel_stats_requires_decoder(spark):
     mm = spark.createDataFrame([(0, b"x")], "doc_id LONG, payload BINARY")
     with pytest.raises(NotImplementedError):
         pixel_stats(mm)
+
+
+# ---------------------------------------------------------------------------
+# plan pins for the round-10 join shapes
+# ---------------------------------------------------------------------------
+
+def test_filtered_topk_broadcasts_query_side(spark):
+    """The bounded query set ships as a broadcast build side; the
+    candidate scan must not shuffle for the label-constrained join."""
+    from bigdatagenomic_spark.operators.similarity import q_sim_filtered_topk
+
+    plan = (
+        q_sim_filtered_topk(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_seasonal_decompose_broadcasts_dow_side(spark):
+    """The 7-row weekday seasonal table attaches by broadcast — the
+    calendar-bounded daily series never shuffles for the join."""
+    from bigdatagenomic_spark.operators.stats import q_x_seasonal_decompose
+
+    plan = (
+        q_x_seasonal_decompose(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_exact_median_keeps_row_number_partitioned(spark):
+    """two_phase_rank's window must stay partitioned on (_pid, grp) —
+    an unpartitioned row_number would serialize the whole table
+    through one task (the exact failure q_x_exact_median exists to
+    avoid)."""
+    from bigdatagenomic_spark.operators.scale import q_x_exact_median
+
+    plan = (
+        q_x_exact_median(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "_pid" in spec, plan
