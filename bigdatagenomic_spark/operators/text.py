@@ -1267,6 +1267,13 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     float sums are IEEE-identical op-for-op; the only cross-engine
     hazard is a transcendental ulp, snapped at the coarse 1e-4 grid
     (the dsir_scores ADVICE-r8 pattern).
+
+    Per-row cost is O(types x tokens) (one filter scan per distinct
+    type) — measured 4.7 s for 500k docs at the corpus's ~54
+    tokens/doc (SCALING.md Part 8), and fine up to ~1k-token docs; a
+    corpus of 10k+-token documents should switch the count derivation
+    to run-lengths over ONE array_sort of the tokens (O(T log T)
+    row-local, same values) before this term dominates.
     """
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
 
