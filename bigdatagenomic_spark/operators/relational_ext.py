@@ -2823,9 +2823,23 @@ def q_x_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase daily volumes — the co-movement monitor behind funnel
     health dashboards (a correlation break flags tracking loss or a
     funnel change long before totals move). One daily pivot aggregate,
-    then ``corr`` over a rows-frame window on the calendar-bounded
-    joined series; emitted only where the window is full. Rounds at 6
-    decimals (the q_x_stat_aggs corr precedent).
+    then Pearson correlation over a rows-frame window on the
+    calendar-bounded joined series; emitted only where the window is
+    full. Rounds at 6 decimals (the q_x_stat_aggs corr precedent).
+
+    ANSI note: ``F.corr(...).over(w)`` is NOT used — under Spark 4's
+    default ANSI mode the window operator evaluates the aggregate's
+    internal division before any Project-level guard can run, so a
+    zero-variance window (14 constant days, plausible in sparse
+    corpora) throws DIVIDE_BY_ZERO and kills the job. Instead the
+    window computes six exact BIGINT moment sums (count/sum/sum-of-
+    products — no division inside the window), and the correlation is
+    assembled in the Project where a CASE guard short-circuits: NULL
+    when either side has zero variance, matching DuckDB corr. The
+    moment sums are order-independent integers, so engine and oracle
+    agree bit-for-bit before the single float divide. BIGINT bound:
+    cov ~ W²·max(x·y) — overflow needs ~8e8 events/day; document a
+    pre-scale (daily counts in thousands) before that regime.
     """
     ev = load_table(spark, sf_dir, "events").where(
         F.col("ts").isNotNull()
@@ -2838,16 +2852,32 @@ def q_x_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = W.orderBy("day").rowsBetween(-(ROLL_CORR_W - 1), 0)
+    x, y = F.col("n_click"), F.col("n_purchase")
     out = daily.select(
         "day",
-        F.col("n_click").cast("long").alias("n_click"),
-        F.col("n_purchase").cast("long").alias("n_purchase"),
+        x.cast("long").alias("n_click"),
+        y.cast("long").alias("n_purchase"),
         F.count("*").over(w).alias("_n"),
-        F.round(F.corr("n_click", "n_purchase").over(w), 6).alias("roll_corr"),
+        F.sum(x).over(w).alias("_sx"),
+        F.sum(y).over(w).alias("_sy"),
+        F.sum(x * y).over(w).alias("_sxy"),
+        F.sum(x * x).over(w).alias("_sxx"),
+        F.sum(y * y).over(w).alias("_syy"),
+    )
+    cov = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(
+            cov.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double")),
+            6,
+        ),
     )
     return (
         out.where(F.col("_n") == ROLL_CORR_W)
-        .drop("_n")
+        .select("day", "n_click", "n_purchase", corr.alias("roll_corr"))
         .orderBy("day")
     )
 
@@ -2864,13 +2894,21 @@ WITH daily AS (
   GROUP BY 1),
 win AS (
   SELECT day, n_click, n_purchase,
-         count(*) OVER (ORDER BY day
-              ROWS BETWEEN {ROLL_CORR_W - 1} PRECEDING AND CURRENT ROW) AS _n,
-         round(corr(n_click, n_purchase) OVER (ORDER BY day
-              ROWS BETWEEN {ROLL_CORR_W - 1} PRECEDING AND CURRENT ROW), 6)
-           AS roll_corr
-  FROM daily)
-SELECT day, n_click, n_purchase, roll_corr
+         count(*) OVER fr AS _n,
+         sum(n_click) OVER fr AS _sx,
+         sum(n_purchase) OVER fr AS _sy,
+         sum(n_click * n_purchase) OVER fr AS _sxy,
+         sum(n_click * n_click) OVER fr AS _sxx,
+         sum(n_purchase * n_purchase) OVER fr AS _syy
+  FROM daily
+  WINDOW fr AS (ORDER BY day
+      ROWS BETWEEN {ROLL_CORR_W - 1} PRECEDING AND CURRENT ROW))
+SELECT day, n_click, n_purchase,
+       CASE WHEN _n * _sxx - _sx * _sx > 0 AND _n * _syy - _sy * _sy > 0
+            THEN round(CAST(_n * _sxy - _sx * _sy AS DOUBLE)
+                       / sqrt(CAST(_n * _sxx - _sx * _sx AS DOUBLE)
+                              * CAST(_n * _syy - _sy * _sy AS DOUBLE)), 6)
+       END AS roll_corr
 FROM win WHERE _n = {ROLL_CORR_W}
 ORDER BY day
 """

@@ -1436,10 +1436,20 @@ def q_x_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One pass: the daily aggregate takes ACF_MAX_LAG lag columns from a
     single window over the calendar-bounded series, then ONE aggregate
-    row computes every lag's Pearson correlation (map-side-combinable
-    moments), unpacked to long form with ``stack`` — no per-lag rescan
-    of the raw facts. ``corr`` rounds at 6 decimals (the q_x_stat_aggs
-    precedent); pair counts are exact BIGINTs.
+    row computes every lag's Pearson correlation from exact BIGINT
+    moment sums (count/sum/sum-of-products, map-side-combinable),
+    unpacked to long form with ``stack`` — no per-lag rescan of the
+    raw facts. Rounds at 6 decimals (the q_x_stat_aggs precedent);
+    pair counts are exact BIGINTs.
+
+    ANSI note: ``F.corr`` in aggregate position is NOT used — under
+    Spark 4's default ANSI mode a constant series (zero variance at
+    some lag) makes corr's internal division throw DIVIDE_BY_ZERO
+    inside the aggregate, before any guard. The moment sums carry no
+    division; the correlation is assembled afterwards behind a CASE
+    guard that emits NULL on zero variance, matching DuckDB corr. The
+    sums are order-independent integers, so engine and oracle agree
+    bit-for-bit before the single float divide.
     """
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
@@ -1453,9 +1463,41 @@ def q_x_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = daily.select("n", *lags)
     aggs = []
     for L in range(1, ACF_MAX_LAG + 1):
-        aggs.append(F.count(f"lag{L}").cast("long").alias(f"c{L}"))
-        aggs.append(F.round(F.corr("n", f"lag{L}"), 6).alias(f"r{L}"))
+        lag, n = F.col(f"lag{L}"), F.col("n")
+        x = F.when(lag.isNotNull(), n)  # pair-wise: n only where lag exists
+        aggs.append(F.count(lag).cast("long").alias(f"c{L}"))
+        aggs.append(F.sum(x).alias(f"sx{L}"))
+        aggs.append(F.sum(lag).alias(f"sy{L}"))
+        aggs.append(F.sum(x * lag).alias(f"sxy{L}"))
+        aggs.append(F.sum(x * x).alias(f"sxx{L}"))
+        aggs.append(F.sum(lag * lag).alias(f"syy{L}"))
     one = d2.agg(*aggs)
+    rs = []
+    for L in range(1, ACF_MAX_LAG + 1):
+        c, sx, sy, sxy, sxx, syy = (
+            F.col(f"c{L}"),
+            F.col(f"sx{L}"),
+            F.col(f"sy{L}"),
+            F.col(f"sxy{L}"),
+            F.col(f"sxx{L}"),
+            F.col(f"syy{L}"),
+        )
+        cov = c * sxy - sx * sy
+        vx = c * sxx - sx * sx
+        vy = c * syy - sy * sy
+        rs.append(
+            F.when(
+                (vx > 0) & (vy > 0),
+                F.round(
+                    cov.cast("double")
+                    / F.sqrt(vx.cast("double") * vy.cast("double")),
+                    6,
+                ),
+            ).alias(f"r{L}")
+        )
+    one = one.select(
+        *[F.col(f"c{L}") for L in range(1, ACF_MAX_LAG + 1)], *rs
+    )
     stack_args = ", ".join(
         f"{L}, c{L}, r{L}" for L in range(1, ACF_MAX_LAG + 1)
     )
@@ -1469,9 +1511,28 @@ def _acf_oracle_sql() -> str:
         f"lag(n, {L}) OVER (ORDER BY day) AS lag{L}"
         for L in range(1, ACF_MAX_LAG + 1)
     )
+    # Same exact-BIGINT moment sums as the engine (see q_x_acf ANSI
+    # note): per-lag CTE of six sums, correlation assembled behind the
+    # identical zero-variance CASE guard.
+    moment_ctes = [
+        f"""m{L} AS (
+  SELECT CAST(count(lag{L}) AS BIGINT) AS c,
+         sum(CASE WHEN lag{L} IS NOT NULL THEN n END) AS sx,
+         sum(lag{L}) AS sy,
+         sum(CASE WHEN lag{L} IS NOT NULL THEN n * lag{L} END) AS sxy,
+         sum(CASE WHEN lag{L} IS NOT NULL THEN n * n END) AS sxx,
+         sum(lag{L} * lag{L}) AS syy
+  FROM d2)"""
+        for L in range(1, ACF_MAX_LAG + 1)
+    ]
     selects = [
-        f"""SELECT {L} AS lag, CAST(count(lag{L}) AS BIGINT) AS n_pairs,
-       round(corr(n, lag{L}), 6) AS acf FROM d2"""
+        f"""SELECT {L} AS lag, c AS n_pairs,
+       CASE WHEN c * sxx - sx * sx > 0 AND c * syy - sy * sy > 0
+            THEN round(CAST(c * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(c * sxx - sx * sx AS DOUBLE)
+                              * CAST(c * syy - sy * sy AS DOUBLE)), 6)
+       END AS acf
+  FROM m{L}"""
         for L in range(1, ACF_MAX_LAG + 1)
     ]
     return (
@@ -1482,7 +1543,9 @@ d2 AS (
   SELECT n,
          """
         + lag_cols
-        + "\n  FROM daily)\n"
+        + "\n  FROM daily),\n"
+        + ",\n".join(moment_ctes)
+        + "\n"
         + "\nUNION ALL\n".join(selects)
         + "\nORDER BY lag"
     )

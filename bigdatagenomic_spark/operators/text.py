@@ -1268,32 +1268,61 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard is a transcendental ulp, snapped at the coarse 1e-4 grid
     (the dsir_scores ADVICE-r8 pattern).
 
-    Per-row cost is O(types x tokens) (one filter scan per distinct
-    type) — measured 4.7 s for 500k docs at the corpus's ~54
-    tokens/doc (SCALING.md Part 8), and fine up to ~1k-token docs; a
-    corpus of 10k+-token documents should switch the count derivation
-    to run-lengths over ONE array_sort of the tokens (O(T log T)
-    row-local, same values) before this term dominates.
+    Per-row cost is O(T log T): the counts come from run-lengths over
+    ONE ``array_sort`` of the tokens (run boundaries → adjacent
+    differences), replacing the round-10 O(types x tokens)
+    filter-per-type fold — same count values in the same sorted-type
+    order, so the float fold is bit-identical, but a 10k-token doc
+    costs one sort instead of types full scans. Token-less docs
+    (punctuation-only text) short-circuit behind a CASE guard: the
+    0-token path must never reach the ``s / n`` division (ANSI
+    DIVIDE_BY_ZERO — the q_x_rolling_corr lesson applies to 0.0/0.0
+    too).
     """
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
 
     def ent_cols(t):
-        types = F.array_sort(F.array_distinct(t))
-        counts = F.transform(
-            types,
-            lambda c: F.size(F.filter(t, lambda x: x == c)).cast("double"),
-        )
-        n = F.size(t).cast("double")
-        s = F.aggregate(
-            counts,
-            F.lit(0.0),
-            lambda acc, c: acc + c * F.log(c),
-        )
-        ent = F.log(n) - s / n
-        return F.struct(
-            F.size(t).cast("long").alias("n_tokens"),
-            F.size(types).cast("long").alias("n_types"),
-            (F.floor(ent * 10000 + F.lit(0.5)) / 10000).alias("ent"),
+        n = F.size(t)
+
+        def from_sorted(st):
+            # run starts: positions where the sorted copy changes value.
+            # CASE (not `|`) so i=1 never evaluates element_at(st, 0),
+            # an ANSI INVALID_ARRAY_INDEX.
+            b = F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: F.when(i == F.lit(1), F.lit(True)).otherwise(
+                    F.element_at(st, i) != F.element_at(st, i - 1)
+                ),
+            )
+
+            def fold(bnd):
+                counts = F.zip_with(
+                    F.slice(bnd, 1, F.size(bnd) - 1),
+                    F.slice(bnd, 2, F.size(bnd) - 1),
+                    lambda x, y: (y - x).cast("double"),
+                )
+                s = F.aggregate(
+                    counts,
+                    F.lit(0.0),
+                    lambda acc, c: acc + c * F.log(c),
+                )
+                nd = n.cast("double")
+                ent = F.log(nd) - s / nd
+                return F.struct(
+                    n.cast("long").alias("n_tokens"),
+                    (F.size(bnd) - 1).cast("long").alias("n_types"),
+                    (F.floor(ent * 10000 + F.lit(0.5)) / 10000).alias("ent"),
+                )
+
+            # boundaries + sentinel n+1: counts[j] = b[j+1] - b[j]
+            return let_bound(F.concat(b, F.array(n + F.lit(1))), fold)
+
+        return F.when(n > 0, let_bound(F.array_sort(t), from_sorted)).otherwise(
+            F.struct(
+                F.lit(0).cast("long").alias("n_tokens"),
+                F.lit(0).cast("long").alias("n_types"),
+                F.lit(None).cast("double").alias("ent"),
+            )
         )
 
     s1 = d.select("doc_id", let_bound(tokens(F.col("text")), ent_cols).alias("_e"))

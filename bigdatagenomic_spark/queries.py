@@ -912,7 +912,13 @@ def q_asm_mash_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             "n_common",
-            F.round(j, 4).alias("jacc"),
+            # Integer-exact Jaccard (codebase convention: *_micro BIGINTs,
+            # never a float round at the engine/oracle boundary — a
+            # representable tie like j = 1/32 rounds differently under
+            # Spark HALF_UP vs CPython banker's rounding).
+            F.expr(
+                "n_common * 1000000L div (n_a + n_b - n_common)"
+            ).alias("jacc_micro"),
             (
                 F.floor(
                     (-F.log(F.lit(2.0) * j / (F.lit(1.0) + j)) / MASH_K) * 10000
@@ -953,8 +959,8 @@ register(
       GROUP BY 1, 2
     )
     SELECT c.g_a, c.g_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
-           round(c.n_common / CAST(sa.n + sb.n - c.n_common AS DOUBLE), 4)
-             AS jacc,
+           CAST(c.n_common * 1000000 // (sa.n + sb.n - c.n_common) AS BIGINT)
+             AS jacc_micro,
            floor((-ln(2.0 * (c.n_common / CAST(sa.n + sb.n - c.n_common
                                                 AS DOUBLE))
                       / (1.0 + c.n_common / CAST(sa.n + sb.n - c.n_common

@@ -175,8 +175,12 @@ def stream_stream_click_view_join(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("view_ts"),
     )
+    # Per-input gates: a batch clicks frame joined to a streaming views
+    # frame must still watermark the views side, else its buffered
+    # state is unbounded (same rationale as stream_funnel_join).
     if clicks.isStreaming:
         c = c.withWatermark("click_ts", watermark)
+    if views.isStreaming:
         v = v.withWatermark("view_ts", watermark)
     return c.join(
         v,
@@ -258,9 +262,16 @@ def stream_funnel_join(
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("purchase_ts"),
     )
+    # Watermark each streaming side INDEPENDENTLY: gating all three on
+    # views.isStreaming would leave clicks/purchases unwatermarked when
+    # views happens to be a batch frame in a mixed query, making the
+    # stream-stream join state unbounded (or the query rejected).
+    # withWatermark is only legal on streaming Datasets, hence per-input.
     if views.isStreaming:
         v = v.withWatermark("view_ts", watermark)
+    if clicks.isStreaming:
         c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
         p = p.withWatermark("purchase_ts", watermark)
     vc = v.join(
         c,

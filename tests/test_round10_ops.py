@@ -284,3 +284,96 @@ def test_exact_median_keeps_row_number_partitioned(spark):
     for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
         assert "_pid" in spec, plan
+
+
+# ---------------------------------------------------------------------------
+# ANSI zero-variance regression: rolling corr / ACF must emit NULL on a
+# constant series, not throw DIVIDE_BY_ZERO (advisor repro, round 11)
+# ---------------------------------------------------------------------------
+
+def test_rolling_corr_constant_series_yields_null_not_crash(spark, tmp_path):
+    """14 consecutive days with constant n_click (all-zero purchases is
+    the plausible sparse-corpus case) must produce roll_corr = NULL —
+    under Spark 4 default ANSI mode a window-position F.corr would
+    throw DIVIDE_BY_ZERO before any Project guard (verified), which is
+    why q_x_rolling_corr computes moment sums instead."""
+    import datetime
+
+    from bigdatagenomic_spark.operators.relational_ext import (
+        q_x_rolling_corr,
+    )
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(16):
+        for _ in range(3):  # constant 3 clicks/day
+            rows.append((base + datetime.timedelta(days=d), "click"))
+        for _ in range(d % 2):  # varying purchases (still NULL: var(x)=0)
+            rows.append((base + datetime.timedelta(days=d), "purchase"))
+    ev = spark.createDataFrame(rows, "ts timestamp_ntz, event_type string")
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    out = q_x_rolling_corr(spark, str(tmp_path)).collect()
+    assert len(out) == 3  # days 14..16 have a full window
+    assert all(r.roll_corr is None for r in out)
+    assert all(r.n_click == 3 for r in out)
+
+
+def test_acf_constant_series_yields_null_not_crash(spark, tmp_path):
+    """A constant daily order series (zero variance at every lag) must
+    yield acf = NULL for all lags — same ANSI hazard as rolling corr,
+    same moment-sum fix (stats.py q_x_acf)."""
+    import datetime
+
+    from bigdatagenomic_spark.operators.stats import ACF_MAX_LAG, q_x_acf
+
+    rows = []
+    for d in range(20):
+        for k in range(2):  # constant 2 orders/day
+            rows.append(
+                (d * 2 + k, datetime.date(2024, 3, 1) + datetime.timedelta(days=d))
+            )
+    o = spark.createDataFrame(rows, "o_orderkey long, o_orderdate date")
+    o.write.parquet(str(tmp_path / "orders.parquet"))
+    out = q_x_acf(spark, str(tmp_path)).collect()
+    assert [r.lag for r in out] == list(range(1, ACF_MAX_LAG + 1))
+    assert all(r.acf is None for r in out)
+    assert [r.n_pairs for r in out] == [20 - L for L in range(1, ACF_MAX_LAG + 1)]
+
+
+# ---------------------------------------------------------------------------
+# entropy run-length rewrite (round 11): long docs and token-less docs
+# ---------------------------------------------------------------------------
+
+def test_entropy_long_doc_and_punct_only_doc(spark, tmp_path):
+    """The O(T log T) run-length fold (round 11) must reproduce the
+    direct count-based entropy on a 2k-token document, and a
+    punctuation-only document (0 tokens) must be dropped, not crash
+    the ANSI 0.0/0.0 division the CASE guard exists to prevent."""
+    import math
+
+    import pandas as pd
+
+    long_toks = [f"w{i % 37}" for i in range(2000)] + ["rare"] * 3
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [" ".join(long_toks), "!!! ??? ...", "a a b"],
+        }
+    )
+    spark.createDataFrame(docs).write.parquet(str(tmp_path / "documents.parquet"))
+    from bigdatagenomic_spark.operators.text import q_text_entropy
+
+    out = {r.doc_id: r for r in q_text_entropy(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 2}  # punctuation-only doc dropped, no crash
+
+    def ref(toks):
+        n = len(toks)
+        counts = [toks.count(t) for t in sorted(set(toks))]
+        ent = math.log(n) - sum(c * math.log(c) for c in counts) / n
+        return len(toks), len(counts), math.floor(ent * 10000 + 0.5) / 10000
+
+    for did, toks in ((0, long_toks), (2, ["a", "a", "b"])):
+        n_tok, n_typ, ent = ref(toks)
+        assert out[did].n_tokens == n_tok
+        assert out[did].n_types == n_typ
+        assert abs(out[did].ent - ent) < 1.5e-4
