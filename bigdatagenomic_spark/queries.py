@@ -3991,20 +3991,33 @@ _PRIORITY_PREFIX = [
     # at sf0.01 by the vanilla-session preflight_r9.json (249/249) and
     # hash-checked every round by the sf0.001 pytest oracle suite.
     #
-    # -- round 10 rotated IN, rule 2 FIRST (new in round 9, no driver
-    #    row yet — ROTATION.md round-10 block):
-    "q_text_ttr", "q_text_bm25", "q_x_linreg", "q_graph_ppr",
-    "q_sim_range_search", "q_sim_mmr", "q_x_decontam_fuzzy",
-    "q_sim_ivf_recall", "q_text_cdc_chunks", "q_x_attribution",
-    "q_graph_linkpred",
-    # the rewritten q18 (plan-changed in round 9; driver row re-validates)
-    "q_tpch_q18_shape",
-    # -- the round-9 rolled tail (ROTATION.md round 10)
-    "q_text_tfidf", "q_dedup_lsh_incremental", "q_x_kanon_release",
-    "q_x_abtest",
-    # -- genomics analytics family, never driver-checked
-    "q_asm_coverage_depth", "q_asm_n50", "q_asm_debruijn_edges",
-    "q_asm_kmer_spectrum", "q_asm_error_correct",
+    # Round 11 rotated OUT (ROTATION.md): the round-10 rotate-ins, all
+    # 21 hash-green in CORRECTNESS_r10 (q_text_ttr, q_text_bm25,
+    # q_x_linreg, q_graph_ppr, q_sim_range_search, q_sim_mmr,
+    # q_x_decontam_fuzzy, q_sim_ivf_recall, q_text_cdc_chunks,
+    # q_x_attribution, q_graph_linkpred, q_tpch_q18_shape, q_text_tfidf,
+    # q_dedup_lsh_incremental, q_x_kanon_release, q_x_abtest,
+    # q_asm_coverage_depth, q_asm_n50, q_asm_debruijn_edges,
+    # q_asm_kmer_spectrum, q_asm_error_correct). All stay hash-checked
+    # every round by the sf0.001 pytest oracle suite + the
+    # full-registry vanilla-session preflight.
+    #
+    # -- round 11 rotated IN, rule 2 FIRST (behavior/plan changed this
+    #    round — the ANSI/rounding fixes must earn a driver row):
+    "q_asm_mash_distance",   # jacc -> jacc_micro (integer-exact)
+    "q_x_acf",               # moment-sum rewrite (ANSI zero-variance)
+    "q_x_rolling_corr",      # moment-sum rewrite (ANSI zero-variance);
+                             # pulled forward from round 12 under rule 2
+    "q_text_entropy",        # run-length fold rewrite (same values)
+    "q_x_bloom_join",        # perf-weak in VERDICT r10; plan reworked
+    # -- the rest of the ROTATION.md round-11 block (round-10 ops,
+    #    no driver row yet):
+    "q_x_level_shift", "q_x_sax", "q_text_novelty",
+    "q_graph_neighbor_agg", "q_graph_walks", "q_x_skyline",
+    "q_x_seasonal_decompose", "q_s15_leftjoin_shape", "q_mm_pixel_stats",
+    "q_graph_motifs", "q_text_sentences", "q_sim_filtered_topk",
+    "q_graph_katz", "q_graph_clustering_coeff", "q_x_exact_median",
+    "q_s16_funnel_join_shape",
 ]
 
 

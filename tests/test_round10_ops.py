@@ -84,10 +84,14 @@ def test_bloom_join_plan_prefilters_fact_with_broadcast_semis(spark):
 
     df = q_x_bloom_join(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the BJ_K membership tests compile to broadcast hash LEFT SEMI
-    # joins (map-side, zero fact shuffle before the exact join)
-    assert plan.count("LeftSemi") >= 2, plan
+    # round-11 shape: the sketch is an InSet literal filter inside the
+    # fact scan's codegen — no semi-join exchanges, no BNLJ, no fact
+    # shuffle before the single exact broadcast join
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "INSET" in plan or " IN (" in plan, plan
 
 
 def test_bloom_sketch_is_bounded(spark):

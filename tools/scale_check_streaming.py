@@ -1,0 +1,191 @@
+"""Streaming state-at-scale sweep (VERDICT r10 #6): replay the x1/x10/
+x100 events corpus through the two stream-stream joins whose
+bounded-state claim has never been measured —
+
+  * S15 `stream_stream_click_view_join(how="left_outer")` — clicks
+    left-outer-matched to same-user views in the preceding 30 min,
+  * S16 `stream_funnel_join` — the cascaded view→click→purchase
+    funnel (two chained stream-stream joins, intermediate state),
+
+and record per-micro-batch state-store metrics
+(`query.recentProgress[*].stateOperators`: numRowsTotal,
+memoryUsedBytes) plus the peak across the replay.
+
+The claim under test (streaming/ops.py): "every condition time-bounds
+the match, so intermediate state evicts". The replica corpus
+(tools/make_scale_tables.py) shifts each replica's 30-day window by
+366 days, so x100 is a 100x-longer calendar at the SAME per-hour event
+density — if eviction works, PEAK state rows are ~flat in the replica
+count (state holds only the watermark horizon's rows), while a broken
+watermark would show peak state growing ~100x.
+
+Chunking: N time-ordered parquet files per replica, bucketed by
+equal-width ts ranges (computed from min/max — no global sort), so
+`maxFilesPerTrigger=1` advances the watermark between micro-batches
+exactly like wall-clock arrival would.
+
+Usage: python tools/scale_check_streaming.py [rel_dir] [--out F]
+(default /tmp/scale_rel with x1/x10/x100 subdirs; writes JSON to --out)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_CHUNKS = 8
+REPLICAS = ("x1", "x10", "x100")
+
+
+def _write_time_chunks(ev, out_dir: str) -> None:
+    """Split events into N_CHUNKS equal-width ts buckets, one parquet
+    file per bucket in ascending time order (no global sort — the
+    bucket id is a map-side expression)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_us = max(
+        int((hi - lo).total_seconds() * 1_000_000), 1
+    )
+    bucket = F.least(
+        F.lit(N_CHUNKS - 1),
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lit(lo)))
+            * N_CHUNKS
+            / span_us
+        ).cast("int"),
+    )
+    chunked = ev.withColumn("_b", bucket)
+    with tempfile.TemporaryDirectory() as tmp:
+        for b in range(N_CHUNKS):
+            part_dir = os.path.join(tmp, f"c{b}")
+            chunked.where(F.col("_b") == b).drop("_b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
+            (pf,) = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            # name in time order; copy so mtime order == time order too
+            shutil.copyfile(pf, os.path.join(out_dir, f"chunk-{b:03d}.parquet"))
+
+
+def _run_stream(spark, chunk_dir: str, schema, build, ckpt: str):
+    """Replay the chunk dir through `build(stream_df)`, return
+    (wall_s, per-batch state metrics, peak rows, peak bytes)."""
+    from bigdatagenomic_spark.streaming.replay import read_event_stream
+
+    stream = read_event_stream(spark, chunk_dir, schema)
+    out = build(stream)
+    q = (
+        out.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    t0 = time.time()
+    q.processAllAvailable()
+    wall = time.time() - t0
+    progress = list(q.recentProgress)
+    q.stop()
+    batches = []
+    for p in progress:
+        sos = p.get("stateOperators") or []
+        if not sos:
+            continue
+        batches.append(
+            {
+                "batch": p.get("batchId"),
+                "rows_per_op": [so.get("numRowsTotal") for so in sos],
+                "bytes_per_op": [so.get("memoryUsedBytes") for so in sos],
+            }
+        )
+    peak_rows = max(
+        (sum(b["rows_per_op"]) for b in batches), default=0
+    )
+    peak_bytes = max(
+        (sum(b["bytes_per_op"]) for b in batches), default=0
+    )
+    return wall, batches, peak_rows, peak_bytes
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    out_path = None
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
+        argv = [a for a in argv if a != "--out" and a != out_path]
+    rel_dir = argv[0] if argv else "/tmp/scale_rel"
+
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.session import get_spark
+    from bigdatagenomic_spark.streaming.ops import (
+        stream_funnel_join,
+        stream_stream_click_view_join,
+    )
+
+    spark = get_spark(app_name="scale-check-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def s15(stream):
+        clicks = stream.where(F.col("event_type") == "click")
+        views = stream.where(F.col("event_type") == "view")
+        return stream_stream_click_view_join(clicks, views, how="left_outer")
+
+    def s16(stream):
+        return stream_funnel_join(
+            stream.where(F.col("event_type") == "view"),
+            stream.where(F.col("event_type") == "click"),
+            stream.where(F.col("event_type") == "purchase"),
+        )
+
+    cases = [("s15_leftouter", s15), ("s16_funnel", s16)]
+    result: dict = {
+        "n_chunks": N_CHUNKS,
+        "load_avg": os.getloadavg()[0],
+        "cases": {},
+    }
+    for rep in REPLICAS:
+        src = os.path.join(rel_dir, rep, "events.parquet")
+        if not os.path.exists(src):
+            print(f"skip {rep}: {src} missing", flush=True)
+            continue
+        ev = spark.read.parquet(src)
+        n_events = ev.count()
+        chunk_dir = tempfile.mkdtemp(prefix=f"stream_chunks_{rep}_")
+        _write_time_chunks(ev, chunk_dir)
+        schema = spark.read.parquet(chunk_dir).schema
+        for name, build in cases:
+            ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_{rep}_")
+            wall, batches, peak_rows, peak_bytes = _run_stream(
+                spark, chunk_dir, schema, build, ckpt
+            )
+            result["cases"].setdefault(name, {})[rep] = {
+                "events": n_events,
+                "wall_s": round(wall, 2),
+                "peak_state_rows": peak_rows,
+                "peak_state_bytes": peak_bytes,
+                "batches": batches,
+            }
+            print(
+                f"{name} {rep}: events={n_events} wall={wall:.1f}s "
+                f"peak_state_rows={peak_rows} "
+                f"peak_state_mb={peak_bytes / 1e6:.1f}",
+                flush=True,
+            )
+            shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
