@@ -2211,3 +2211,100 @@ SELECT deg.v AS id, deg.deg,
 FROM deg LEFT JOIN tri ON deg.v = tri.v
 ORDER BY id
 """
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (round 11)
+# ---------------------------------------------------------------------------
+
+def q_graph_degree_assortativity(spark, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the bounded
+    co-purchase graph: the Pearson correlation of endpoint degrees
+    over the edge list — positive means hubs attach to hubs (social
+    shape), negative means hub-and-spoke (dependency/infrastructure
+    shape); the one-number summary that says WHICH sampling and
+    partitioning pathologies (superhub shuffle skew, LSH bucket blow-
+    up) a graph will exhibit before any algorithm runs.
+
+    Same derived graph as q_graph_degree_hist (l_orderkey < 200
+    candidate slice — the bounded-contract device every graph-family
+    op uses). Undirected symmetrization: each edge contributes both
+    (deg_a, deg_b) and (deg_b, deg_a), folded algebraically into the
+    moment sums (sx = Σ(da+db), sxy = Σ 2·da·db, sxx = Σ(da²+db²),
+    m = 2·|E|) — no doubled edge list materialized. The correlation is
+    assembled from exact BIGINT moments behind the CASE zero-variance
+    guard (NULL for regular graphs, matching DuckDB corr semantics and
+    ANSI discipline — the q_x_rolling_corr pattern); the moments are
+    one map-side-combinable aggregate after the two degree joins
+    (shuffle equi-joins on vertex id, broadcast-eligible at this
+    slice, hash-partitioned at scale).
+    """
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    o1 = items.select(F.col("l_orderkey").alias("src"), "l_partkey")
+    o2 = items.select(F.col("l_orderkey").alias("dst"), "l_partkey")
+    und = (
+        o1.join(o2, "l_partkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("src").alias("id"))
+        .unionByName(und.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    da, db = F.col("deg_a"), F.col("deg_b")
+    edges = (
+        und.join(deg.select(F.col("id").alias("src"), F.col("degree").alias("deg_a")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("deg_b")), "dst")
+    )
+    m = edges.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(da + db).cast("long").alias("_sx"),
+        F.sum(F.lit(2) * da * db).cast("long").alias("_sxy"),
+        F.sum(da * da + db * db).cast("long").alias("_sxx"),
+    )
+    n2 = F.lit(2) * F.col("n_edges")
+    cov = n2 * F.col("_sxy") - F.col("_sx") * F.col("_sx")
+    var = n2 * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    r = F.when(
+        var > 0,
+        F.round(cov.cast("double") / var.cast("double"), 6),
+    )
+    return m.select("n_edges", F.col("_sx").alias("sum_deg"), r.alias("assortativity"))
+
+
+Q_GRAPH_DEGREE_ASSORTATIVITY_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 200
+), und AS (
+  SELECT DISTINCT i.l_orderkey AS src, j.l_orderkey AS dst
+  FROM items i JOIN items j
+    ON i.l_partkey = j.l_partkey AND i.l_orderkey < j.l_orderkey
+), deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT src AS id FROM und UNION ALL SELECT dst FROM und
+  ) GROUP BY id
+), edges AS (
+  SELECT a.degree AS deg_a, b.degree AS deg_b
+  FROM und e
+  JOIN deg a ON a.id = e.src
+  JOIN deg b ON b.id = e.dst
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(deg_a + deg_b) AS BIGINT) AS sx,
+         CAST(sum(2 * deg_a * deg_b) AS BIGINT) AS sxy,
+         CAST(sum(deg_a * deg_a + deg_b * deg_b) AS BIGINT) AS sxx
+  FROM edges
+)
+SELECT n_edges, sx AS sum_deg,
+       CASE WHEN 2 * n_edges * sxx - sx * sx > 0
+            THEN round(CAST(2 * n_edges * sxy - sx * sx AS DOUBLE)
+                       / CAST(2 * n_edges * sxx - sx * sx AS DOUBLE), 6)
+       END AS assortativity
+FROM mom
+"""

@@ -2912,3 +2912,87 @@ SELECT day, n_click, n_purchase,
 FROM win WHERE _n = {ROLL_CORR_W}
 ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration coefficient per group (round 11)
+# ---------------------------------------------------------------------------
+
+def q_x_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority-class Gini coefficient of order revenue — the
+    inequality/concentration summary behind every "is this segment
+    whale-driven" question (Gini 0 = every order equal, →1 = one order
+    carries the class). Uses the rank formulation over ascending
+    integer cents, G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ):
+    ties contribute the same Σ i·xᵢ under any permutation of equal
+    values, so the o_orderkey tiebreaker only pins determinism, not
+    the value.
+
+    Scale shape: ranks come from scale.two_phase_rank with
+    group_cols=[o_orderpriority] (NO single-partition window — the
+    per-class order sets are unbounded at 100 TB); the three moments
+    are one map-side-combinable aggregate. Σ i·xᵢ grows ~n²·max_cents,
+    so the moment sums accumulate as DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) — exact at any n that fits an int128, overflow-checked by
+    both engines — and the final G lands on the integer-exact micro
+    grid via decimal division (no float anywhere).
+    """
+    from bigdatagenomic_spark.operators.scale import two_phase_rank
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        cents.alias("cents"),
+    )
+    ranked = two_phase_rank(
+        o,
+        [F.asc("cents"), F.asc("o_orderkey")],
+        group_cols=["o_orderpriority"],
+        rank_col="rk",
+    )
+    d38 = "decimal(38,0)"
+    per_grp = ranked.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("cents").cast(d38)).alias("_sx"),
+        F.sum((F.col("rk") * F.col("cents")).cast(d38)).alias("_six"),
+    )
+    gini = F.expr(
+        "cast((cast(2 as decimal(38,0)) * _six"
+        "      - (cast(n as decimal(38,0)) + 1) * _sx) * 1000000"
+        "     div (cast(n as decimal(38,0)) * _sx) as long)"
+    )
+    return (
+        per_grp.select(
+            "o_orderpriority",
+            "n",
+            F.col("_sx").cast("long").alias("sum_cents"),
+            gini.alias("gini_micro"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_X_GINI_SQL = """
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents, o_orderkey) AS rk
+  FROM o
+), per_grp AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(cents AS HUGEINT)) AS sx,
+         sum(CAST(rk AS HUGEINT) * cents) AS six
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, CAST(sx AS BIGINT) AS sum_cents,
+       CAST((2 * six - (CAST(n AS HUGEINT) + 1) * sx) * 1000000
+            // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_micro
+FROM per_grp
+ORDER BY o_orderpriority
+"""

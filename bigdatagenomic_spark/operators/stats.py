@@ -1552,3 +1552,204 @@ d2 AS (
 
 
 Q_X_ACF_SQL = _acf_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index drift monitor (round 11)
+# ---------------------------------------------------------------------------
+
+def q_x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-type mix, first half of
+    the stream's calendar vs the second — THE production drift monitor
+    for categorical features (credit-scoring lineage; PSI > 0.2 is the
+    conventional "investigate" line): a traffic-mix shift shows here
+    before any volume total moves. Per-type rows carry the exact
+    ref/cur counts and the per-type PSI term
+    ``(p_cur − p_ref)·ln(p_cur / p_ref)`` with add-one (Laplace)
+    smoothing over the K observed types, so a type absent from one
+    period contributes a finite term and no division or log ever sees
+    zero (ANSI discipline — no guard needed because smoothing makes
+    the denominators ≥ 1 by construction).
+
+    Plan shape: one conditional-sum aggregate over |types| keys
+    (map-side combined) + two 1-row broadcast scalar attaches (the
+    calendar bounds, then the period totals) — nothing grows with the
+    stream but the first scan. The smoothed probabilities are floats
+    by nature; the term lands on the shared floor(x·10⁶ + 0.5) micro
+    grid, identical expression both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    days = ev.select(F.to_date("ts").alias("day"), "event_type")
+    bounds = days.agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    flagged = days.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        (
+            F.datediff(F.col("day"), F.col("_lo")) * 2
+            < F.datediff(F.col("_hi"), F.col("_lo"))
+        ).alias("_is_ref"),
+    )
+    per_type = flagged.groupBy("event_type").agg(
+        F.sum(F.col("_is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("_is_ref")).cast("long")).alias("n_cur"),
+    )
+    totals = per_type.agg(
+        F.sum("n_ref").alias("_tot_ref"),
+        F.sum("n_cur").alias("_tot_cur"),
+        F.count("*").alias("_k"),
+    )
+    j = per_type.crossJoin(F.broadcast(totals))
+    p_ref = (F.col("n_ref") + 1).cast("double") / (
+        F.col("_tot_ref") + F.col("_k")
+    ).cast("double")
+    p_cur = (F.col("n_cur") + 1).cast("double") / (
+        F.col("_tot_cur") + F.col("_k")
+    ).cast("double")
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        j.select(
+            "event_type",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.floor(term * 1000000 + F.lit(0.5)).cast("long").alias(
+                "psi_term_micro"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_X_PSI_DRIFT_SQL = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day, event_type
+  FROM events WHERE ts IS NOT NULL
+), bounds AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM days
+), flagged AS (
+  SELECT event_type,
+         (date_diff('day', b.lo, day) * 2 < date_diff('day', b.lo, b.hi))
+           AS is_ref
+  FROM days, bounds b
+), per_type AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM flagged GROUP BY event_type
+), totals AS (
+  SELECT sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur,
+         count(*) AS k
+  FROM per_type
+)
+SELECT event_type, n_ref, n_cur,
+       CAST(floor(((CAST(n_cur + 1 AS DOUBLE) / (t.tot_cur + t.k))
+                    - (CAST(n_ref + 1 AS DOUBLE) / (t.tot_ref + t.k)))
+                  * ln((CAST(n_cur + 1 AS DOUBLE) / (t.tot_cur + t.k))
+                       / (CAST(n_ref + 1 AS DOUBLE) / (t.tot_ref + t.k)))
+                  * 1000000 + 0.5) AS BIGINT) AS psi_term_micro
+FROM per_type, totals t
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence test (round 11)
+# ---------------------------------------------------------------------------
+
+def q_x_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared statistic for event_type × ISO day-of-week
+    independence — the categorical-association screen behind feature
+    selection and seasonality detection (a large chi² says the traffic
+    mix depends on the weekday). One contingency aggregate over
+    ≤ |types|·7 cells, margins re-aggregated from it, and the FULL
+    grid (including zero-observed cells, which still contribute
+    (0−e)²/e) materialized as the bounded cross of the two margin
+    tables. Emitted PER CELL — expected count and the cell's chi²
+    contribution on the floor(x·10⁶ + 0.5) micro grid — rather than as
+    one summed statistic: a float total over the cells would be
+    summation-order-sensitive between engines (the association-order
+    discipline behind the integer-cents sums elsewhere — here the
+    addends are irrational, so per-cell emission is the order-proof
+    form), while each per-cell value is a single arithmetic
+    expression, identical op-for-op in both; the user sums
+    cell_chi2_micro for the statistic, and the per-cell view is the
+    actually-useful artifact (WHICH cells deviate).
+
+    Every expected count e = row_tot·col_tot/n is > 0 because margins
+    come from observed rows only (ANSI-safe without guards); counts
+    are exact BIGINTs. The margin-cross is a bounded broadcast nested
+    loop by construction (≤ |types| × 7 rows).
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    obs = (
+        ev.select(
+            "event_type",
+            (F.weekday(F.to_date("ts")) + 1).cast("int").alias("iso_dow"),
+        )
+        .groupBy("event_type", "iso_dow")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    row_m = obs.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    col_m = obs.groupBy("iso_dow").agg(F.sum("o").alias("col_tot"))
+    n_tot = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        row_m.crossJoin(F.broadcast(col_m))
+        .join(F.broadcast(obs), ["event_type", "iso_dow"], "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "event_type",
+            "iso_dow",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+            "row_tot",
+            "col_tot",
+            "n",
+        )
+    )
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    cell = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    return (
+        grid.select(
+            "event_type",
+            "iso_dow",
+            "o",
+            F.col("row_tot").cast("long").alias("row_tot"),
+            F.col("col_tot").cast("long").alias("col_tot"),
+            F.floor(e * 1000000 + F.lit(0.5)).cast("long").alias("e_micro"),
+            F.floor(cell * 1000000 + F.lit(0.5)).cast("long").alias(
+                "cell_chi2_micro"
+            ),
+        )
+        .orderBy("event_type", "iso_dow")
+    )
+
+
+Q_X_CHI2_INDEPENDENCE_SQL = """
+WITH obs AS (
+  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS INT) AS iso_dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), row_m AS (SELECT event_type, sum(o) AS row_tot FROM obs GROUP BY 1),
+col_m AS (SELECT iso_dow, sum(o) AS col_tot FROM obs GROUP BY 1),
+n_tot AS (SELECT sum(o) AS n FROM obs),
+grid AS (
+  SELECT r.event_type, c.iso_dow,
+         CAST(coalesce(o.o, 0) AS BIGINT) AS o, r.row_tot, c.col_tot, t.n
+  FROM row_m r CROSS JOIN col_m c
+  LEFT JOIN obs o ON o.event_type = r.event_type AND o.iso_dow = c.iso_dow
+  CROSS JOIN n_tot t
+)
+SELECT event_type, iso_dow, o,
+       CAST(row_tot AS BIGINT) AS row_tot,
+       CAST(col_tot AS BIGINT) AS col_tot,
+       CAST(floor((CAST(row_tot * col_tot AS DOUBLE) / n)
+                  * 1000000 + 0.5) AS BIGINT) AS e_micro,
+       CAST(floor((CAST(o AS DOUBLE) - CAST(row_tot * col_tot AS DOUBLE) / n)
+                  * (CAST(o AS DOUBLE) - CAST(row_tot * col_tot AS DOUBLE) / n)
+                  / (CAST(row_tot * col_tot AS DOUBLE) / n)
+                  * 1000000 + 0.5) AS BIGINT) AS cell_chi2_micro
+FROM grid
+ORDER BY event_type, iso_dow
+"""

@@ -1249,6 +1249,44 @@ LIMIT {BM25_TOP_N}
 # Token-entropy quality screen
 # ---------------------------------------------------------------------------
 
+def with_runlength_counts(t, body):
+    """Bind the per-type counts of token array ``t`` (in sorted-type
+    order) and pass the counts array Column to ``body``.
+
+    Counts are derived as run-lengths over ONE ``array_sort``: run
+    boundaries → adjacent differences — O(T log T) row-local, vs the
+    O(types × tokens) filter-per-type fold it replaced in round 11.
+    The caller must guard ``size(t) == 0`` OUTSIDE (CASE-lazily), so
+    the sequence/element_at machinery never sees an empty array.
+    Shared by q_text_entropy and q_text_hapax.
+    """
+    n = F.size(t)
+
+    def from_sorted(st):
+        # run starts: positions where the sorted copy changes value.
+        # CASE (not `|`) so i=1 never evaluates element_at(st, 0),
+        # an ANSI INVALID_ARRAY_INDEX.
+        b = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(i == F.lit(1), F.lit(True)).otherwise(
+                F.element_at(st, i) != F.element_at(st, i - 1)
+            ),
+        )
+
+        def fold(bnd):
+            # boundaries + sentinel n+1: counts[j] = b[j+1] - b[j]
+            counts = F.zip_with(
+                F.slice(bnd, 1, F.size(bnd) - 1),
+                F.slice(bnd, 2, F.size(bnd) - 1),
+                lambda x, y: y - x,
+            )
+            return body(counts)
+
+        return let_bound(F.concat(b, F.array(n + F.lit(1))), fold)
+
+    return let_bound(F.array_sort(t), from_sorted)
+
+
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token Shannon entropy — the information-density
     quality screen between q_text_ttr (pure type/token counts) and the
@@ -1284,40 +1322,21 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ent_cols(t):
         n = F.size(t)
 
-        def from_sorted(st):
-            # run starts: positions where the sorted copy changes value.
-            # CASE (not `|`) so i=1 never evaluates element_at(st, 0),
-            # an ANSI INVALID_ARRAY_INDEX.
-            b = F.filter(
-                F.sequence(F.lit(1), n),
-                lambda i: F.when(i == F.lit(1), F.lit(True)).otherwise(
-                    F.element_at(st, i) != F.element_at(st, i - 1)
-                ),
+        def from_counts(counts):
+            s = F.aggregate(
+                counts,
+                F.lit(0.0),
+                lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+            )
+            nd = n.cast("double")
+            ent = F.log(nd) - s / nd
+            return F.struct(
+                n.cast("long").alias("n_tokens"),
+                F.size(counts).cast("long").alias("n_types"),
+                (F.floor(ent * 10000 + F.lit(0.5)) / 10000).alias("ent"),
             )
 
-            def fold(bnd):
-                counts = F.zip_with(
-                    F.slice(bnd, 1, F.size(bnd) - 1),
-                    F.slice(bnd, 2, F.size(bnd) - 1),
-                    lambda x, y: (y - x).cast("double"),
-                )
-                s = F.aggregate(
-                    counts,
-                    F.lit(0.0),
-                    lambda acc, c: acc + c * F.log(c),
-                )
-                nd = n.cast("double")
-                ent = F.log(nd) - s / nd
-                return F.struct(
-                    n.cast("long").alias("n_tokens"),
-                    (F.size(bnd) - 1).cast("long").alias("n_types"),
-                    (F.floor(ent * 10000 + F.lit(0.5)) / 10000).alias("ent"),
-                )
-
-            # boundaries + sentinel n+1: counts[j] = b[j+1] - b[j]
-            return let_bound(F.concat(b, F.array(n + F.lit(1))), fold)
-
-        return F.when(n > 0, let_bound(F.array_sort(t), from_sorted)).otherwise(
+        return F.when(n > 0, with_runlength_counts(t, from_counts)).otherwise(
             F.struct(
                 F.lit(0).cast("long").alias("n_tokens"),
                 F.lit(0).cast("long").alias("n_types"),
@@ -1501,4 +1520,166 @@ SELECT doc_id, n_sentences,
        CAST(list_max(w) AS BIGINT) AS max_sentence_words,
        CAST(1000 * list_sum(w) // n_sentences AS BIGINT) AS mean_words_milli
 FROM wc ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena ratio (round 11)
+# ---------------------------------------------------------------------------
+
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hapax-legomena ratio: the share of a document's
+    distinct types that occur exactly once — the vocabulary-freshness
+    dual of q_text_ttr (TTR says how many types; hapax ratio says how
+    much of the vocabulary is non-repeating). Template/boilerplate
+    text repeats its vocabulary and scores LOW; natural prose sits
+    near Zipf's ~0.4-0.6; token-salad spam scores ~1.0 — used with
+    q_text_entropy as a quality screen pair.
+
+    Map-only scan projection like entropy: the per-type counts come
+    from the shared ``with_runlength_counts`` fold (O(T log T)
+    row-local, no explode/shuffle at any corpus size); the ratio is
+    the codebase's integer-exact convention (``*_micro`` BIGINT, no
+    float at the engine/oracle boundary). 0-token docs are dropped by
+    the same CASE-guarded path as entropy.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+
+    def cols(t):
+        n = F.size(t)
+
+        def from_counts(counts):
+            return F.struct(
+                n.cast("long").alias("n_tokens"),
+                F.size(counts).cast("long").alias("n_types"),
+                F.size(F.filter(counts, lambda c: c == F.lit(1)))
+                .cast("long")
+                .alias("n_hapax"),
+            )
+
+        return F.when(n > 0, with_runlength_counts(t, from_counts)).otherwise(
+            F.struct(
+                F.lit(0).cast("long").alias("n_tokens"),
+                F.lit(0).cast("long").alias("n_types"),
+                F.lit(0).cast("long").alias("n_hapax"),
+            )
+        )
+
+    s1 = d.select("doc_id", let_bound(tokens(F.col("text")), cols).alias("_h"))
+    return (
+        s1.select("doc_id", "_h.n_tokens", "_h.n_types", "_h.n_hapax")
+        .where(F.col("n_tokens") > 0)
+        .withColumn(
+            "hapax_ratio_micro",
+            F.expr("n_hapax * 1000000L div n_types"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_HAPAX_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         list_transform(list_sort(list_distinct(t)),
+                        c -> len(list_filter(t, x -> x = c))) AS counts
+  FROM tok WHERE len(t) > 0
+)
+SELECT doc_id, n_tokens, CAST(len(counts) AS BIGINT) AS n_types,
+       CAST(len(list_filter(counts, c -> c = 1)) AS BIGINT) AS n_hapax,
+       CAST(len(list_filter(counts, c -> c = 1)) * 1000000 // len(counts)
+            AS BIGINT) AS hapax_ratio_micro
+FROM base ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flesch-style readability score (round 11)
+# ---------------------------------------------------------------------------
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch reading-ease score from the classic
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    formula (Flesch 1948), with syllables approximated as vowel-group
+    runs (min 1 per word) — the grade-level quality screen corpus
+    curation pipelines run next to Gopher-style shape rules: very low
+    scores flag run-on machine text, very high ones flag word-salad.
+
+    Row-local like q_text_sentences (whose sentence split this
+    reuses): the sentence count, word count and syllable fold are all
+    single-row array expressions — map-only, no explode, no shuffle.
+    Components are exact BIGINTs; the score is the shared
+    floor(x·1000 + 0.5) milli grid, identical expression both engines.
+    Docs with no sentences or no words are dropped (the divisions are
+    never evaluated for them — ANSI discipline).
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+
+    def wordstats(t):
+        # vowel-group count: split on [aeiou]+ yields groups+1 parts
+        syl = F.aggregate(
+            t,
+            F.lit(0).cast("long"),
+            lambda a, w: a
+            + F.greatest(
+                (F.size(F.split(w, "[aeiou]+")) - 1).cast("long"),
+                F.lit(1).cast("long"),
+            ),
+        )
+        return F.struct(
+            F.size(t).cast("long").alias("n_words"),
+            syl.alias("n_syllables"),
+        )
+
+    sents = F.filter(
+        F.split(F.col("text"), "[.!?]+"),
+        lambda s: F.trim(s) != F.lit(""),
+    )
+    s1 = d.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        let_bound(tokens(F.col("text")), wordstats).alias("_w"),
+    )
+    out = (
+        s1.select("doc_id", "n_sentences", "_w.n_words", "_w.n_syllables")
+        .where((F.col("n_sentences") > 0) & (F.col("n_words") > 0))
+    )
+    w, s, y = (
+        F.col("n_words").cast("double"),
+        F.col("n_sentences").cast("double"),
+        F.col("n_syllables").cast("double"),
+    )
+    flesch = F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w)
+    return out.withColumn(
+        "flesch_milli",
+        F.floor(flesch * 1000 + F.lit(0.5)).cast("long"),
+    ).orderBy("doc_id")
+
+
+Q_TEXT_READABILITY_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                              x -> trim(x) <> '')) AS BIGINT) AS n_sentences,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), counted AS (
+  SELECT doc_id, n_sentences, CAST(len(t) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(t,
+             w -> greatest(len(string_split_regex(w, '[aeiou]+')) - 1, 1)))
+           AS BIGINT) AS n_syllables
+  FROM base
+)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       CAST(floor((206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                  * 1000 + 0.5) AS BIGINT) AS flesch_milli
+FROM counted WHERE n_sentences > 0 AND n_words > 0
+ORDER BY doc_id
 """

@@ -3929,6 +3929,31 @@ from bigdatagenomic_spark.streaming.ops import (  # noqa: E402
 
 register("q_s16_funnel_join_shape", _q_s16, _S16_SQL)
 
+# ---------------------------------------------------------------------------
+# round 11 additions
+# ---------------------------------------------------------------------------
+# hapax-legomena ratio (run-length counts reuse, integer-exact micro)
+register("q_text_hapax", T.q_text_hapax, T.Q_TEXT_HAPAX_SQL)
+# Flesch reading-ease (sentence split + vowel-group syllables, row-local)
+register("q_text_readability", T.q_text_readability, T.Q_TEXT_READABILITY_SQL)
+# PSI drift of the event-type mix (smoothed, per-type terms)
+register("q_x_psi_drift", ST.q_x_psi_drift, ST.Q_X_PSI_DRIFT_SQL)
+# chi-squared independence cells (event_type x iso_dow, per-cell micro)
+register(
+    "q_x_chi2_independence",
+    ST.q_x_chi2_independence,
+    ST.Q_X_CHI2_INDEPENDENCE_SQL,
+)
+# per-priority Gini concentration (two_phase_rank + decimal moments)
+register("q_x_gini", RX.q_x_gini, RX.Q_X_GINI_SQL)
+# degree assortativity of the co-purchase graph (moment-sum Pearson)
+from bigdatagenomic_spark.operators.graph import (  # noqa: E402
+    Q_GRAPH_DEGREE_ASSORTATIVITY_SQL as _ASSORT_SQL,
+    q_graph_degree_assortativity as _q_assort,
+)
+
+register("q_graph_degree_assortativity", _q_assort, _ASSORT_SQL)
+
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks registry entries in

@@ -314,6 +314,8 @@ _BNLJ_ALLOWED = {
     "q_tpch_q11_shape",      # 1-row value-total scalar over the checkpointed agg
     "q_text_vocab_prune",    # 1-row token-total scalar (same pattern as tfidf)
     "q_x_benford",           # 1-row digit-total scalar (same pattern as skew_report)
+    "q_x_psi_drift",         # 1-row calendar-bounds + period-totals scalars
+    "q_x_chi2_independence", # bounded margins cross (<= |types| x 7) + 1-row n scalar
     "q_x_revenue_deciles",   # 1-row revenue-total scalar (same pattern as benford)
     "q_sim_pq_topk",         # bounded broadcast query-table crossJoin (q26 pattern)
     "q_sim_ivfpq_topk",      # broadcast centroid table + codebook training (ivf/kmeans pattern)

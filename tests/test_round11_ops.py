@@ -1,0 +1,160 @@
+"""Spark-side behavioral pins for the round-11 operators: plan shape
+and ANSI edge cases the DuckDB oracle can't see."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# gini: the two_phase_rank window must stay pid-partitioned
+# ---------------------------------------------------------------------------
+
+def test_gini_keeps_row_number_partitioned(spark):
+    """Same pin as q_x_exact_median: an unpartitioned row_number would
+    serialize each priority class through one task — the exact failure
+    two_phase_rank exists to avoid."""
+    from bigdatagenomic_spark.operators.relational_ext import q_x_gini
+
+    plan = (
+        q_x_gini(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in m.group(1), plan
+
+
+def test_gini_decimal_moments_survive_large_inputs(spark, tmp_path):
+    """The Σ i·xᵢ moment overflows BIGINT near n²·max_cents ~ 2^63; the
+    decimal(38,0) accumulation must stay exact. Pin with values chosen
+    so a 64-bit accumulator would already be wrong if used."""
+    import pandas as pd
+
+    n = 2000
+    cents = [10_000_000_000 + i for i in range(n)]  # 1e10 cents each
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(n),
+            "o_orderpriority": ["1-URGENT"] * n,
+            "o_totalprice": [c / 100.0 for c in cents],
+        }
+    )
+    spark.createDataFrame(orders).write.parquet(str(tmp_path / "orders.parquet"))
+    from bigdatagenomic_spark.operators.relational_ext import q_x_gini
+
+    (row,) = q_x_gini(spark, str(tmp_path)).collect()
+    svals = sorted(cents)
+    sx = sum(svals)
+    six = sum((i + 1) * x for i, x in enumerate(svals))
+    assert row.n == n
+    assert row.sum_cents == sx
+    assert row.gini_micro == (2 * six - (n + 1) * sx) * 1000000 // (n * sx)
+
+
+# ---------------------------------------------------------------------------
+# assortativity: zero-variance (regular graph) and empty-graph edges
+# ---------------------------------------------------------------------------
+
+def test_assortativity_regular_graph_yields_null_not_crash(spark, tmp_path):
+    """A triangle (all degrees equal) has zero degree variance: the
+    CASE guard must emit NULL — F.corr in aggregate position would
+    throw DIVIDE_BY_ZERO under ANSI (the q_x_acf lesson)."""
+    import pandas as pd
+
+    # three orders sharing pairwise parts -> triangle, every degree 2
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 2, 3, 3, 1],
+            "l_partkey": [10, 10, 20, 20, 30, 30],
+        }
+    )
+    spark.createDataFrame(li).write.parquet(str(tmp_path / "lineitem.parquet"))
+    from bigdatagenomic_spark.operators.graph import (
+        q_graph_degree_assortativity,
+    )
+
+    (row,) = q_graph_degree_assortativity(spark, str(tmp_path)).collect()
+    assert row.n_edges == 3
+    assert row.sum_deg == 12
+    assert row.assortativity is None
+
+
+def test_assortativity_empty_graph_single_null_row(spark, tmp_path):
+    import pandas as pd
+
+    li = pd.DataFrame({"l_orderkey": [5], "l_partkey": [10]})  # no co-pairs
+    spark.createDataFrame(li).write.parquet(str(tmp_path / "lineitem.parquet"))
+    from bigdatagenomic_spark.operators.graph import (
+        q_graph_degree_assortativity,
+    )
+
+    (row,) = q_graph_degree_assortativity(spark, str(tmp_path)).collect()
+    assert row.n_edges == 0
+    assert row.assortativity is None
+
+
+# ---------------------------------------------------------------------------
+# hapax / readability: token-less and sentence-less docs drop, not crash
+# ---------------------------------------------------------------------------
+
+def test_hapax_and_readability_drop_degenerate_docs(spark, tmp_path):
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["!!! ??? ...", "a a b.", "word"],
+        }
+    )
+    spark.createDataFrame(docs).write.parquet(str(tmp_path / "documents.parquet"))
+    from bigdatagenomic_spark.operators.text import (
+        q_text_hapax,
+        q_text_readability,
+    )
+
+    h = {r.doc_id: r for r in q_text_hapax(spark, str(tmp_path)).collect()}
+    assert set(h) == {1, 2}
+    assert (h[1].n_tokens, h[1].n_types, h[1].n_hapax) == (3, 2, 1)
+    assert h[1].hapax_ratio_micro == 500000
+    assert h[2].hapax_ratio_micro == 1000000
+
+    r = {x.doc_id: x for x in q_text_readability(spark, str(tmp_path)).collect()}
+    # doc 0 has no words; doc 2 "word" has no [.!?] but one trimmed
+    # sentence under the split semantics -> kept
+    assert set(r) == {1, 2}
+    assert r[1].n_sentences == 1 and r[1].n_words == 3
+    assert r[2].n_syllables == 1  # "word": one vowel group
+
+
+# ---------------------------------------------------------------------------
+# psi drift: one-day calendar (span 0) must not divide by zero
+# ---------------------------------------------------------------------------
+
+def test_psi_drift_single_day_all_current(spark, tmp_path):
+    """With lo == hi every event is 'current'; the Laplace smoothing
+    keeps every denominator >= 1 so no guard is needed — pin it."""
+    import datetime
+
+    import pandas as pd
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "ts": [datetime.datetime(2024, 5, 1, 12)] * 4,
+            "event_type": ["a", "a", "b", "b"],
+        }
+    )
+    spark.createDataFrame(ev).write.parquet(str(tmp_path / "events.parquet"))
+    from bigdatagenomic_spark.operators.stats import q_x_psi_drift
+
+    rows = {r.event_type: r for r in q_x_psi_drift(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"a", "b"}
+    for r in rows.values():
+        assert r.n_ref == 0 and r.n_cur == 2
+        assert r.psi_term_micro is not None

@@ -19,10 +19,17 @@ density — if eviction works, PEAK state rows are ~flat in the replica
 count (state holds only the watermark horizon's rows), while a broken
 watermark would show peak state growing ~100x.
 
-Chunking: N time-ordered parquet files per replica, bucketed by
-equal-width ts ranges (computed from min/max — no global sort), so
+Chunking: time-ordered parquet files per replica, bucketed by
+FIXED-CALENDAR-SPAN ts ranges (CHUNK_DAYS per micro-batch — x100 gets
+~100x the FILES, not 100x the file size), written in one
+repartition+partitionBy job (no global sort), so
 `maxFilesPerTrigger=1` advances the watermark between micro-batches
-exactly like wall-clock arrival would.
+exactly like wall-clock arrival would at a constant event rate. A
+fixed chunk COUNT would instead make each micro-batch 100x bigger at
+x100, and peak state is floored at the in-flight batch size — that
+measures the replay harness, not eviction (the first cut of this tool
+made exactly that mistake and read 100x "state growth" that was pure
+batch sizing).
 
 Usage: python tools/scale_check_streaming.py [rel_dir] [--out F]
 (default /tmp/scale_rel with x1/x10/x100 subdirs; writes JSON to --out)
@@ -39,14 +46,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_CHUNKS = 8
+CHUNK_DAYS = 30 / 8  # fixed micro-batch calendar span (8 per 30-day window)
 REPLICAS = ("x1", "x10", "x100")
 
 
-def _write_time_chunks(ev, out_dir: str) -> None:
-    """Split events into N_CHUNKS equal-width ts buckets, one parquet
+def _write_time_chunks(ev, out_dir: str, n_chunks: int) -> int:
+    """Split events into n_chunks equal-width ts buckets, one parquet
     file per bucket in ascending time order (no global sort — the
-    bucket id is a map-side expression)."""
+    bucket id is a map-side expression; ONE repartition+partitionBy
+    write job for all buckets). Returns the number of non-empty
+    chunks written."""
     import glob as _glob
 
     from pyspark.sql import functions as F
@@ -56,24 +65,35 @@ def _write_time_chunks(ev, out_dir: str) -> None:
     span_us = max(
         int((hi - lo).total_seconds() * 1_000_000), 1
     )
+    # ts is TIMESTAMP_NTZ; cast both sides through TIMESTAMP for
+    # unix_micros (consistent, bucket-only arithmetic)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo_us = F.unix_micros(F.lit(lo).cast("timestamp"))
     bucket = F.least(
-        F.lit(N_CHUNKS - 1),
-        (
-            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lit(lo)))
-            * N_CHUNKS
-            / span_us
-        ).cast("int"),
+        F.lit(n_chunks - 1),
+        ((us - lo_us) * n_chunks / span_us).cast("int"),
     )
     chunked = ev.withColumn("_b", bucket)
+    written = 0
     with tempfile.TemporaryDirectory() as tmp:
-        for b in range(N_CHUNKS):
-            part_dir = os.path.join(tmp, f"c{b}")
-            chunked.where(F.col("_b") == b).drop("_b").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(part_dir)
-            (pf,) = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            # name in time order; copy so mtime order == time order too
-            shutil.copyfile(pf, os.path.join(out_dir, f"chunk-{b:03d}.parquet"))
+        (
+            chunked.repartition(n_chunks, "_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        for b in range(n_chunks):
+            pfs = _glob.glob(os.path.join(tmp, f"_b={b}", "part-*.parquet"))
+            if not pfs:
+                continue  # empty calendar bucket (gap between replicas)
+            (pf,) = pfs
+            # name in time order; copy sequentially so mtime order ==
+            # time order too
+            shutil.copyfile(
+                pf, os.path.join(out_dir, f"chunk-{written:04d}.parquet")
+            )
+            written += 1
+    return written
 
 
 def _run_stream(spark, chunk_dir: str, schema, build, ckpt: str):
@@ -105,13 +125,15 @@ def _run_stream(spark, chunk_dir: str, schema, build, ckpt: str):
                 "bytes_per_op": [so.get("memoryUsedBytes") for so in sos],
             }
         )
-    peak_rows = max(
-        (sum(b["rows_per_op"]) for b in batches), default=0
-    )
+    totals = [sum(b["rows_per_op"]) for b in batches]
+    peak_rows = max(totals, default=0)
     peak_bytes = max(
         (sum(b["bytes_per_op"]) for b in batches), default=0
     )
-    return wall, batches, peak_rows, peak_bytes
+    mean_rows = int(sum(totals) / len(totals)) if totals else 0
+    # keep at most 40 evenly-spaced batch samples in the artifact
+    step = max(1, len(batches) // 40)
+    return wall, batches[::step], len(batches), mean_rows, peak_rows, peak_bytes
 
 
 def main() -> None:
@@ -132,6 +154,10 @@ def main() -> None:
 
     spark = get_spark(app_name="scale-check-streaming")
     spark.sparkContext.setLogLevel("ERROR")
+    # keep every batch's progress: the x100 replay runs ~800
+    # micro-batches and the default retention (100) would silently
+    # drop the early batches from the peak computation
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "5000")
 
     def s15(stream):
         clicks = stream.where(F.col("event_type") == "click")
@@ -147,7 +173,7 @@ def main() -> None:
 
     cases = [("s15_leftouter", s15), ("s16_funnel", s16)]
     result: dict = {
-        "n_chunks": N_CHUNKS,
+        "chunk_days": CHUNK_DAYS,
         "load_avg": os.getloadavg()[0],
         "cases": {},
     }
@@ -158,23 +184,47 @@ def main() -> None:
             continue
         ev = spark.read.parquet(src)
         n_events = ev.count()
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        span_days = max((hi - lo).total_seconds() / 86400.0, CHUNK_DAYS)
+        n_chunks = int(span_days / CHUNK_DAYS) + 1
         chunk_dir = tempfile.mkdtemp(prefix=f"stream_chunks_{rep}_")
-        _write_time_chunks(ev, chunk_dir)
-        schema = spark.read.parquet(chunk_dir).schema
+        n_files = _write_time_chunks(ev, chunk_dir, n_chunks)
+        print(
+            f"{rep}: {n_events} events, span {span_days:.0f}d, "
+            f"{n_files} non-empty chunks of {CHUNK_DAYS:.2f}d",
+            flush=True,
+        )
+        # watermarks require TIMESTAMP (not the NTZ the parquet footer
+        # infers) — read the stream with ts forced to TimestampType,
+        # the same device as tests/test_streaming.py EVENT_SCHEMA
+        from pyspark.sql import types as T
+
+        inferred = spark.read.parquet(chunk_dir).schema
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.TimestampType())
+                if f.name == "ts"
+                else f
+                for f in inferred.fields
+            ]
+        )
         for name, build in cases:
             ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_{rep}_")
-            wall, batches, peak_rows, peak_bytes = _run_stream(
-                spark, chunk_dir, schema, build, ckpt
+            wall, batches, n_batches, mean_rows, peak_rows, peak_bytes = (
+                _run_stream(spark, chunk_dir, schema, build, ckpt)
             )
             result["cases"].setdefault(name, {})[rep] = {
                 "events": n_events,
+                "n_batches": n_batches,
                 "wall_s": round(wall, 2),
+                "mean_state_rows": mean_rows,
                 "peak_state_rows": peak_rows,
                 "peak_state_bytes": peak_bytes,
-                "batches": batches,
+                "batch_samples": batches,
             }
             print(
-                f"{name} {rep}: events={n_events} wall={wall:.1f}s "
+                f"{name} {rep}: events={n_events} batches={n_batches} "
+                f"wall={wall:.1f}s mean_state_rows={mean_rows} "
                 f"peak_state_rows={peak_rows} "
                 f"peak_state_mb={peak_bytes / 1e6:.1f}",
                 flush=True,
