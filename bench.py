@@ -75,6 +75,11 @@ HEADLINE = [
     # new shuffle) and the Bloom-prefiltered fact join family
     "q_text_novelty",
     "q_x_bloom_join",
+    # round 11: the grouped two-phase-rank family at its heaviest (rank
+    # every order within its priority class) and the run-length
+    # row-local fold family (entropy/hapax machinery)
+    "q_x_gini",
+    "q_text_hapax",
 ]
 
 

@@ -32,7 +32,12 @@ made exactly that mistake and read 100x "state growth" that was pure
 batch sizing).
 
 Usage: python tools/scale_check_streaming.py [rel_dir] [--out F]
-(default /tmp/scale_rel with x1/x10/x100 subdirs; writes JSON to --out)
+    [--only s15|s16] [--reps x1,x10,x100] [--max-chunks N]
+(default /tmp/scale_rel with x1/x10/x100 subdirs; writes JSON to --out).
+--max-chunks replays only the first N chunks — state boundedness
+plateaus within the first few horizons, so a prefix of the x100
+calendar demonstrates eviction at a fraction of the replay cost; the
+artifact records the cap.
 """
 
 from __future__ import annotations
@@ -69,9 +74,12 @@ def _write_time_chunks(ev, out_dir: str, n_chunks: int) -> int:
     # unix_micros (consistent, bucket-only arithmetic)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     lo_us = F.unix_micros(F.lit(lo).cast("timestamp"))
+    # divide BEFORE multiplying: us-deltas * n_chunks overflows int64
+    # at the x100 calendar (3e15 us * ~1e4 chunks); the double has 53
+    # mantissa bits, exact for any delta under ~9e15 us (~285 years)
     bucket = F.least(
         F.lit(n_chunks - 1),
-        ((us - lo_us) * n_chunks / span_us).cast("int"),
+        ((us - lo_us).cast("double") / span_us * n_chunks).cast("int"),
     )
     chunked = ev.withColumn("_b", bucket)
     written = 0
@@ -136,12 +144,23 @@ def _run_stream(spark, chunk_dir: str, schema, build, ckpt: str):
     return wall, batches[::step], len(batches), mean_rows, peak_rows, peak_bytes
 
 
+def _opt(argv: list, name: str):
+    if name in argv:
+        v = argv[argv.index(name) + 1]
+        argv.remove(name)
+        argv.remove(v)
+        return v
+    return None
+
+
 def main() -> None:
     argv = sys.argv[1:]
-    out_path = None
-    if "--out" in argv:
-        out_path = argv[argv.index("--out") + 1]
-        argv = [a for a in argv if a != "--out" and a != out_path]
+    out_path = _opt(argv, "--out")
+    only = _opt(argv, "--only")
+    reps_opt = _opt(argv, "--reps")
+    max_chunks = _opt(argv, "--max-chunks")
+    max_chunks = int(max_chunks) if max_chunks else None
+    replicas = tuple(reps_opt.split(",")) if reps_opt else REPLICAS
     rel_dir = argv[0] if argv else "/tmp/scale_rel"
 
     from pyspark.sql import functions as F
@@ -172,12 +191,15 @@ def main() -> None:
         )
 
     cases = [("s15_leftouter", s15), ("s16_funnel", s16)]
+    if only:
+        cases = [(n, b) for n, b in cases if only in n]
     result: dict = {
         "chunk_days": CHUNK_DAYS,
         "load_avg": os.getloadavg()[0],
+        "max_chunks": max_chunks,
         "cases": {},
     }
-    for rep in REPLICAS:
+    for rep in replicas:
         src = os.path.join(rel_dir, rep, "events.parquet")
         if not os.path.exists(src):
             print(f"skip {rep}: {src} missing", flush=True)
@@ -189,6 +211,14 @@ def main() -> None:
         n_chunks = int(span_days / CHUNK_DAYS) + 1
         chunk_dir = tempfile.mkdtemp(prefix=f"stream_chunks_{rep}_")
         n_files = _write_time_chunks(ev, chunk_dir, n_chunks)
+        if max_chunks and n_files > max_chunks:
+            import glob as _glob
+
+            for f in sorted(_glob.glob(os.path.join(chunk_dir, "chunk-*")))[
+                max_chunks:
+            ]:
+                os.remove(f)
+            n_files = max_chunks
         print(
             f"{rep}: {n_events} events, span {span_days:.0f}d, "
             f"{n_files} non-empty chunks of {CHUNK_DAYS:.2f}d",
@@ -230,6 +260,9 @@ def main() -> None:
                 flush=True,
             )
             shutil.rmtree(ckpt, ignore_errors=True)
+            if out_path:  # incremental: keep partials if a later case dies
+                with open(out_path, "w") as f:
+                    json.dump(result, f, indent=1)
         shutil.rmtree(chunk_dir, ignore_errors=True)
     if out_path:
         with open(out_path, "w") as f:
