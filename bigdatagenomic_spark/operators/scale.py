@@ -888,3 +888,76 @@ FROM ranked
 WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
 GROUP BY grp, n ORDER BY grp
 """
+
+
+def q_x_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 5%-two-sided trimmed mean of extended price per return
+    flag — the robust location estimate that ignores both tails
+    entirely (unlike winsorizing, nothing is clamped; unlike the
+    median, the middle 90% all votes). Rank-based, so NO percentile
+    interpolation convention can diverge between engines: drop the
+    floor(n/20) lowest- and highest-ranked rows per group, average the
+    rest on the integer micro grid (cents * 1e6 div kept).
+
+    Scale shape: ranks via :func:`two_phase_rank` (range-repartitioned,
+    pinned pids — no per-group single-task sort at any group size), a
+    bounded per-group count broadcast, one map-side-combinable moment
+    aggregate. Tie rows at the cut boundary break by (l_orderkey,
+    l_linenumber); ties straddling the cut can swap WHICH equal-valued
+    rows are kept but never the kept multiset, so the mean is
+    tiebreak-proof.
+    """
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = two_phase_rank(
+        li,
+        [F.col("cents").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        group_cols=["grp"],
+        rank_col="r",
+    )
+    cut = (
+        li.groupBy("grp")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select("grp", "n", (F.col("n") / 20).cast("long").alias("_t"))
+    )
+    kept = ranked.join(F.broadcast(cut), "grp").where(
+        (F.col("r") > F.col("_t")) & (F.col("r") <= F.col("n") - F.col("_t"))
+    )
+    return (
+        kept.groupBy("grp", "n")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.expr(
+                "CAST(sum(CAST(cents AS DECIMAL(38,0))) * 1000000"
+                "     div CAST(count(*) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("trimmed_mean_micro"),
+        )
+        .orderBy("grp")
+    )
+
+
+Q_X_TRIMMED_MEAN_SQL = """
+WITH li AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+ranked AS (
+  SELECT grp, cents,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY cents, l_orderkey, l_linenumber) AS r,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM li)
+SELECT grp, n, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(CAST(cents AS HUGEINT)) * 1000000
+            // CAST(count(*) AS HUGEINT) AS BIGINT) AS trimmed_mean_micro
+FROM ranked
+WHERE r > n // 20 AND r <= n - n // 20
+GROUP BY grp, n ORDER BY grp
+"""

@@ -1753,3 +1753,594 @@ SELECT event_type, iso_dow, o,
 FROM grid
 ORDER BY event_type, iso_dow
 """
+
+
+# ---------------------------------------------------------------------------
+# classical statistical tests (round 11, wave 2)
+#
+# The reference computes no test statistics (its only aggregate is the
+# per-vertex argmax, /root/reference/assembly_final.cpp:298-309); these are
+# the hypothesis-test/effect-size operators a data-quality and experiment
+# pipeline runs at corpus scale. Shared discipline:
+#   * tie handling goes through AVERAGE ranks carried as integer
+#     "double-ranks" dr = 2*rank_avg = 2*cum - cnt + 1, computed from the
+#     per-distinct-value count table (bounded by |grid|, not |rows|) with
+#     scale.two_phase_cumsum — no single-partition window at any corpus
+#     size;
+#   * moment sums accumulate as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB):
+#     exact until ~1e38, overflow-CHECKED (ANSI) rather than silently
+#     wrapped beyond it;
+#   * ratios of exact integers land on the integer-exact micro grid via
+#     decimal division; genuinely-float statistics (t, z, rho) are one
+#     identical IEEE-double expression tree in both engines, emitted at
+#     round(x, 6).
+# ---------------------------------------------------------------------------
+
+def _double_rank_table(base: DataFrame, group_cols: list[str], val_col: str):
+    """Per-(group, distinct value) tie table with the integer double-rank
+    ``dr = 2*cum - cnt + 1`` (twice the average rank of that value's tie
+    block). |output| = |distinct grid points|, not |rows|; the running
+    count uses two_phase_cumsum, so no partition ever holds a whole
+    group's ordered set."""
+    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
+
+    dv = base.groupBy(*group_cols, val_col).agg(
+        F.count("*").cast("long").alias("_cnt")
+    )
+    cum = two_phase_cumsum(
+        dv, "_cnt", [F.col(val_col).asc()], group_cols=group_cols, out_col="_cum"
+    )
+    return cum.withColumn(
+        "_dr", (F.lit(2) * F.col("_cum") - F.col("_cnt") + 1).cast("long")
+    )
+
+
+def q_x_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between line-item quantity
+    and discount, per return flag — the monotone-association screen that
+    survives outliers and nonlinearity (Pearson on AVERAGE ranks is
+    exactly the tie-corrected Spearman rho).
+
+    Scale shape: ranks never touch the fact table's row order — the
+    distinct-value grids (<=50 quantities, <=11 discount points per
+    group) carry the tie structure, their running counts go through
+    two_phase_cumsum, and the tiny grids broadcast back onto the fact
+    rows (map-only attaches). The five moments are one map-side-combined
+    aggregate over integer double-ranks; DECIMAL(38,0)/HUGEINT sums keep
+    them exact to ~7e8 rows/group (documented bound; past it the micro
+    grid is unchanged by the last-digit loss a double would add).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("long").alias("qv"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("dv"),
+    )
+    rq = _double_rank_table(base, ["l_returnflag"], "qv").select(
+        "l_returnflag", "qv", F.col("_dr").alias("_drx")
+    )
+    rd = _double_rank_table(base, ["l_returnflag"], "dv").select(
+        "l_returnflag", "dv", F.col("_dr").alias("_dry")
+    )
+    joined = base.join(F.broadcast(rq), ["l_returnflag", "qv"]).join(
+        F.broadcast(rd), ["l_returnflag", "dv"]
+    )
+    d38 = "decimal(38,0)"
+    m = joined.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("_drx").cast(d38)).alias("_sx"),
+        F.sum(F.col("_dry").cast(d38)).alias("_sy"),
+        F.sum(F.col("_drx").cast(d38) * F.col("_dry")).alias("_sxy"),
+        F.sum(F.col("_drx").cast(d38) * F.col("_drx")).alias("_sxx"),
+        F.sum(F.col("_dry").cast(d38) * F.col("_dry")).alias("_syy"),
+    )
+    rho = F.expr(
+        "CASE WHEN n * _sxx - _sx * _sx > 0 AND n * _syy - _sy * _sy > 0"
+        "     THEN round(CAST(n * _sxy - _sx * _sy AS DOUBLE)"
+        "                / sqrt(CAST(n * _sxx - _sx * _sx AS DOUBLE)"
+        "                       * CAST(n * _syy - _sy * _sy AS DOUBLE)), 6)"
+        " END"
+    )
+    return m.select("l_returnflag", "n", rho.alias("rho")).orderBy("l_returnflag")
+
+
+Q_X_SPEARMAN_CORR_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS qv,
+         CAST(round(l_discount * 100) AS BIGINT) AS dv
+  FROM lineitem
+), gq AS (
+  SELECT l_returnflag, qv, CAST(count(*) AS BIGINT) AS cnt,
+         sum(count(*)) OVER (PARTITION BY l_returnflag ORDER BY qv) AS cum
+  FROM base GROUP BY 1, 2
+), gd AS (
+  SELECT l_returnflag, dv, CAST(count(*) AS BIGINT) AS cnt,
+         sum(count(*)) OVER (PARTITION BY l_returnflag ORDER BY dv) AS cum
+  FROM base GROUP BY 1, 2
+), j AS (
+  SELECT b.l_returnflag,
+         CAST(2 * q.cum - q.cnt + 1 AS HUGEINT) AS drx,
+         CAST(2 * d.cum - d.cnt + 1 AS HUGEINT) AS dry
+  FROM base b
+  JOIN gq q ON q.l_returnflag = b.l_returnflag AND q.qv = b.qv
+  JOIN gd d ON d.l_returnflag = b.l_returnflag AND d.dv = b.dv
+), m AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         sum(drx) AS sx, sum(dry) AS sy, sum(drx * dry) AS sxy,
+         sum(drx * drx) AS sxx, sum(dry * dry) AS syy
+  FROM j GROUP BY 1
+)
+SELECT l_returnflag, n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS rho
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+def q_x_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing the `value`
+    distribution of clicks vs purchases — THE nonparametric two-sample
+    test, and (as AUC = U/(n1*n2)) the standard ranking-quality metric:
+    the probability a random click value exceeds a random purchase
+    value. Tie-corrected: average ranks via integer double-ranks, and
+    the normal-approximation z uses the Sum(t^3 - t) tie correction.
+
+    Everything derives from the per-distinct-cent count table (one
+    groupBy, |grid| rows) + one two_phase_cumsum: 2*R1 = Sum over the
+    grid of cnt_click * dr needs NO join back to the fact rows. u2 (=2*U1)
+    and auc_micro are integer-exact (DECIMAL/HUGEINT algebra, decimal
+    division onto the micro grid); z is one identical double expression.
+    """
+    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin("click", "purchase")
+    )
+    base = ev.select(
+        (F.col("event_type") == "click").cast("long").alias("_is1"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    dv = base.groupBy("v").agg(
+        F.count("*").cast("long").alias("_cnt"),
+        F.sum("_is1").cast("long").alias("_c1"),
+    )
+    cum = two_phase_cumsum(dv, "_cnt", [F.col("v").asc()], out_col="_cum")
+    d38 = "decimal(38,0)"
+    dr = (F.lit(2) * F.col("_cum") - F.col("_cnt") + 1).cast("long")
+    m = cum.select("_cnt", "_c1", dr.alias("_dr")).agg(
+        F.sum("_cnt").cast("long").alias("_n"),
+        F.sum("_c1").cast("long").alias("n1"),
+        F.sum(F.col("_c1").cast(d38) * F.col("_dr")).alias("_r1x2"),
+        F.sum(
+            F.col("_cnt").cast(d38) * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")
+        ).alias("_ties"),
+    )
+    return m.select(
+        "n1",
+        (F.col("_n") - F.col("n1")).alias("n2"),
+        F.expr("CAST(_r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)").alias(
+            "u2"
+        ),
+        F.expr(
+            "CAST((_r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) * 1000000"
+            "     div (CAST(2 AS DECIMAL(38,0)) * n1 * (_n - n1)) AS BIGINT)"
+        ).alias("auc_micro"),
+        F.expr(
+            "CASE WHEN n1 > 0 AND _n - n1 > 0 AND _n > 1"
+            "      AND (_n + 1) - CAST(_ties AS DOUBLE)"
+            "          / (CAST(_n AS DOUBLE) * (_n - 1)) > 0"
+            "     THEN round((CAST(_r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)"
+            "                      AS DOUBLE) - CAST(n1 AS DOUBLE) * (_n - n1))"
+            "                / sqrt(CAST(n1 AS DOUBLE) * (_n - n1) / 3.0"
+            "                       * ((_n + 1) - CAST(_ties AS DOUBLE)"
+            "                          / (CAST(_n AS DOUBLE) * (_n - 1)))), 6)"
+            " END"
+        ).alias("z"),
+    )
+
+
+Q_X_MANN_WHITNEY_SQL = """
+WITH base AS (
+  SELECT CAST(event_type = 'click' AS BIGINT) AS is1,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+), dv AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(is1) AS BIGINT) AS c1,
+         sum(count(*)) OVER (ORDER BY v) AS cum
+  FROM base GROUP BY v
+), m AS (
+  SELECT sum(cnt) AS n, sum(c1) AS n1,
+         sum(CAST(c1 AS HUGEINT) * (2 * cum - cnt + 1)) AS r1x2,
+         sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+  FROM dv
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2,
+       CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u2,
+       CAST((r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) * 1000000
+            // (CAST(2 AS HUGEINT) * n1 * (n - n1)) AS BIGINT) AS auc_micro,
+       CASE WHEN n1 > 0 AND n - n1 > 0 AND n > 1
+             AND (n + 1) - CAST(ties AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) > 0
+            THEN round((CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+                        - CAST(n1 AS DOUBLE) * (n - n1))
+                       / sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 3.0
+                              * ((n + 1) - CAST(ties AS DOUBLE)
+                                 / (CAST(n AS DOUBLE) * (n - 1)))), 6)
+       END AS z
+FROM m
+"""
+
+
+def q_x_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between the click and purchase
+    `value` distributions — the distribution-shift alarm that sees
+    SHAPE changes PSI's binned view smooths over. D = max |ECDF1 -
+    ECDF2| evaluated only at observed grid points (where the sup is
+    attained). Integer-exact: the ECDF difference is compared as the
+    cross-multiplied |cum1*n2 - cum2*n1| (no float division inside the
+    max), and ks_micro = d_num * 1e6 div (n1*n2) lands on the micro
+    grid by decimal division.
+
+    Scale shape: |grid| rows after the first groupBy; two chained
+    two_phase_cumsum passes (click and purchase running counts share
+    the same ordered grid); one min-wide aggregate. DECIMAL(38,0)/
+    HUGEINT cross-products stay exact at any n1*n2 below ~1e38.
+    """
+    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin("click", "purchase")
+    )
+    base = ev.select(
+        (F.col("event_type") == "click").cast("long").alias("_is1"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    dv = base.groupBy("v").agg(
+        F.sum("_is1").cast("long").alias("_c1"),
+        (F.count("*") - F.sum("_is1")).cast("long").alias("_c2"),
+    )
+    cum1 = two_phase_cumsum(dv, "_c1", [F.col("v").asc()], out_col="_cum1")
+    cum2 = two_phase_cumsum(cum1, "_c2", [F.col("v").asc()], out_col="_cum2")
+    d38 = "decimal(38,0)"
+    tot = dv.agg(
+        F.sum("_c1").cast("long").alias("n1"),
+        F.sum("_c2").cast("long").alias("n2"),
+    )
+    m = (
+        cum2.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            F.abs(
+                F.col("_cum1").cast(d38) * F.col("n2")
+                - F.col("_cum2").cast(d38) * F.col("n1")
+            ).alias("_d"),
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("_d").alias("_dnum"))
+    )
+    return m.select(
+        "n1",
+        "n2",
+        F.expr(
+            "CAST(_dnum * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+        ).alias("ks_micro"),
+    )
+
+
+Q_X_KS_TEST_SQL = """
+WITH base AS (
+  SELECT CAST(event_type = 'click' AS BIGINT) AS is1,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+), dv AS (
+  SELECT v, CAST(sum(is1) AS BIGINT) AS c1,
+         CAST(count(*) - sum(is1) AS BIGINT) AS c2
+  FROM base GROUP BY v
+), cums AS (
+  SELECT sum(c1) OVER (ORDER BY v) AS cum1,
+         sum(c2) OVER (ORDER BY v) AS cum2
+  FROM dv
+), tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM dv)
+SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+       CAST(max(abs(CAST(c.cum1 AS HUGEINT) * t.n2
+                    - CAST(c.cum2 AS HUGEINT) * t.n1)) * 1000000
+            // (CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT) AS ks_micro
+FROM cums c CROSS JOIN tot t
+GROUP BY t.n1, t.n2
+"""
+
+
+def q_x_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on click vs purchase `value` —
+    the default two-sample mean comparison (Student's equal-variance
+    form is an anti-pattern when group sizes/variances differ, as
+    funnel stages always do). One conditional-moment aggregate: n, sum,
+    sum-of-squares per arm over integer cents, map-side combined.
+
+    Means land exactly on the micro grid (cents * 1e6 div n, decimal
+    division); t and the Welch-Satterthwaite df are one identical
+    IEEE-double expression tree in both engines over those exact
+    moments (sample variances via the (n*SS - S^2)/(n*(n-1)) form),
+    emitted at round(x, 6).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin("click", "purchase")
+    )
+    is1 = F.col("event_type") == "click"
+    cents = F.round(F.col("value") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    base = ev.select(is1.alias("_is1"), cents.alias("_v"))
+    m = base.agg(
+        F.sum(F.when(F.col("_is1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~F.col("_is1"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("_is1"), F.col("_v")).otherwise(0).cast(d38)).alias("_s1"),
+        F.sum(F.when(~F.col("_is1"), F.col("_v")).otherwise(0).cast(d38)).alias("_s2"),
+        F.sum(
+            F.when(F.col("_is1"), F.col("_v") * F.col("_v")).otherwise(0).cast(d38)
+        ).alias("_ss1"),
+        F.sum(
+            F.when(~F.col("_is1"), F.col("_v") * F.col("_v")).otherwise(0).cast(d38)
+        ).alias("_ss2"),
+    )
+    var1 = (
+        "(CAST(n1 AS DOUBLE) * CAST(_ss1 AS DOUBLE) - CAST(_s1 AS DOUBLE)"
+        " * CAST(_s1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * (n1 - 1))"
+    )
+    var2 = (
+        "(CAST(n2 AS DOUBLE) * CAST(_ss2 AS DOUBLE) - CAST(_s2 AS DOUBLE)"
+        " * CAST(_s2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) * (n2 - 1))"
+    )
+    se2 = f"(({var1}) / n1 + ({var2}) / n2)"
+    return m.select(
+        "n1",
+        "n2",
+        F.expr("CAST(_s1 * 1000000 div CAST(n1 AS DECIMAL(38,0)) AS BIGINT)").alias(
+            "mean1_micro"
+        ),
+        F.expr("CAST(_s2 * 1000000 div CAST(n2 AS DECIMAL(38,0)) AS BIGINT)").alias(
+            "mean2_micro"
+        ),
+        F.expr(
+            f"CASE WHEN n1 > 1 AND n2 > 1 AND {se2} > 0"
+            f"     THEN round((CAST(_s1 AS DOUBLE) / n1 - CAST(_s2 AS DOUBLE) / n2)"
+            f"                / sqrt({se2}), 6) END"
+        ).alias("t_stat"),
+        F.expr(
+            f"CASE WHEN n1 > 1 AND n2 > 1 AND {se2} > 0"
+            f"     THEN round({se2} * {se2}"
+            f"                / ((({var1}) / n1) * (({var1}) / n1) / (n1 - 1)"
+            f"                   + (({var2}) / n2) * (({var2}) / n2) / (n2 - 1)), 6)"
+            f" END"
+        ).alias("df"),
+    )
+
+
+Q_X_WELCH_TTEST_SQL = """
+WITH base AS (
+  SELECT event_type = 'click' AS is1,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+), m AS (
+  SELECT CAST(sum(CASE WHEN is1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN is1 THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         sum(CAST(CASE WHEN is1 THEN v ELSE 0 END AS HUGEINT)) AS s1,
+         sum(CAST(CASE WHEN is1 THEN 0 ELSE v END AS HUGEINT)) AS s2,
+         sum(CAST(CASE WHEN is1 THEN v * v ELSE 0 END AS HUGEINT)) AS ss1,
+         sum(CAST(CASE WHEN is1 THEN 0 ELSE v * v END AS HUGEINT)) AS ss2
+  FROM base
+)
+SELECT n1, n2,
+       CAST(s1 * 1000000 // CAST(n1 AS HUGEINT) AS BIGINT) AS mean1_micro,
+       CAST(s2 * 1000000 // CAST(n2 AS HUGEINT) AS BIGINT) AS mean2_micro,
+       CASE WHEN n1 > 1 AND n2 > 1
+             AND ((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
+               + ((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                  / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2 > 0
+            THEN round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                       / sqrt(((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                               / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
+                              + ((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                                 / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2), 6)
+       END AS t_stat,
+       CASE WHEN n1 > 1 AND n2 > 1
+             AND ((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
+               + ((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                  / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2 > 0
+            THEN round(
+              (((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
+               + ((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                  / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2)
+              * (((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
+                 + ((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                    / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2)
+              / ((((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1)
+                 * (((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1) / (n1 - 1)
+                 + (((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                     / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2)
+                   * (((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                       / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2) / (n2 - 1)), 6)
+       END AS df
+FROM m
+"""
+
+
+def q_x_anova_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA variance decomposition of order value across the
+    five priority classes — per-GROUP rows (class, n, exact mean,
+    between-group and within-group sum-of-squares terms) rather than a
+    single summed F statistic, for the same reason q_x_chi2_independence
+    emits per-cell terms: a float total would be summation-order-
+    sensitive between engines, while per-group terms are one
+    deterministic double expression each (the F statistic is one
+    driver-side fold over k<=5 rows, pinned by the property test).
+
+    Plan: one conditional-moment groupBy (n, Sum x, Sum x^2 per class as
+    DECIMAL(38,0) cents) + a 1-row broadcast of the grand totals.
+    ssb_g = n_g*(mean_g - grand_mean)^2, ssw_g = SS_g - S_g^2/n_g,
+    emitted as BIGINT whole dollars-squared via floor(x/1e4 + 0.5):
+    round(x, 2) is NOT portable at these magnitudes (DuckDB's
+    scale-multiply round loses ulps past 2^53/100; the floor form is
+    the identical IEEE op chain in both engines at any magnitude).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    per = (
+        o.select("o_orderpriority", cents.alias("_v"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("_v").cast(d38)).alias("_s"),
+            F.sum(F.col("_v").cast(d38) * F.col("_v")).alias("_ss"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("_nn"),
+        F.sum("_s").alias("_st"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderpriority",
+            "n",
+            F.expr("CAST(_s * 1000000 div CAST(n AS DECIMAL(38,0)) AS BIGINT)").alias(
+                "mean_micro"
+            ),
+            F.expr(
+                "CAST(floor(CAST(n AS DOUBLE)"
+                "      * (CAST(_s AS DOUBLE) / n - CAST(_st AS DOUBLE) / _nn)"
+                "      * (CAST(_s AS DOUBLE) / n - CAST(_st AS DOUBLE) / _nn)"
+                "      / 10000 + 0.5) AS BIGINT)"
+            ).alias("ssb_d2"),
+            F.expr(
+                "CAST(floor((CAST(_ss AS DOUBLE)"
+                "      - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE) / n)"
+                "      / 10000 + 0.5) AS BIGINT)"
+            ).alias("ssw_d2"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_X_ANOVA_DECOMP_SQL = """
+WITH per AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)) AS s,
+         sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS BIGINT)) AS ss
+  FROM orders GROUP BY 1
+), tot AS (SELECT sum(n) AS nn, sum(s) AS st FROM per)
+SELECT p.o_orderpriority, p.n,
+       CAST(p.s * 1000000 // CAST(p.n AS HUGEINT) AS BIGINT) AS mean_micro,
+       CAST(floor(CAST(p.n AS DOUBLE)
+             * (CAST(p.s AS DOUBLE) / p.n - CAST(t.st AS DOUBLE) / t.nn)
+             * (CAST(p.s AS DOUBLE) / p.n - CAST(t.st AS DOUBLE) / t.nn)
+             / 10000 + 0.5) AS BIGINT) AS ssb_d2,
+       CAST(floor((CAST(p.ss AS DOUBLE)
+             - CAST(p.s AS DOUBLE) * CAST(p.s AS DOUBLE) / p.n)
+             / 10000 + 0.5) AS BIGINT) AS ssw_d2
+FROM per p CROSS JOIN tot t
+ORDER BY p.o_orderpriority
+"""
+
+
+def q_x_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information decomposition between event type and ISO
+    weekday — the information-theoretic companion to
+    q_x_chi2_independence (same contingency scaffolding): per OBSERVED
+    cell, the pointwise term (o/n)*ln(o*n/(row_tot*col_tot)) on the
+    shared floor(x*1e6 + 0.5) micro grid (signed; floor(+0.5) is
+    round-half-toward-+inf, the identical expression in both engines).
+    Zero cells contribute exactly 0 to MI (x*ln(x) -> 0), so unlike the
+    chi-squared grid they are correctly ABSENT rather than emitted.
+
+    Plan: one (type x dow) count aggregate, two bounded margin
+    re-aggregations of it, broadcast margin joins — nothing after the
+    first scan grows with the stream.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    cells = (
+        ev.select(
+            "event_type",
+            (F.weekday(F.to_date("ts")) + 1).cast("int").alias("iso_dow"),
+        )
+        .groupBy("event_type", "iso_dow")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    row_m = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("row_tot"))
+    col_m = cells.groupBy("iso_dow").agg(F.sum("o").cast("long").alias("col_tot"))
+    n_tot = cells.agg(F.sum("o").cast("long").alias("_n"))
+    term = (
+        "floor((CAST(o AS DOUBLE) / _n)"
+        "      * ln(CAST(o AS DOUBLE) * _n"
+        "           / (CAST(row_tot AS DOUBLE) * col_tot))"
+        "      * 1000000 + 0.5)"
+    )
+    return (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "iso_dow")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "event_type",
+            "iso_dow",
+            "o",
+            "row_tot",
+            "col_tot",
+            F.expr(term).cast("long").alias("mi_term_micro"),
+        )
+        .orderBy("event_type", "iso_dow")
+    )
+
+
+Q_X_MUTUAL_INFO_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS INT) AS iso_dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), row_m AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_tot
+             FROM cells GROUP BY 1),
+col_m AS (SELECT iso_dow, CAST(sum(o) AS BIGINT) AS col_tot
+          FROM cells GROUP BY 1),
+n_tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+SELECT c.event_type, c.iso_dow, c.o,
+       r.row_tot, m.col_tot,
+       CAST(floor((CAST(c.o AS DOUBLE) / t.n)
+                  * ln(CAST(c.o AS DOUBLE) * t.n
+                       / (CAST(r.row_tot AS DOUBLE) * m.col_tot))
+                  * 1000000 + 0.5) AS BIGINT) AS mi_term_micro
+FROM cells c
+JOIN row_m r ON r.event_type = c.event_type
+JOIN col_m m ON m.iso_dow = c.iso_dow
+CROSS JOIN n_tot t
+ORDER BY c.event_type, c.iso_dow
+"""

@@ -3953,6 +3953,20 @@ from bigdatagenomic_spark.operators.graph import (  # noqa: E402
 )
 
 register("q_graph_degree_assortativity", _q_assort, _ASSORT_SQL)
+# tie-corrected Spearman rho via integer double-ranks (per return flag)
+register("q_x_spearman_corr", ST.q_x_spearman_corr, ST.Q_X_SPEARMAN_CORR_SQL)
+# Mann-Whitney U / AUC with tie-corrected z (clicks vs purchases)
+register("q_x_mann_whitney", ST.q_x_mann_whitney, ST.Q_X_MANN_WHITNEY_SQL)
+# two-sample Kolmogorov-Smirnov D, integer-exact cross-multiplied max
+register("q_x_ks_test", ST.q_x_ks_test, ST.Q_X_KS_TEST_SQL)
+# Welch unequal-variance t-test + Welch-Satterthwaite df
+register("q_x_welch_ttest", ST.q_x_welch_ttest, ST.Q_X_WELCH_TTEST_SQL)
+# one-way ANOVA variance decomposition, per-group terms
+register("q_x_anova_decomp", ST.q_x_anova_decomp, ST.Q_X_ANOVA_DECOMP_SQL)
+# pointwise mutual-information cells (event_type x iso_dow)
+register("q_x_mutual_info", ST.q_x_mutual_info, ST.Q_X_MUTUAL_INFO_SQL)
+# exact 5% two-sided trimmed mean via two_phase_rank (robust location)
+register("q_x_trimmed_mean", SC.q_x_trimmed_mean, SC.Q_X_TRIMMED_MEAN_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -338,6 +338,9 @@ _BNLJ_ALLOWED = {
     "q_sim_ivf_recall",      # composes q26 + ivf_topk (both allowlisted)
     "q_x_join_size",         # 1-row totals x 1-row argmax scalar attach
     "q_graph_motifs",        # three 1-row census scalars attached
+    "q_x_ks_test",           # 1-row (n1, n2) totals scalar over the grid
+    "q_x_anova_decomp",      # 1-row grand-totals scalar (chi2/psi pattern)
+    "q_x_mutual_info",       # 1-row n scalar (chi2 pattern)
 }
 
 

@@ -158,3 +158,70 @@ def test_psi_drift_single_day_all_current(spark, tmp_path):
     for r in rows.values():
         assert r.n_ref == 0 and r.n_cur == 2
         assert r.psi_term_micro is not None
+
+
+# ---------------------------------------------------------------------------
+# wave-2 statistical tests: plan pins
+# ---------------------------------------------------------------------------
+
+def test_spearman_rank_tables_broadcast(spark):
+    """The two distinct-value tie tables (<=50 / <=11 rows per group) must
+    attach to the fact rows as broadcast joins — a sort-merge there would
+    shuffle the whole fact table twice for a dictionary-sized dim."""
+    from bigdatagenomic_spark.operators.stats import q_x_spearman_corr
+
+    plan = (
+        q_x_spearman_corr(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_trimmed_mean_keeps_row_number_partitioned(spark):
+    """Same pin as q_x_gini/q_x_exact_median: the rank must come from the
+    pid-partitioned two-phase window, never a per-group single task."""
+    from bigdatagenomic_spark.operators.scale import q_x_trimmed_mean
+
+    plan = (
+        q_x_trimmed_mean(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in m.group(1), plan
+
+
+def test_welch_is_one_aggregate_pass(spark):
+    """Welch's moments must come from ONE conditional aggregate over the
+    scan — no self-join of per-arm subqueries (two scans) and no window."""
+    from bigdatagenomic_spark.operators.stats import q_x_welch_ttest
+
+    df = q_x_welch_ttest(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("relation") <= 1, plan
+    assert "Window" not in plan, plan
+    row = df.collect()[0]
+    assert row.n1 > 0 and row.n2 > 0
+    assert row.mean1_micro > 0 and row.mean2_micro > 0
+
+
+def test_ks_and_mw_grid_not_fact_rows(spark):
+    """The KS/MW rank machinery must aggregate to the distinct-cent grid
+    BEFORE any cumsum/window work: every window in the plan orders by
+    the grid value over pre-aggregated counts (no window ever sees a raw
+    event column), and the single-row result is sane."""
+    from bigdatagenomic_spark.operators.stats import q_x_ks_test, q_x_mann_whitney
+
+    for fn in (q_x_ks_test, q_x_mann_whitney):
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            spec = m.group(1)
+            assert "_pid" in spec, plan  # two-phase local window only
+            assert "value" not in spec and "event_id" not in spec, plan
+        (row,) = df.collect()
+        assert row.n1 > 0 and row.n2 > 0

@@ -292,3 +292,287 @@ def test_assortativity_oracle_matches_python(rows):
     else:
         r = (2 * m * sxy - sx * sx) / var
         assert abs(got[2] - r) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# round-11 wave 2: classical statistical tests
+# ---------------------------------------------------------------------------
+
+from bigdatagenomic_spark.operators.scale import Q_X_TRIMMED_MEAN_SQL  # noqa: E402
+from bigdatagenomic_spark.operators.stats import (  # noqa: E402
+    Q_X_ANOVA_DECOMP_SQL,
+    Q_X_KS_TEST_SQL,
+    Q_X_MANN_WHITNEY_SQL,
+    Q_X_MUTUAL_INFO_SQL,
+    Q_X_SPEARMAN_CORR_SQL,
+    Q_X_WELCH_TTEST_SQL,
+)
+
+
+def _double_ranks(vals):
+    """dr = 2*average_rank per value, as exact ints (ties averaged)."""
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    dr = [0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and vals[order[j]] == vals[order[i]]:
+            j += 1
+        # ranks i+1 .. j (1-based); 2*avg = (i+1) + j
+        for k in range(i, j):
+            dr[order[k]] = (i + 1) + j
+        i = j
+    return dr
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.integers(min_value=1, max_value=50),
+            st.integers(min_value=0, max_value=10),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_spearman_oracle_matches_python(rows):
+    con = duckdb.connect()
+    con.register(
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_returnflag": [r[0] for r in rows],
+                "l_quantity": [float(r[1]) for r in rows],
+                "l_discount": [r[2] / 100.0 for r in rows],
+            }
+        ),
+    )
+    got = {r[0]: r[1:] for r in con.sql(Q_X_SPEARMAN_CORR_SQL).fetchall()}
+    by_grp: dict[str, list] = {}
+    for g, q, d in rows:
+        by_grp.setdefault(g, []).append((q, d))
+    assert set(got) == set(by_grp)
+    for g, pts in by_grp.items():
+        n = len(pts)
+        drx = _double_ranks([p[0] for p in pts])
+        dry = _double_ranks([p[1] for p in pts])
+        sx, sy = sum(drx), sum(dry)
+        sxy = sum(a * b for a, b in zip(drx, dry))
+        sxx = sum(a * a for a in drx)
+        syy = sum(b * b for b in dry)
+        d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+        g_n, g_rho = got[g]
+        assert g_n == n
+        if d1 > 0 and d2 > 0:
+            ref = (n * sxy - sx * sy) / math.sqrt(float(d1) * float(d2))
+            assert g_rho is not None and abs(g_rho - ref) <= 6e-7
+        else:
+            assert g_rho is None
+
+
+def _mw_events_frame(clicks, purchases):
+    vals = [c / 100.0 for c in clicks] + [p / 100.0 for p in purchases]
+    types = ["click"] * len(clicks) + ["purchase"] * len(purchases)
+    return pd.DataFrame({"event_type": types, "value": vals})
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=50),
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=50),
+)
+def test_mann_whitney_oracle_matches_python(clicks, purchases):
+    con = duckdb.connect()
+    con.register("events", _mw_events_frame(clicks, purchases))
+    (row,) = con.sql(Q_X_MANN_WHITNEY_SQL).fetchall()
+    n1, n2 = len(clicks), len(purchases)
+    combined = clicks + purchases
+    dr = _double_ranks(combined)
+    r1x2 = sum(dr[:n1])  # 2*R1, exact int
+    u2 = r1x2 - n1 * (n1 + 1)
+    assert row[0] == n1 and row[1] == n2
+    assert row[2] == u2
+    assert row[3] == u2 * 1000000 // (2 * n1 * n2)
+    n = n1 + n2
+    ties_sum = 0
+    for v in set(combined):
+        t = combined.count(v)
+        ties_sum += t * t * t - t
+    if n > 1:
+        tie_corr = (n + 1) - ties_sum / (n * (n - 1))
+        if tie_corr > 0:
+            z = (u2 - n1 * n2) / math.sqrt(n1 * n2 / 3.0 * tie_corr)
+            assert row[4] is not None and abs(row[4] - z) <= 6e-7
+        else:
+            assert row[4] is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=50),
+    st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=50),
+)
+def test_ks_oracle_matches_python(clicks, purchases):
+    con = duckdb.connect()
+    con.register("events", _mw_events_frame(clicks, purchases))
+    (row,) = con.sql(Q_X_KS_TEST_SQL).fetchall()
+    n1, n2 = len(clicks), len(purchases)
+    grid = sorted(set(clicks) | set(purchases))
+    d_num = 0
+    for v in grid:
+        c1 = sum(1 for x in clicks if x <= v)
+        c2 = sum(1 for x in purchases if x <= v)
+        d_num = max(d_num, abs(c1 * n2 - c2 * n1))
+    assert row == (n1, n2, d_num * 1000000 // (n1 * n2))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**6), min_size=2, max_size=40),
+    st.lists(st.integers(min_value=1, max_value=10**6), min_size=2, max_size=40),
+)
+def test_welch_oracle_matches_python(clicks, purchases):
+    con = duckdb.connect()
+    con.register("events", _mw_events_frame(clicks, purchases))
+    (row,) = con.sql(Q_X_WELCH_TTEST_SQL).fetchall()
+    n1, n2 = len(clicks), len(purchases)
+    s1, s2 = sum(clicks), sum(purchases)
+    ss1 = sum(v * v for v in clicks)
+    ss2 = sum(v * v for v in purchases)
+    assert row[0] == n1 and row[1] == n2
+    assert row[2] == s1 * 1000000 // n1
+    assert row[3] == s2 * 1000000 // n2
+    var1 = (n1 * ss1 - s1 * s1) / (n1 * (n1 - 1))
+    var2 = (n2 * ss2 - s2 * s2) / (n2 * (n2 - 1))
+    se2 = var1 / n1 + var2 / n2
+    if se2 > 0:
+        t = (s1 / n1 - s2 / n2) / math.sqrt(se2)
+        df = se2 * se2 / (
+            (var1 / n1) * (var1 / n1) / (n1 - 1)
+            + (var2 / n2) * (var2 / n2) / (n2 - 1)
+        )
+        assert row[4] is not None and abs(row[4] - t) <= 6e-7
+        assert row[5] is not None and abs(row[5] - df) <= max(6e-7, abs(df) * 1e-9)
+    else:
+        assert row[4] is None and row[5] is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+            st.integers(min_value=1, max_value=10**7),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_anova_decomp_oracle_matches_python(rows):
+    con = duckdb.connect()
+    con.register(
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderpriority": [r[0] for r in rows],
+                "o_totalprice": [r[1] / 100.0 for r in rows],
+            }
+        ),
+    )
+    got = {r[0]: r[1:] for r in con.sql(Q_X_ANOVA_DECOMP_SQL).fetchall()}
+    by_grp: dict[str, list] = {}
+    for g, c in rows:
+        by_grp.setdefault(g, []).append(c)
+    nn = len(rows)
+    st_tot = sum(c for _, c in rows)
+    assert set(got) == set(by_grp)
+    for g, cs in by_grp.items():
+        n, s, ss = len(cs), sum(cs), sum(c * c for c in cs)
+        mean_micro = s * 1000000 // n
+        d = s / n - st_tot / nn
+        ssb = math.floor(n * d * d / 10000 + 0.5)
+        ssw = math.floor((ss - s / n * s) / 10000 + 0.5)
+        g_n, g_mean, g_ssb, g_ssw = got[g]
+        assert (g_n, g_mean) == (n, mean_micro)
+        assert abs(g_ssb - ssb) <= 1
+        assert abs(g_ssw - ssw) <= 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view", "purchase"]),
+            st.integers(min_value=0, max_value=13),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_mutual_info_oracle_matches_python(rows):
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_type": [r[0] for r in rows],
+                "ts": [base + datetime.timedelta(days=r[1]) for r in rows],
+            }
+        ),
+    )
+    got = {(r[0], r[1]): r[2:] for r in con.sql(Q_X_MUTUAL_INFO_SQL).fetchall()}
+    cells: dict[tuple, int] = {}
+    rowm: dict[str, int] = {}
+    colm: dict[int, int] = {}
+    for t, d in rows:
+        dow = d % 7 + 1
+        cells[(t, dow)] = cells.get((t, dow), 0) + 1
+        rowm[t] = rowm.get(t, 0) + 1
+        colm[dow] = colm.get(dow, 0) + 1
+    n = len(rows)
+    assert set(got) == set(cells)
+    for (t, dow), o in cells.items():
+        term = (o / n) * math.log(o * n / (rowm[t] * colm[dow]))
+        ref = math.floor(term * 1000000 + 0.5)
+        g_o, g_row, g_col, g_mi = got[(t, dow)]
+        assert (g_o, g_row, g_col) == (o, rowm[t], colm[dow])
+        assert abs(g_mi - ref) <= 1  # ln() may differ by 1 ulp across libms
+    con.close()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N"]),
+            st.integers(min_value=1, max_value=10**7),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_trimmed_mean_oracle_matches_python(rows):
+    con = duckdb.connect()
+    con.register(
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_returnflag": [r[0] for r in rows],
+                "l_extendedprice": [r[1] / 100.0 for r in rows],
+                "l_orderkey": range(len(rows)),
+                "l_linenumber": [1] * len(rows),
+            }
+        ),
+    )
+    got = {r[0]: r[1:] for r in con.sql(Q_X_TRIMMED_MEAN_SQL).fetchall()}
+    by_grp: dict[str, list] = {}
+    for g, c in rows:
+        by_grp.setdefault(g, []).append(c)
+    assert set(got) == set(by_grp)
+    for g, cs in by_grp.items():
+        n, t = len(cs), len(cs) // 20
+        kept = sorted(cs)[t : n - t]
+        assert got[g] == (n, len(kept), sum(kept) * 1000000 // len(kept))
