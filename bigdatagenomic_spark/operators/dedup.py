@@ -1126,3 +1126,68 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_survivors(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verification of shingle candidates (round 11)
+# ---------------------------------------------------------------------------
+
+EDIST_MAX_CHARS = 400        # per-pair DP cost bound: O(len_a * len_b)
+EDIST_MIN_SIM_MICRO = 500000  # keep pairs at >= 0.5 normalized similarity
+
+
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification: word-3-gram shingle
+    candidates -> exact Levenshtein distance -> normalized similarity
+    (maxlen - dist) / maxlen. The CHARACTER-EDIT view of duplication
+    that token-set Jaccard is blind to (small insertions/typo edits
+    move Jaccard a lot but edit distance a little, and vice versa for
+    token reorderings) — the standard second opinion before dropping a
+    "duplicate" that survived LSH banding.
+
+    Scale shape: the same bucket-then-verify discipline as every dedup
+    family here — candidates are an equi-join on the shingle key, never
+    all-pairs; Levenshtein's O(len_a*len_b) DP runs per CANDIDATE pair
+    only, JVM-side (F.levenshtein inside codegen, no Python), and only
+    on docs <= EDIST_MAX_CHARS by contract (the n_chars predicate is a
+    pushed-down scan filter; long docs belong to the shingle/winnow
+    families). sim_micro is integer-exact; maxlen >= 1 because a
+    shingle candidate implies a nonempty text.
+    """
+    d = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < PAIR_SAMPLE_DOCS)
+        & F.col("text").isNotNull()
+        & (F.col("n_chars") <= EDIST_MAX_CHARS)
+    )
+    sh = _doc_shingles(d)
+    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    b = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    cand = (
+        a.join(b, "sh")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ta = d.select(F.col("doc_id").alias("a_id"), F.col("text").alias("_ta"))
+    tb = d.select(F.col("doc_id").alias("b_id"), F.col("text").alias("_tb"))
+    scored = (
+        cand.join(ta, "a_id")
+        .join(tb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein("_ta", "_tb").cast("long").alias("editdist"),
+            F.greatest(F.length("_ta"), F.length("_tb"))
+            .cast("long")
+            .alias("_ml"),
+        )
+        .withColumn(
+            "sim_micro",
+            F.expr("(_ml - editdist) * 1000000 div _ml").cast("long"),
+        )
+    )
+    return (
+        scored.where(F.col("sim_micro") >= EDIST_MIN_SIM_MICRO)
+        .select("a_id", "b_id", "editdist", "sim_micro")
+        .orderBy("a_id", "b_id")
+    )

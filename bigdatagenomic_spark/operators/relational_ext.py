@@ -2996,3 +2996,102 @@ SELECT o_orderpriority, n, CAST(sx AS BIGINT) AS sum_cents,
 FROM per_grp
 ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# association rules: confidence + lift over the basket pairs (round 11)
+# ---------------------------------------------------------------------------
+
+LIFT_MIN_PAIR_SUPPORT = 3  # pair must co-occur in >= this many baskets
+
+
+def q_x_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule readout over the co-purchase pairs: support,
+    both conditional confidences, and lift — the Apriori rule-metrics
+    pass that turns q_x_basket_pairs' raw counts into rankable rules
+    (lift > 1e6 micro means the pair beats independence; confidence is
+    the direction-specific hit rate a recommender acts on).
+
+    Scale shape: the pair counts come from the same basket-bounded self
+    equi-join as q_x_basket_pairs (per-basket k^2, k <= 7 in TPC-H —
+    cap basket size first when k can run hot); item supports are one
+    (partkey) aggregate joined back on the pair's two keys (equi-joins
+    on well-distributed part keys, AQE picks broadcast when the item
+    table is small); n_baskets is a 1-row broadcast. conf/lift land
+    integer-exact on the micro grid via DECIMAL(38,0)/HUGEINT.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_b = items.select("l_orderkey").distinct().agg(
+        F.count("*").cast("long").alias("_nb")
+    )
+    supp = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("cnt"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt_ab"))
+        .where(F.col("cnt_ab") >= LIFT_MIN_PAIR_SUPPORT)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "part_a",
+            "part_b",
+            "cnt_ab",
+            "cnt_a",
+            "cnt_b",
+            F.expr("cnt_ab * 1000000 div cnt_a").cast("long").alias(
+                "conf_a2b_micro"
+            ),
+            F.expr("cnt_ab * 1000000 div cnt_b").cast("long").alias(
+                "conf_b2a_micro"
+            ),
+            F.expr(
+                "CAST(CAST(cnt_ab AS DECIMAL(38,0)) * _nb * 1000000"
+                "     div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+Q_X_LIFT_RULES_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_b AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nb FROM items),
+supp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+         FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS cnt_ab
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {LIFT_MIN_PAIR_SUPPORT}
+)
+SELECT p.part_a, p.part_b, p.cnt_ab, sa.cnt AS cnt_a, sb.cnt AS cnt_b,
+       CAST(p.cnt_ab * 1000000 // sa.cnt AS BIGINT) AS conf_a2b_micro,
+       CAST(p.cnt_ab * 1000000 // sb.cnt AS BIGINT) AS conf_b2a_micro,
+       CAST(CAST(p.cnt_ab AS HUGEINT) * t.nb * 1000000
+            // (CAST(sa.cnt AS HUGEINT) * sb.cnt) AS BIGINT) AS lift_micro
+FROM pairs p
+JOIN supp sa ON sa.l_partkey = p.part_a
+JOIN supp sb ON sb.l_partkey = p.part_b
+CROSS JOIN n_b t
+ORDER BY p.part_a, p.part_b
+"""

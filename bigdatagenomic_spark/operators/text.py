@@ -1683,3 +1683,130 @@ SELECT doc_id, n_sentences, n_words, n_syllables,
 FROM counted WHERE n_sentences > 0 AND n_words > 0
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# term burstiness (round 11)
+# ---------------------------------------------------------------------------
+
+BURST_MIN_DF = 50  # report terms appearing in >= this many documents
+
+
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term burstiness (Church & Gale 1995): the variance-to-mean
+    ratio of a term's per-document count across the WHOLE corpus
+    (zero-count documents included). VMR ~ 1 means Poisson scatter
+    (function words); VMR >> 1 means the term clumps into few documents
+    (content/topical words, boilerplate blocks) — the signal behind
+    burstiness-aware term weighting and template detection.
+
+    Zero-count docs cost nothing: they contribute 0 to both Sum(c) and
+    Sum(c^2), so the moments over OCCURRING (doc, term) rows are already
+    the corpus-wide moments — only N (one count of documents, 1-row
+    broadcast) sees the full corpus. vmr_micro = (N*Sxx - Sx^2) * 1e6
+    div (Sx * (N-1)) is integer-exact via DECIMAL(38,0)/HUGEINT, and
+    nonnegative by Cauchy-Schwarz, so truncating div is portable.
+    Plan: tokenize+explode -> (doc, term) count -> per-term moments,
+    all map-side-combinable shuffles on well-distributed keys.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    tc = tok.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("c"))
+    d38 = "decimal(38,0)"
+    per_term = tc.groupBy("w").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.col("c").cast(d38)).alias("_sx"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).alias("_sxx"),
+    )
+    n = d.agg(F.count("*").cast("long").alias("_n"))
+    return (
+        per_term.where(F.col("df") >= BURST_MIN_DF)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w",
+            "df",
+            F.col("_sx").cast("long").alias("n_occ"),
+            F.expr(
+                "CAST((_n * _sxx - _sx * _sx) * 1000000"
+                "     div (_sx * (CAST(_n AS DECIMAL(38,0)) - 1)) AS BIGINT)"
+            ).alias("vmr_micro"),
+        )
+        .orderBy("w")
+    )
+
+
+Q_TEXT_BURSTINESS_SQL = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS w
+  FROM docs
+), tc AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), per_term AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df,
+         sum(CAST(c AS HUGEINT)) AS sx,
+         sum(CAST(c AS HUGEINT) * c) AS sxx
+  FROM tc GROUP BY w
+), n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs)
+SELECT w, df, CAST(sx AS BIGINT) AS n_occ,
+       CAST((t.n * sxx - sx * sx) * 1000000
+            // (sx * (CAST(t.n AS HUGEINT) - 1)) AS BIGINT) AS vmr_micro
+FROM per_term CROSS JOIN n_tot t
+WHERE df >= {BURST_MIN_DF}
+ORDER BY w
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-length (fertility) profile (round 11)
+# ---------------------------------------------------------------------------
+
+def q_text_wordlen_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language — the tokenizer-fertility
+    proxy checked before committing a BPE vocabulary to a corpus mix:
+    a language whose word-length mass sits far right of the vocab's
+    training mix will fragment into many subwords per word (high
+    fertility = wasted sequence length). Per (lang, length): count and
+    corpus share on the micro grid.
+
+    Plan: tokenize+explode -> (lang, len) count (map-side combined;
+    the key space is |langs| x ~30) -> broadcast-join the |langs|-row
+    totals. Integer-exact, deterministic order.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+    cells = (
+        tok.select("lang", F.length("w").cast("long").alias("wlen"))
+        .groupBy("lang", "wlen")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("_tot"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "wlen",
+            "n",
+            F.expr("n * 1000000 div _tot").cast("long").alias("share_micro"),
+        )
+        .orderBy("lang", "wlen")
+    )
+
+
+Q_TEXT_WORDLEN_PROFILE_SQL = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS w
+  FROM documents WHERE text IS NOT NULL
+), cells AS (
+  SELECT lang, CAST(len(w) AS BIGINT) AS wlen, CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY 1, 2
+), totals AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM cells GROUP BY 1)
+SELECT c.lang, c.wlen, c.n,
+       CAST(c.n * 1000000 // t.tot AS BIGINT) AS share_micro
+FROM cells c JOIN totals t ON t.lang = c.lang
+ORDER BY c.lang, c.wlen
+"""

@@ -3967,6 +3967,45 @@ register("q_x_anova_decomp", ST.q_x_anova_decomp, ST.Q_X_ANOVA_DECOMP_SQL)
 register("q_x_mutual_info", ST.q_x_mutual_info, ST.Q_X_MUTUAL_INFO_SQL)
 # exact 5% two-sided trimmed mean via two_phase_rank (robust location)
 register("q_x_trimmed_mean", SC.q_x_trimmed_mean, SC.Q_X_TRIMMED_MEAN_SQL)
+# character-level edit-distance verification of shingle candidates
+register(
+    "q_dedup_editdist",
+    D.q_dedup_editdist,
+    f"""WITH tok AS (SELECT doc_id, text, {_TOK} AS t
+          FROM documents
+          WHERE doc_id < {D.PAIR_SAMPLE_DOCS} AND text IS NOT NULL
+            AND n_chars <= {D.EDIST_MAX_CHARS}),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(
+              list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                             i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS sh
+          FROM tok),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id),
+        scored AS (
+          SELECT c.a_id, c.b_id,
+                 CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS editdist,
+                 CAST(greatest(len(ta.text), len(tb.text)) AS BIGINT) AS ml
+          FROM cand c
+          JOIN tok ta ON ta.doc_id = c.a_id
+          JOIN tok tb ON tb.doc_id = c.b_id)
+        SELECT a_id, b_id, editdist,
+               CAST((ml - editdist) * 1000000 // ml AS BIGINT) AS sim_micro
+        FROM scored
+        WHERE (ml - editdist) * 1000000 // ml >= {D.EDIST_MIN_SIM_MICRO}
+        ORDER BY a_id, b_id""",
+)
+# per-term burstiness (Church-Gale variance-to-mean over the corpus)
+register("q_text_burstiness", T.q_text_burstiness, T.Q_TEXT_BURSTINESS_SQL)
+# token-length (fertility) profile per language
+register(
+    "q_text_wordlen_profile",
+    T.q_text_wordlen_profile,
+    T.Q_TEXT_WORDLEN_PROFILE_SQL,
+)
+# association rules: support/confidence/lift over co-purchase pairs
+register("q_x_lift_rules", RX.q_x_lift_rules, RX.Q_X_LIFT_RULES_SQL)
 
 
 # ---------------------------------------------------------------------------

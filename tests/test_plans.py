@@ -341,6 +341,8 @@ _BNLJ_ALLOWED = {
     "q_x_ks_test",           # 1-row (n1, n2) totals scalar over the grid
     "q_x_anova_decomp",      # 1-row grand-totals scalar (chi2/psi pattern)
     "q_x_mutual_info",       # 1-row n scalar (chi2 pattern)
+    "q_text_burstiness",     # 1-row corpus doc-count scalar (tfidf pattern)
+    "q_x_lift_rules",        # 1-row basket-count scalar (tfidf pattern)
 }
 
 

@@ -225,3 +225,40 @@ def test_ks_and_mw_grid_not_fact_rows(spark):
             assert "value" not in spec and "event_id" not in spec, plan
         (row,) = df.collect()
         assert row.n1 > 0 and row.n2 > 0
+
+
+# ---------------------------------------------------------------------------
+# wave-3 text/dedup/rules ops: plan pins
+# ---------------------------------------------------------------------------
+
+def test_editdist_stays_jvm_side_and_pushes_filter(spark):
+    """Levenshtein must run as the built-in JVM expression (never a
+    Python UDF), and the n_chars length-contract predicate must reach
+    the parquet scan as a pushed filter."""
+    from bigdatagenomic_spark.operators.dedup import q_dedup_editdist
+
+    from bigdatagenomic_spark.plans import formatted_plan
+
+    df = q_dedup_editdist(spark, SF_DIR)
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "levenshtein" in exec_plan
+    assert "BatchEvalPython" not in exec_plan and "ArrowEvalPython" not in exec_plan
+    formatted = formatted_plan(df)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
+    assert any("n_chars" in p for p in pushed), formatted
+
+
+def test_lift_rules_joins_are_equi(spark):
+    """Pair mining must stay an equi-join on the basket key plus
+    support equi-joins — the only nested-loop allowed is the 1-row
+    basket-count attach."""
+    from bigdatagenomic_spark.operators.relational_ext import q_x_lift_rules
+
+    plan = (
+        q_x_lift_rules(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    rows = q_x_lift_rules(spark, SF_DIR).limit(5).collect()
+    for r in rows:
+        assert r.cnt_ab <= min(r.cnt_a, r.cnt_b)
+        assert 0 < r.conf_a2b_micro <= 1000000

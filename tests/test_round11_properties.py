@@ -576,3 +576,223 @@ def test_trimmed_mean_oracle_matches_python(rows):
         n, t = len(cs), len(cs) // 20
         kept = sorted(cs)[t : n - t]
         assert got[g] == (n, len(kept), sum(kept) * 1000000 // len(kept))
+
+
+# ---------------------------------------------------------------------------
+# round-11 wave 3: LLM-pipeline text/dedup/rules ops
+# ---------------------------------------------------------------------------
+
+from bigdatagenomic_spark.operators.dedup import (  # noqa: E402
+    EDIST_MAX_CHARS,
+    EDIST_MIN_SIM_MICRO,
+    PAIR_SAMPLE_DOCS,
+)
+from bigdatagenomic_spark.operators.relational_ext import (  # noqa: E402
+    LIFT_MIN_PAIR_SUPPORT,
+    Q_X_LIFT_RULES_SQL,
+)
+from bigdatagenomic_spark.operators.text import (  # noqa: E402
+    BURST_MIN_DF,
+    Q_TEXT_BURSTINESS_SQL,
+    Q_TEXT_WORDLEN_PROFILE_SQL,
+)
+
+
+def _edist_oracle_sql():
+    import __spark_entry__ as entry
+
+    return entry.oracle_sql()["q_dedup_editdist"]
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[len(b)]
+
+
+def _py_shingles(text: str) -> set:
+    t = _tokens(text)
+    out = set()
+    for i in range(1, max(len(t) - 2, 1) + 1):
+        out.add(" ".join(t[i - 1 : i + 2]))
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc d.e", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_editdist_oracle_matches_python(texts):
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+    )
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.sql(_edist_oracle_sql()).fetchall()
+    }
+    eligible = {
+        i: t
+        for i, t in enumerate(texts)
+        if i < PAIR_SAMPLE_DOCS and len(t) <= EDIST_MAX_CHARS
+    }
+    expect = {}
+    ids = sorted(eligible)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not (_py_shingles(eligible[a]) & _py_shingles(eligible[b])):
+                continue
+            d = _py_levenshtein(eligible[a], eligible[b])
+            ml = max(len(eligible[a]), len(eligible[b]))
+            if ml == 0:
+                continue  # two empty texts: no shingle rows exist anyway
+            sim = (ml - d) * 1000000 // ml
+            if sim >= EDIST_MIN_SIM_MICRO:
+                expect[(a, b)] = (d, sim)
+    assert got == expect
+    con.close()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6),
+        min_size=BURST_MIN_DF,
+        max_size=BURST_MIN_DF + 12,
+    )
+)
+def test_burstiness_oracle_matches_python(doc_tokens):
+    texts = [" ".join(toks) for toks in doc_tokens]
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    got = {r[0]: r[1:] for r in con.sql(Q_TEXT_BURSTINESS_SQL).fetchall()}
+    n = len(texts)
+    per_term: dict[str, list] = {}
+    for toks in doc_tokens:
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        for t, c in counts.items():
+            per_term.setdefault(t, []).append(c)
+    expect = {}
+    for t, cs in per_term.items():
+        if len(cs) < BURST_MIN_DF:
+            continue
+        sx = sum(cs)
+        sxx = sum(c * c for c in cs)
+        expect[t] = (len(cs), sx, (n * sxx - sx * sx) * 1000000 // (sx * (n - 1)))
+    assert got == expect
+    con.close()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),
+            st.text(alphabet="ab cde.f", min_size=0, max_size=40),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_wordlen_profile_oracle_matches_python(rows):
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "lang": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+            }
+        ),
+    )
+    got = {
+        (r[0], r[1]): r[2:]
+        for r in con.sql(Q_TEXT_WORDLEN_PROFILE_SQL).fetchall()
+    }
+    cells: dict[tuple, int] = {}
+    totals: dict[str, int] = {}
+    for lang, text in rows:
+        for w in _tokens(text):
+            cells[(lang, len(w))] = cells.get((lang, len(w)), 0) + 1
+            totals[lang] = totals.get(lang, 0) + 1
+    expect = {
+        k: (n, n * 1000000 // totals[k[0]]) for k, n in cells.items()
+    }
+    assert got == expect
+    con.close()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),
+            st.integers(min_value=1, max_value=6),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_lift_rules_oracle_matches_python(pairs):
+    con = duckdb.connect()
+    con.register(
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_orderkey": [p[0] for p in pairs],
+                "l_partkey": [p[1] for p in pairs],
+            }
+        ),
+    )
+    got = {(r[0], r[1]): r[2:] for r in con.sql(Q_X_LIFT_RULES_SQL).fetchall()}
+    items = set(pairs)
+    baskets: dict[int, set] = {}
+    for o, p in items:
+        baskets.setdefault(o, set()).add(p)
+    nb = len(baskets)
+    supp: dict[int, int] = {}
+    for o, ps in baskets.items():
+        for p in ps:
+            supp[p] = supp.get(p, 0) + 1
+    pair_cnt: dict[tuple, int] = {}
+    for o, ps in baskets.items():
+        sp = sorted(ps)
+        for x in range(len(sp)):
+            for y in range(x + 1, len(sp)):
+                pair_cnt[(sp[x], sp[y])] = pair_cnt.get((sp[x], sp[y]), 0) + 1
+    expect = {}
+    for (a, b), cab in pair_cnt.items():
+        if cab < LIFT_MIN_PAIR_SUPPORT:
+            continue
+        expect[(a, b)] = (
+            cab,
+            supp[a],
+            supp[b],
+            cab * 1000000 // supp[a],
+            cab * 1000000 // supp[b],
+            cab * nb * 1000000 // (supp[a] * supp[b]),
+        )
+    assert got == expect
+    con.close()
