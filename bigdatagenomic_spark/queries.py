@@ -4007,6 +4007,179 @@ register(
 # association rules: support/confidence/lift over co-purchase pairs
 register("q_x_lift_rules", RX.q_x_lift_rules, RX.Q_X_LIFT_RULES_SQL)
 
+CODON_READS = 200  # derived-read sample bound (mash-sized)
+
+
+def _codon_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared derived-read set (gc_skew pattern,
+    assembly_final.cpp:73-145 lineage): ACGT-cleaned, fixed 13/15/17
+    lengths so every read yields >= 4 whole frame-0 codons."""
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < CODON_READS
+    )
+    length = (F.lit(13) + (F.col("doc_id") % 3) * 2).cast("int")
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    return docs.select(
+        "doc_id",
+        F.substring(F.rpad(cleaned, 17, "A"), F.lit(1), length).alias("content"),
+    )
+
+
+_CODON_READS_CTE = f"""
+  r AS (
+    SELECT doc_id,
+           substr(rpad(regexp_replace(upper(text), '[^ACGT]', '', 'g'),
+                       17, 'A'),
+                  1, CAST(13 + (doc_id%3)*2 AS INT)) AS content
+    FROM documents WHERE doc_id < {CODON_READS})
+"""
+
+
+def q_asm_codon_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-0 codon usage table over the derived read set — the
+    codon-bias profile behind expression-level prediction and
+    pseudogene screens (and the classic sanity check that a claimed
+    coding region matches the organism's tRNA pool). Per codon: count
+    and corpus share on the integer micro grid.
+
+    Scale shape: one row-local transform/explode (each read emits
+    len/3 codons — no shuffle until the 64-key count), one map-side-
+    combined aggregate, a 1-row total broadcast. At 100 TB the key
+    space is still <= 64, so the final exchange is 64 rows.
+    """
+    from pyspark.sql import functions as F
+
+    reads = _codon_reads(spark, sf_dir)
+    codons = reads.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, CAST(length(content) / 3 AS INT)),"
+                "          i -> substring(content, (i - 1) * 3 + 1, 3))"
+            )
+        ).alias("codon")
+    )
+    counts = codons.groupBy("codon").agg(F.count("*").cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "codon",
+            "n",
+            F.expr("n * 1000000 div _t").cast("long").alias("share_micro"),
+        )
+        .orderBy("codon")
+    )
+
+
+register(
+    "q_asm_codon_usage",
+    q_asm_codon_usage,
+    f"""WITH {_CODON_READS_CTE},
+    codons AS (
+      SELECT unnest(list_transform(
+                 range(1, CAST(length(content) // 3 AS INT) + 1),
+                 i -> substr(content, (i - 1) * 3 + 1, 3))) AS codon
+      FROM r),
+    counts AS (SELECT codon, CAST(count(*) AS BIGINT) AS n
+               FROM codons GROUP BY codon),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+    SELECT codon, n, CAST(n * 1000000 // t.t AS BIGINT) AS share_micro
+    FROM counts CROSS JOIN tot t
+    ORDER BY codon""",
+)
+
+
+def q_asm_dinuc_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dinucleotide odds ratios rho(xy) = f(xy) / (f(x) * f(y)) pooled
+    over the derived read set — the genome-signature statistic (Karlin
+    & Burge 1995: dinucleotide relative abundance is a species-stable
+    signature; CpG suppression is THE textbook case). rho lands
+    integer-exact: rho_micro = n_xy * n_mono^2 * 1e6 div
+    (n_di * n_x * n_y) via DECIMAL(38,0)/HUGEINT.
+
+    Plan: two row-local explodes (overlapping 2-mers; single bases),
+    two bounded aggregates (16 / 4 keys), broadcast joins of the
+    4-row margins — after the scan nothing exceeds 16 rows.
+    """
+    from pyspark.sql import functions as F
+
+    reads = _codon_reads(spark, sf_dir)
+    di = reads.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, CAST(length(content) AS INT) - 1),"
+                "          i -> substring(content, i, 2))"
+            )
+        ).alias("dinuc")
+    )
+    mono = reads.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, CAST(length(content) AS INT)),"
+                "          i -> substring(content, i, 1))"
+            )
+        ).alias("base")
+    )
+    di_counts = di.groupBy("dinuc").agg(F.count("*").cast("long").alias("n_xy"))
+    mono_counts = mono.groupBy("base").agg(F.count("*").cast("long").alias("n_b"))
+    n_di = di_counts.agg(F.sum("n_xy").cast("long").alias("_ndi"))
+    n_mono = mono_counts.agg(F.sum("n_b").cast("long").alias("_nmono"))
+    mx = mono_counts.select(F.col("base").alias("_bx"), F.col("n_b").alias("n_x"))
+    my = mono_counts.select(F.col("base").alias("_by"), F.col("n_b").alias("n_y"))
+    return (
+        di_counts.withColumn("_bx", F.substring("dinuc", 1, 1))
+        .withColumn("_by", F.substring("dinuc", 2, 1))
+        .join(F.broadcast(mx), "_bx")
+        .join(F.broadcast(my), "_by")
+        .crossJoin(F.broadcast(n_di))
+        .crossJoin(F.broadcast(n_mono))
+        .select(
+            "dinuc",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.expr(
+                "CAST(CAST(n_xy AS DECIMAL(38,0)) * _nmono * _nmono * 1000000"
+                "     div (CAST(_ndi AS DECIMAL(38,0)) * n_x * n_y) AS BIGINT)"
+            ).alias("rho_micro"),
+        )
+        .orderBy("dinuc")
+    )
+
+
+register(
+    "q_asm_dinuc_bias",
+    q_asm_dinuc_bias,
+    f"""WITH {_CODON_READS_CTE},
+    di AS (
+      SELECT unnest(list_transform(
+                 range(1, CAST(length(content) AS INT)),
+                 i -> substr(content, i, 2))) AS dinuc
+      FROM r),
+    mono AS (
+      SELECT unnest(list_transform(
+                 range(1, CAST(length(content) AS INT) + 1),
+                 i -> substr(content, i, 1))) AS base
+      FROM r),
+    dc AS (SELECT dinuc, CAST(count(*) AS BIGINT) AS n_xy FROM di GROUP BY 1),
+    mc AS (SELECT base, CAST(count(*) AS BIGINT) AS n_b FROM mono GROUP BY 1),
+    ndi AS (SELECT CAST(sum(n_xy) AS BIGINT) AS ndi FROM dc),
+    nmono AS (SELECT CAST(sum(n_b) AS BIGINT) AS nmono FROM mc)
+    SELECT d.dinuc, d.n_xy, mx.n_b AS n_x, my.n_b AS n_y,
+           CAST(CAST(d.n_xy AS HUGEINT) * t2.nmono * t2.nmono * 1000000
+                // (CAST(t1.ndi AS HUGEINT) * mx.n_b * my.n_b)
+                AS BIGINT) AS rho_micro
+    FROM dc d
+    JOIN mc mx ON mx.base = substr(d.dinuc, 1, 1)
+    JOIN mc my ON my.base = substr(d.dinuc, 2, 1)
+    CROSS JOIN ndi t1 CROSS JOIN nmono t2
+    ORDER BY d.dinuc""",
+)
+
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks registry entries in

@@ -343,6 +343,8 @@ _BNLJ_ALLOWED = {
     "q_x_mutual_info",       # 1-row n scalar (chi2 pattern)
     "q_text_burstiness",     # 1-row corpus doc-count scalar (tfidf pattern)
     "q_x_lift_rules",        # 1-row basket-count scalar (tfidf pattern)
+    "q_asm_codon_usage",     # 1-row codon-total scalar
+    "q_asm_dinuc_bias",      # two 1-row totals scalars (16-key grid)
 }
 
 

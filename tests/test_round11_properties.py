@@ -796,3 +796,79 @@ def test_lift_rules_oracle_matches_python(pairs):
         )
     assert got == expect
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# round-11 wave 4: genomics (codon usage, dinucleotide odds)
+# ---------------------------------------------------------------------------
+
+def _codon_oracle(name):
+    import __spark_entry__ as entry
+
+    return entry.oracle_sql()[name]
+
+
+def _derived_reads(texts):
+    out = []
+    for i, t in enumerate(texts):
+        cleaned = re.sub("[^ACGT]", "", t.upper())
+        content = (cleaned + "A" * 17)[: 13 + (i % 3) * 2]
+        out.append(content)
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ACGTxn ", min_size=0, max_size=25),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_codon_usage_oracle_matches_python(texts):
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {r[0]: r[1:] for r in con.sql(_codon_oracle("q_asm_codon_usage")).fetchall()}
+    counts: dict[str, int] = {}
+    for content in _derived_reads(texts):
+        for i in range(len(content) // 3):
+            c = content[i * 3 : i * 3 + 3]
+            counts[c] = counts.get(c, 0) + 1
+    tot = sum(counts.values())
+    expect = {c: (n, n * 1000000 // tot) for c, n in counts.items()}
+    assert got == expect
+    con.close()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ACGTxn ", min_size=0, max_size=25),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_dinuc_bias_oracle_matches_python(texts):
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {r[0]: r[1:] for r in con.sql(_codon_oracle("q_asm_dinuc_bias")).fetchall()}
+    di: dict[str, int] = {}
+    mono: dict[str, int] = {}
+    for content in _derived_reads(texts):
+        for i in range(len(content) - 1):
+            d = content[i : i + 2]
+            di[d] = di.get(d, 0) + 1
+        for b in content:
+            mono[b] = mono.get(b, 0) + 1
+    ndi = sum(di.values())
+    nmono = sum(mono.values())
+    expect = {}
+    for d, nxy in di.items():
+        nx, ny = mono[d[0]], mono[d[1]]
+        expect[d] = (nxy, nx, ny, nxy * nmono * nmono * 1000000 // (ndi * nx * ny))
+    assert got == expect
+    con.close()
