@@ -2308,3 +2308,94 @@ SELECT n_edges, sx AS sum_deg,
        END AS assortativity
 FROM mom
 """
+
+
+# ---------------------------------------------------------------------------
+# two-hop (friends-of-friends) reach (round 11)
+# ---------------------------------------------------------------------------
+
+def q_graph_two_hop(spark, sf_dir: str) -> DataFrame:
+    """Per-vertex two-hop reach over the bounded co-purchase graph:
+    degree, the count of distinct nodes at EXACTLY distance 2, and the
+    ratio — the neighborhood-growth statistic behind friend-of-friend
+    recommendation fan-out sizing and the first empirical read on a
+    graph's expansion (reach2 >> deg^2 is impossible, reach2 ~ deg
+    means dense clustering, reach2 ~ deg*(avg_deg-1) means tree-like).
+
+    Same derived graph and bounded contract as q_graph_degree_hist
+    (l_orderkey < 200). Plan: symmetrized adjacency, one self equi-join
+    on the middle vertex (the two-hop path enumeration — bounded by
+    sum of deg(mid)^2 over the slice), distinct endpoints, then a
+    left-anti join removes direct neighbors so "exactly 2" is honest;
+    per-vertex counts are one aggregate. At scale the mid-join is the
+    standard superstep shuffle; superhub mids are the known hazard and
+    the degree histogram (its sibling op) is the pre-flight check.
+    """
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    o1 = items.select(F.col("l_orderkey").alias("src"), "l_partkey")
+    o2 = items.select(F.col("l_orderkey").alias("dst"), "l_partkey")
+    und = (
+        o1.join(o2, "l_partkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    adj = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = adj.groupBy("src").agg(F.count("*").cast("long").alias("degree"))
+    h1 = adj.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
+    h2 = adj.select(F.col("src").alias("mid"), F.col("dst").alias("c"))
+    two = (
+        h1.join(h2, "mid")
+        .where(F.col("a") != F.col("c"))
+        .select("a", "c")
+        .distinct()
+    )
+    exactly2 = two.join(
+        adj.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+        "left_anti",
+    )
+    reach = exactly2.groupBy("a").agg(F.count("*").cast("long").alias("n_2hop"))
+    return (
+        deg.join(reach, deg["src"] == reach["a"], "left")
+        .select(
+            F.col("src").alias("id"),
+            "degree",
+            F.coalesce("n_2hop", F.lit(0)).cast("long").alias("n_2hop"),
+            F.expr(
+                "coalesce(n_2hop, CAST(0 AS BIGINT)) * 1000000 div degree"
+            ).cast("long").alias("reach_ratio_micro"),
+        )
+        .orderBy("id")
+    )
+
+
+Q_GRAPH_TWO_HOP_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 200),
+und AS (
+  SELECT DISTINCT a.l_orderkey AS src, b.l_orderkey AS dst
+  FROM items a JOIN items b
+    ON a.l_partkey = b.l_partkey AND a.l_orderkey < b.l_orderkey),
+adj AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY src),
+two AS (
+  SELECT DISTINCT h1.src AS a, h2.dst AS c
+  FROM adj h1 JOIN adj h2 ON h1.dst = h2.src
+  WHERE h1.src <> h2.dst),
+exactly2 AS (
+  SELECT t.a, t.c FROM two t
+  WHERE NOT EXISTS (SELECT 1 FROM adj e WHERE e.src = t.a AND e.dst = t.c)),
+reach AS (SELECT a, CAST(count(*) AS BIGINT) AS n_2hop FROM exactly2 GROUP BY a)
+SELECT d.src AS id, d.degree,
+       CAST(coalesce(r.n_2hop, 0) AS BIGINT) AS n_2hop,
+       CAST(coalesce(r.n_2hop, 0) * 1000000 // d.degree AS BIGINT)
+         AS reach_ratio_micro
+FROM deg d LEFT JOIN reach r ON r.a = d.src
+ORDER BY id
+"""

@@ -961,3 +961,96 @@ FROM ranked
 WHERE r > n // 20 AND r <= n - n // 20
 GROUP BY grp, n ORDER BY grp
 """
+
+
+def q_x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 5%-two-sided WINSORIZED mean per return flag — the
+    companion to q_x_trimmed_mean that CLAMPS the tails to the cut
+    values instead of dropping them (keeps n constant, standard for
+    robust KPIs whose denominator is contractual). Rank-based bounds
+    (the value at rank t+1 and rank n-t, t = n div 20), so no
+    percentile-interpolation convention exists to diverge between
+    engines.
+
+    Plan: one two_phase_rank pass (pid-pinned, no per-group single-task
+    sort), the two bound rows selected by rank equality into a bounded
+    per-group table (broadcast), then one clamp + moment aggregate.
+    winsorized_mean_micro is integer-exact.
+    """
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = two_phase_rank(
+        li,
+        [F.col("cents").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        group_cols=["grp"],
+        rank_col="r",
+    )
+    cut = (
+        li.groupBy("grp")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select("grp", "n", (F.col("n") / 20).cast("long").alias("_t"))
+    )
+    bounds = (
+        ranked.join(F.broadcast(cut), "grp")
+        .where(
+            (F.col("r") == F.col("_t") + 1) | (F.col("r") == F.col("n") - F.col("_t"))
+        )
+        .groupBy("grp", "n", "_t")
+        .agg(
+            F.min(F.when(F.col("r") == F.col("_t") + 1, F.col("cents"))).alias("lo"),
+            F.max(
+                F.when(F.col("r") == F.col("n") - F.col("_t"), F.col("cents"))
+            ).alias("hi"),
+        )
+    )
+    clamped = ranked.join(F.broadcast(bounds), "grp").select(
+        "grp",
+        "n",
+        "lo",
+        "hi",
+        F.greatest(F.least(F.col("cents"), F.col("hi")), F.col("lo")).alias("_c"),
+    )
+    return (
+        clamped.groupBy("grp", "n", "lo", "hi")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(_c AS DECIMAL(38,0))) * 1000000"
+                "     div CAST(count(*) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("winsor_mean_micro")
+        )
+        .orderBy("grp")
+    )
+
+
+Q_X_WINSORIZE_SQL = """
+WITH li AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+ranked AS (
+  SELECT grp, cents,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY cents, l_orderkey, l_linenumber) AS r,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM li),
+bounds AS (
+  SELECT grp, n, n // 20 AS t,
+         min(CASE WHEN r = n // 20 + 1 THEN cents END) AS lo,
+         max(CASE WHEN r = n - n // 20 THEN cents END) AS hi
+  FROM ranked
+  WHERE r = n // 20 + 1 OR r = n - n // 20
+  GROUP BY grp, n)
+SELECT r.grp, r.n, b.lo, b.hi,
+       CAST(sum(CAST(greatest(least(r.cents, b.hi), b.lo) AS HUGEINT)) * 1000000
+            // CAST(count(*) AS HUGEINT) AS BIGINT) AS winsor_mean_micro
+FROM ranked r JOIN bounds b ON b.grp = r.grp
+GROUP BY r.grp, r.n, b.lo, b.hi
+ORDER BY r.grp
+"""

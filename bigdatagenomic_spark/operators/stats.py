@@ -2344,3 +2344,66 @@ JOIN col_m m ON m.iso_dow = c.iso_dow
 CROSS JOIN n_tot t
 ORDER BY c.event_type, c.iso_dow
 """
+
+
+DECAY_HALF_LIFE_DAYS = 30
+
+
+def q_x_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted (time-decay) value aggregate per event type —
+    the feature-store staple (decayed click value, decayed spend) that
+    EWMA-over-a-densified-calendar cannot express per-event. Weights
+    are a BUCKETED half-life: w_micro(age) = 1e6 >> (age div 30), i.e.
+    exact halving per 30-day bucket. Bucketing is the portability
+    device: a per-row exp() weight rounds to the micro grid differently
+    per libm ulp, and a float SUM is summation-order-sensitive between
+    engines — the bucketed weight is an exact integer, so the decayed
+    sum is one order-proof DECIMAL(38,0)/HUGEINT aggregate.
+
+    Plan: 1-row calendar-max broadcast, then a single map-side-combined
+    aggregate; nothing grows past the scan.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    hi = ev.agg(F.max(F.to_date("ts")).alias("_hi"))
+    base = ev.crossJoin(F.broadcast(hi)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        F.expr(
+            "1000000 div shiftleft(CAST(1 AS BIGINT),"
+            "    CAST(least(datediff(_hi, to_date(ts)) div 30, 62) AS INT))"
+        ).alias("_w_micro"),
+    )
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("_cents").cast("decimal(38,0)")).cast("long").alias(
+                "sum_cents"
+            ),
+            F.expr(
+                "CAST(sum(CAST(_cents AS DECIMAL(38,0)) * _w_micro) AS BIGINT)"
+            ).alias("decayed_microcents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_X_DECAY_AGG_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), hi AS (SELECT max(day) AS hi FROM ev)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT) AS sum_cents,
+       CAST(sum(CAST(cents AS HUGEINT)
+                * (1000000 // (CAST(1 AS HUGEINT)
+                               << CAST(least(datediff('day', day, h.hi) // 30,
+                                             62) AS INT))))
+            AS BIGINT) AS decayed_microcents
+FROM ev CROSS JOIN hi h
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1810,3 +1810,54 @@ SELECT c.lang, c.wlen, c.n,
 FROM cells c JOIN totals t ON t.lang = c.lang
 ORDER BY c.lang, c.wlen
 """
+
+
+# ---------------------------------------------------------------------------
+# language-id confusion matrix (round 11)
+# ---------------------------------------------------------------------------
+
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the corpus's DECLARED language labels
+    and the stopword-heuristic prediction (q_text_langid's classifier)
+    — the label-quality audit run before trusting either side: a hot
+    off-diagonal cell means mislabeled ingest or a classifier blind
+    spot, and the per-declared-language share pinpoints which. Cells
+    carry counts and the row-normalized share on the micro grid.
+
+    Plan: the langid scorer is row-local (tokenize once, four bounded
+    stopword counts), then one (declared, predicted) cell aggregate —
+    |langs|^2 keys — and a broadcast of the |langs| row totals.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s1 = d.select("doc_id", "lang", tokens(F.col("text")).alias("tok"))
+    s2 = s1.select(
+        "lang",
+        *[
+            _stop_count(F.col("tok"), words).alias(f"{la}_cnt")
+            for la, words in STOPSETS.items()
+        ],
+    )
+    en, de, fr, es = (F.col(c) for c in ("en_cnt", "de_cnt", "fr_cnt", "es_cnt"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("und")
+    )
+    cells = (
+        s2.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("_tot"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            F.expr("n * 1000000 div _tot").cast("long").alias("share_micro"),
+        )
+        .orderBy("lang", "pred_lang")
+    )

@@ -4093,6 +4093,43 @@ register(
 )
 
 
+# time-decay (bucketed half-life) value aggregate per event type
+register("q_x_decay_agg", ST.q_x_decay_agg, ST.Q_X_DECAY_AGG_SQL)
+# winsorized mean per group (rank-based clamp bounds)
+register("q_x_winsorize", SC.q_x_winsorize, SC.Q_X_WINSORIZE_SQL)
+# declared-vs-predicted language confusion matrix
+register(
+    "q_text_lang_confusion",
+    T.q_text_lang_confusion,
+    f"""WITH s AS (SELECT doc_id, lang, {_TOK} AS tok FROM documents),
+        c AS (SELECT doc_id, lang, {_LANG_CNT} FROM s),
+        cells AS (
+          SELECT lang,
+                 CASE WHEN en_cnt >= de_cnt AND en_cnt >= fr_cnt
+                           AND en_cnt >= es_cnt AND en_cnt > 0 THEN 'en'
+                      WHEN de_cnt >= fr_cnt AND de_cnt >= es_cnt
+                           AND de_cnt > 0 THEN 'de'
+                      WHEN fr_cnt >= es_cnt AND fr_cnt > 0 THEN 'fr'
+                      WHEN es_cnt > 0 THEN 'es'
+                      ELSE 'und' END AS pred_lang
+          FROM c),
+        g AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+              FROM cells GROUP BY 1, 2),
+        tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY 1)
+        SELECT g.lang, g.pred_lang, g.n,
+               CAST(g.n * 1000000 // t.tot AS BIGINT) AS share_micro
+        FROM g JOIN tot t ON t.lang = g.lang
+        ORDER BY g.lang, g.pred_lang""",
+)
+# per-vertex two-hop (friends-of-friends) reach on the bounded graph
+from bigdatagenomic_spark.operators.graph import (  # noqa: E402
+    Q_GRAPH_TWO_HOP_SQL as _TWOHOP_SQL,
+    q_graph_two_hop as _q_twohop,
+)
+
+register("q_graph_two_hop", _q_twohop, _TWOHOP_SQL)
+
+
 def q_asm_dinuc_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dinucleotide odds ratios rho(xy) = f(xy) / (f(x) * f(y)) pooled
     over the derived read set — the genome-signature statistic (Karlin

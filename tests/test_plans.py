@@ -345,6 +345,7 @@ _BNLJ_ALLOWED = {
     "q_x_lift_rules",        # 1-row basket-count scalar (tfidf pattern)
     "q_asm_codon_usage",     # 1-row codon-total scalar
     "q_asm_dinuc_bias",      # two 1-row totals scalars (16-key grid)
+    "q_x_decay_agg",         # 1-row calendar-max scalar
 }
 
 

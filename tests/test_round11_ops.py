@@ -262,3 +262,70 @@ def test_lift_rules_joins_are_equi(spark):
     for r in rows:
         assert r.cnt_ab <= min(r.cnt_a, r.cnt_b)
         assert 0 < r.conf_a2b_micro <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# wave-5 ops: plan pins
+# ---------------------------------------------------------------------------
+
+def test_winsorize_keeps_row_number_partitioned(spark):
+    """Same two-phase pin as trimmed_mean/gini: no per-group single-task
+    rank window."""
+    from bigdatagenomic_spark.operators.scale import q_x_winsorize
+
+    plan = (
+        q_x_winsorize(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in m.group(1), plan
+
+
+def test_decay_agg_is_exact_integer_and_bounded(spark):
+    """The decayed sum must be an integer aggregate (order-proof), and
+    a >62-bucket age must clamp instead of overflowing the shift."""
+    import datetime
+
+    import pandas as pd
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(3),
+            "ts": [
+                datetime.datetime(2024, 6, 1),
+                datetime.datetime(2024, 5, 1),  # 31 days: one bucket
+                datetime.datetime(1900, 1, 1),  # ancient: weight 0
+            ],
+            "event_type": ["click"] * 3,
+            "value": [2.0, 2.0, 2.0],
+        }
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(ev).write.parquet(f"{tmp}/events.parquet")
+        from bigdatagenomic_spark.operators.stats import q_x_decay_agg
+
+        (row,) = q_x_decay_agg(spark, tmp).collect()
+        assert row.n == 3 and row.sum_cents == 600
+        # 200*1e6 + 200*500000 + 200*0
+        assert row.decayed_microcents == 200 * 1000000 + 200 * 500000
+
+
+def test_two_hop_excludes_direct_neighbors(spark, tmp_path):
+    """Path graph 1-2-3: node 1 reaches 3 in exactly two hops; node 2
+    reaches nothing new (both neighbors direct)."""
+    import pandas as pd
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 2, 3],
+            "l_partkey": [10, 10, 20, 20],
+        }
+    )
+    spark.createDataFrame(li).write.parquet(str(tmp_path / "lineitem.parquet"))
+    from bigdatagenomic_spark.operators.graph import q_graph_two_hop
+
+    rows = {r.id: r for r in q_graph_two_hop(spark, str(tmp_path)).collect()}
+    assert rows[1].degree == 1 and rows[1].n_2hop == 1
+    assert rows[2].degree == 2 and rows[2].n_2hop == 0
+    assert rows[3].degree == 1 and rows[3].n_2hop == 1

@@ -872,3 +872,198 @@ def test_dinuc_bias_oracle_matches_python(texts):
         expect[d] = (nxy, nx, ny, nxy * nmono * nmono * 1000000 // (ndi * nx * ny))
     assert got == expect
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# round-11 wave 5: decay agg, winsorize, lang confusion, two-hop reach
+# ---------------------------------------------------------------------------
+
+from bigdatagenomic_spark.operators.scale import Q_X_WINSORIZE_SQL  # noqa: E402
+from bigdatagenomic_spark.operators.stats import Q_X_DECAY_AGG_SQL  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["click", "purchase"]),
+            st.integers(min_value=0, max_value=400),  # age days before max
+            st.integers(min_value=1, max_value=10**6),  # cents
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_decay_agg_oracle_matches_python(rows):
+    base = datetime.datetime(2025, 6, 1, 10)
+    # the newest event pins the calendar max: force age 0 to exist
+    rows = [(rows[0][0], 0, rows[0][2])] + rows[1:]
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_type": [r[0] for r in rows],
+                "ts": [base - datetime.timedelta(days=r[1]) for r in rows],
+                "value": [r[2] / 100.0 for r in rows],
+            }
+        ),
+    )
+    got = {r[0]: r[1:] for r in con.sql(Q_X_DECAY_AGG_SQL).fetchall()}
+    expect: dict[str, list] = {}
+    for t, age, cents in rows:
+        expect.setdefault(t, []).append((age, cents))
+    for t, vs in expect.items():
+        n = len(vs)
+        s = sum(c for _, c in vs)
+        dec = sum(c * (1000000 // (1 << min(age // 30, 62))) for age, c in vs)
+        assert got[t] == (n, s, dec)
+    con.close()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N"]),
+            st.integers(min_value=1, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_winsorize_oracle_matches_python(rows):
+    con = duckdb.connect()
+    con.register(
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_returnflag": [r[0] for r in rows],
+                "l_extendedprice": [r[1] / 100.0 for r in rows],
+                "l_orderkey": range(len(rows)),
+                "l_linenumber": [1] * len(rows),
+            }
+        ),
+    )
+    got = {r[0]: r[1:] for r in con.sql(Q_X_WINSORIZE_SQL).fetchall()}
+    by_grp: dict[str, list] = {}
+    for g, c in rows:
+        by_grp.setdefault(g, []).append(c)
+    for g, cs in by_grp.items():
+        n, t = len(cs), len(cs) // 20
+        sv = sorted(cs)
+        lo, hi = sv[t], sv[n - t - 1]
+        clamped = [max(min(c, hi), lo) for c in cs]
+        assert got[g] == (n, lo, hi, sum(clamped) * 1000000 // n)
+    con.close()
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),
+            st.lists(
+                st.sampled_from(
+                    ["the", "of", "der", "und", "le", "est", "el", "y", "zzz"]
+                ),
+                min_size=0,
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_lang_confusion_oracle_matches_python(rows):
+    stopsets = {
+        "en": ["the", "a", "of", "and", "to", "is", "in", "it"],
+        "de": ["der", "die", "das", "und", "ist", "ein"],
+        "fr": ["le", "les", "et", "est", "une", "dans"],
+        "es": ["el", "los", "y", "es", "una", "en"],
+    }
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "lang": [r[0] for r in rows],
+                "text": [" ".join(r[1]) for r in rows],
+            }
+        ),
+    )
+    sql = entry.oracle_sql()["q_text_lang_confusion"]
+    got = {(r[0], r[1]): r[2:] for r in con.sql(sql).fetchall()}
+    cells: dict[tuple, int] = {}
+    totals: dict[str, int] = {}
+    for lang, toks in rows:
+        cnt = {
+            la: sum(1 for t in toks if t in ws) for la, ws in stopsets.items()
+        }
+        en, de, fr, es = cnt["en"], cnt["de"], cnt["fr"], cnt["es"]
+        if en >= de and en >= fr and en >= es and en > 0:
+            pred = "en"
+        elif de >= fr and de >= es and de > 0:
+            pred = "de"
+        elif fr >= es and fr > 0:
+            pred = "fr"
+        elif es > 0:
+            pred = "es"
+        else:
+            pred = "und"
+        cells[(lang, pred)] = cells.get((lang, pred), 0) + 1
+        totals[lang] = totals.get(lang, 0) + 1
+    expect = {k: (n, n * 1000000 // totals[k[0]]) for k, n in cells.items()}
+    assert got == expect
+    con.close()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),
+            st.integers(min_value=1, max_value=6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_two_hop_oracle_matches_python(pairs):
+    from bigdatagenomic_spark.operators.graph import Q_GRAPH_TWO_HOP_SQL
+
+    con = duckdb.connect()
+    con.register(
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_orderkey": [p[0] for p in pairs],
+                "l_partkey": [p[1] for p in pairs],
+            }
+        ),
+    )
+    got = {r[0]: r[1:] for r in con.sql(Q_GRAPH_TWO_HOP_SQL).fetchall()}
+    items = set(pairs)
+    by_part: dict[int, set] = {}
+    for o, p in items:
+        by_part.setdefault(p, set()).add(o)
+    adj: dict[int, set] = {}
+    for p, os_ in by_part.items():
+        for a in os_:
+            for b in os_:
+                if a != b:
+                    adj.setdefault(a, set()).add(b)
+    expect = {}
+    for a, nbrs in adj.items():
+        two = set()
+        for m in nbrs:
+            two |= adj.get(m, set())
+        two.discard(a)
+        exactly2 = two - nbrs
+        deg = len(nbrs)
+        expect[a] = (deg, len(exactly2), len(exactly2) * 1000000 // deg)
+    assert got == expect
+    con.close()

@@ -21,6 +21,23 @@ Event/order family (tools/make_scale_tables.py replicas):
   * assort  — q_graph_degree_assortativity: l_orderkey < 200 slice —
               a PUSHDOWN control (scan grows 100x, work must not)
 
+Round-11 wave 2-4 additions:
+  * spear   — q_x_spearman_corr: two grid cumsums + broadcast attach +
+              one moment aggregate; the tie grids are CONSTANT size
+              (<=50 / <=11 per group), so cost should track the scan
+  * mannw   — q_x_mann_whitney: grid cumsum over distinct cents — the
+              grid is value-range-bounded (~49k points at any volume)
+  * kstest  — q_x_ks_test: same grid, two cumsum passes
+  * trimm   — q_x_trimmed_mean: two_phase_rank over the fact — rank
+              cost grows with rows, like gini
+  * burst   — q_text_burstiness: explode + (doc,term) + per-term aggs —
+              grows with token volume
+  * wordlen — q_text_wordlen_profile: explode + bounded cell grid
+  * lift    — q_x_lift_rules: basket-bounded pair self-join
+  * edist   — q_dedup_editdist: doc_id < 400 contract — PUSHDOWN
+              control (scan grows 100x, candidate work must not)
+  * codon   — q_asm_codon_usage: doc_id < 200 contract — same control
+
 Usage: python tools/scale_check_r11.py [corpus_dir] [rel_dir] [--out F]
 (defaults /tmp/scale_corpus /tmp/scale_rel; expects x1/x10/x100).
 """
@@ -48,30 +65,45 @@ def main() -> None:
     corpus_dir = argv[0] if len(argv) > 0 else "/tmp/scale_corpus"
     rel_dir = argv[1] if len(argv) > 1 else "/tmp/scale_rel"
 
+    from bigdatagenomic_spark.operators.dedup import q_dedup_editdist
     from bigdatagenomic_spark.operators.graph import (
         q_graph_degree_assortativity,
     )
     from bigdatagenomic_spark.operators.relational_ext import (
         q_x_gini,
+        q_x_lift_rules,
         q_x_rolling_corr,
     )
-    from bigdatagenomic_spark.operators.scale import q_x_bloom_join
+    from bigdatagenomic_spark.operators.scale import (
+        q_x_bloom_join,
+        q_x_trimmed_mean,
+    )
     from bigdatagenomic_spark.operators.stats import (
         q_x_acf,
         q_x_chi2_independence,
+        q_x_ks_test,
+        q_x_mann_whitney,
         q_x_psi_drift,
+        q_x_spearman_corr,
     )
     from bigdatagenomic_spark.operators.text import (
+        q_text_burstiness,
         q_text_entropy,
         q_text_hapax,
         q_text_readability,
+        q_text_wordlen_profile,
     )
+    from bigdatagenomic_spark.queries import q_asm_codon_usage
     from bigdatagenomic_spark.session import get_spark
 
     corpus_ops = [
         ("entropy", q_text_entropy),
         ("hapax", q_text_hapax),
         ("readab", q_text_readability),
+        ("burst", q_text_burstiness),
+        ("wordlen", q_text_wordlen_profile),
+        ("edist", q_dedup_editdist),
+        ("codon", q_asm_codon_usage),
     ]
     rel_ops = [
         ("bloomj", q_x_bloom_join),
@@ -81,6 +113,11 @@ def main() -> None:
         ("rollc", q_x_rolling_corr),
         ("acf", q_x_acf),
         ("assort", q_graph_degree_assortativity),
+        ("spear", q_x_spearman_corr),
+        ("mannw", q_x_mann_whitney),
+        ("kstest", q_x_ks_test),
+        ("trimm", q_x_trimmed_mean),
+        ("lift", q_x_lift_rules),
     ]
 
     spark = get_spark(app_name="scale-check-r11")
