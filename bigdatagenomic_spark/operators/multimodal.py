@@ -711,3 +711,55 @@ SELECT doc_id, n_px, sum_r, sum_g, sum_b,
        (299 * sum_r + 587 * sum_g + 114 * sum_b) // n_px AS mean_lum_milli
 FROM s ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# exact payload dedup by content hash (round 11)
+# ---------------------------------------------------------------------------
+
+def q_mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup over the multimodal payload column: group by
+    the content sha256, report every duplicate cluster (size, keeper =
+    lowest doc_id, wasted bytes) — the FIRST dedup pass any image/
+    audio/video corpus runs (identical files re-crawled under different
+    ids), upstream of perceptual pHash near-dup.
+
+    The hash computes JVM-side in the scan's stage (sha2 over the
+    binary column, no Python); the groupBy key is the 64-hex digest, so
+    the shuffle carries (hash, id, n_bytes) — payload BYTES never cross
+    the exchange (the multimodal family's standing rule).
+    """
+    mm = attach_payloads(
+        load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    )
+    return (
+        mm.select("doc_id", "meta.sha256", "meta.n_bytes")
+        .groupBy("sha256")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+            F.max("n_bytes").cast("long").alias("payload_bytes"),
+            F.expr("CAST((count(*) - 1) * max(n_bytes) AS BIGINT)").alias(
+                "wasted_bytes"
+            ),
+        )
+        .where(F.col("n_copies") >= 2)
+        .orderBy("keeper_id")
+    )
+
+
+Q_MM_PAYLOAD_DEDUP_SQL = """
+WITH mm AS (
+  SELECT doc_id, sha256(encode(text)) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT h AS sha256, CAST(count(*) AS BIGINT) AS n_copies,
+       min(doc_id) AS keeper_id,
+       CAST(max(n_bytes) AS BIGINT) AS payload_bytes,
+       CAST((count(*) - 1) * max(n_bytes) AS BIGINT) AS wasted_bytes
+FROM mm
+GROUP BY h
+HAVING count(*) >= 2
+ORDER BY keeper_id
+"""

@@ -899,43 +899,43 @@ def q_x_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(n/20) lowest- and highest-ranked rows per group, average the
     rest on the integer micro grid (cents * 1e6 div kept).
 
-    Scale shape: ranks via :func:`two_phase_rank` (range-repartitioned,
-    pinned pids — no per-group single-task sort at any group size), a
-    bounded per-group count broadcast, one map-side-combinable moment
-    aggregate. Tie rows at the cut boundary break by (l_orderkey,
-    l_linenumber); ties straddling the cut can swap WHICH equal-valued
-    rows are kept but never the kept multiset, so the mean is
-    tiebreak-proof.
+    Scale shape — GRID algebra, not per-row ranks (the round-11 sweep
+    measured the two_phase_rank formulation at 20.6 s on a 6M-row
+    replica; this one works on the distinct-cents grid): the kept
+    multiset is value-determined, so per (group, cents) the kept
+    MULTIPLICITY is the overlap of that value's rank interval
+    (cum-cnt, cum] with the kept band (t, n-t] — max(0, min(cum, n-t)
+    - max(cum-cnt, t)). One (grp, cents) aggregate (|grid| rows, far
+    fewer than fact rows), one two_phase_cumsum over the grid, a
+    bounded per-group total broadcast, one moment aggregate. No fact
+    row is ever ranked or checkpointed. Ties need no tiebreaker at
+    all: the overlap form IS the tie-proof kept multiset.
     """
     from bigdatagenomic_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    ranked = two_phase_rank(
-        li,
-        [F.col("cents").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
-        group_cols=["grp"],
-        rank_col="r",
+    dv = li.groupBy("grp", "cents").agg(F.count("*").cast("long").alias("_cnt"))
+    cum = two_phase_cumsum(
+        dv, "_cnt", [F.col("cents").asc()], group_cols=["grp"], out_col="_cum"
     )
-    cut = (
-        li.groupBy("grp")
-        .agg(F.count("*").cast("long").alias("n"))
-        .select("grp", "n", (F.col("n") / 20).cast("long").alias("_t"))
-    )
-    kept = ranked.join(F.broadcast(cut), "grp").where(
-        (F.col("r") > F.col("_t")) & (F.col("r") <= F.col("n") - F.col("_t"))
+    tot = dv.groupBy("grp").agg(F.sum("_cnt").cast("long").alias("n"))
+    base = cum.join(F.broadcast(tot), "grp").withColumn(
+        "_kept",
+        F.expr(
+            "CAST(greatest(0, least(_cum, n - n div 20)"
+            "              - greatest(_cum - _cnt, n div 20)) AS BIGINT)"
+        ),
     )
     return (
-        kept.groupBy("grp", "n")
+        base.groupBy("grp", "n")
         .agg(
-            F.count("*").cast("long").alias("n_kept"),
+            F.sum("_kept").cast("long").alias("n_kept"),
             F.expr(
-                "CAST(sum(CAST(cents AS DECIMAL(38,0))) * 1000000"
-                "     div CAST(count(*) AS DECIMAL(38,0)) AS BIGINT)"
+                "CAST(sum(CAST(cents AS DECIMAL(38,0)) * _kept) * 1000000"
+                "     div CAST(sum(_kept) AS DECIMAL(38,0)) AS BIGINT)"
             ).alias("trimmed_mean_micro"),
         )
         .orderBy("grp")
@@ -972,56 +972,47 @@ def q_x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile-interpolation convention exists to diverge between
     engines.
 
-    Plan: one two_phase_rank pass (pid-pinned, no per-group single-task
-    sort), the two bound rows selected by rank equality into a bounded
-    per-group table (broadcast), then one clamp + moment aggregate.
-    winsorized_mean_micro is integer-exact.
+    Plan — GRID algebra like q_x_trimmed_mean (no per-row rank, no
+    fact checkpoint): on the (group, distinct-cents) grid with running
+    counts, lo is the value whose rank interval covers t+1 and hi the
+    one covering n-t (selected by two conditional mins over the grid,
+    bounded broadcast); the winsorized SUM is the kept-band overlap sum
+    plus t*lo + t*hi exactly. winsor_mean_micro is integer-exact.
     """
     from bigdatagenomic_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    ranked = two_phase_rank(
-        li,
-        [F.col("cents").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
-        group_cols=["grp"],
-        rank_col="r",
+    dv = li.groupBy("grp", "cents").agg(F.count("*").cast("long").alias("_cnt"))
+    cum = two_phase_cumsum(
+        dv, "_cnt", [F.col("cents").asc()], group_cols=["grp"], out_col="_cum"
     )
-    cut = (
-        li.groupBy("grp")
-        .agg(F.count("*").cast("long").alias("n"))
-        .select("grp", "n", (F.col("n") / 20).cast("long").alias("_t"))
+    tot = dv.groupBy("grp").agg(F.sum("_cnt").cast("long").alias("n"))
+    wide = cum.join(F.broadcast(tot), "grp")
+    bounds = wide.groupBy("grp", "n").agg(
+        F.min(
+            F.when(F.expr("_cum >= n div 20 + 1"), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.expr("_cum >= n - n div 20"), F.col("cents"))
+        ).alias("hi"),
     )
-    bounds = (
-        ranked.join(F.broadcast(cut), "grp")
-        .where(
-            (F.col("r") == F.col("_t") + 1) | (F.col("r") == F.col("n") - F.col("_t"))
-        )
-        .groupBy("grp", "n", "_t")
-        .agg(
-            F.min(F.when(F.col("r") == F.col("_t") + 1, F.col("cents"))).alias("lo"),
-            F.max(
-                F.when(F.col("r") == F.col("n") - F.col("_t"), F.col("cents"))
-            ).alias("hi"),
-        )
-    )
-    clamped = ranked.join(F.broadcast(bounds), "grp").select(
-        "grp",
-        "n",
-        "lo",
-        "hi",
-        F.greatest(F.least(F.col("cents"), F.col("hi")), F.col("lo")).alias("_c"),
+    base = wide.join(F.broadcast(bounds.drop("n")), "grp").withColumn(
+        "_kept",
+        F.expr(
+            "CAST(greatest(0, least(_cum, n - n div 20)"
+            "              - greatest(_cum - _cnt, n div 20)) AS BIGINT)"
+        ),
     )
     return (
-        clamped.groupBy("grp", "n", "lo", "hi")
+        base.groupBy("grp", "n", "lo", "hi")
         .agg(
             F.expr(
-                "CAST(sum(CAST(_c AS DECIMAL(38,0))) * 1000000"
-                "     div CAST(count(*) AS DECIMAL(38,0)) AS BIGINT)"
+                "CAST((sum(CAST(cents AS DECIMAL(38,0)) * _kept)"
+                "      + CAST(n div 20 AS DECIMAL(38,0)) * (lo + hi)) * 1000000"
+                "     div CAST(n AS DECIMAL(38,0)) AS BIGINT)"
             ).alias("winsor_mean_micro")
         )
         .orderBy("grp")

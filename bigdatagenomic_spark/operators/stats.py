@@ -2407,3 +2407,118 @@ FROM ev CROSS JOIN hi h
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def q_x_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V effect size for the event_type x iso_dow contingency
+    table — the single-number association strength the per-cell
+    q_x_chi2_independence grid rolls up to (V in [0,1]; chi-squared
+    alone grows with n, V is the n-free comparison across tables).
+
+    The float chi-squared TOTAL is summation-order-sensitive, so both
+    engines fold the bounded cell list IN SORTED ORDER: Spark sorts the
+    collected struct array and folds with F.aggregate, DuckDB folds
+    list(... ORDER BY ...) with list_reduce — the identical sequential
+    IEEE double chain. Legitimate here ONLY because the cell grid is
+    bounded (|types| x 7) — this is the portable-float-sum pattern for
+    bounded lists, not a license to collect unbounded data.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    cells = (
+        ev.select(
+            "event_type",
+            (F.weekday(F.to_date("ts")) + 1).cast("int").alias("iso_dow"),
+        )
+        .groupBy("event_type", "iso_dow")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    row_m = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("rt"))
+    col_m = cells.groupBy("iso_dow").agg(F.sum("o").cast("long").alias("ct"))
+    # full grid incl. zero-observed cells (they contribute e, not 0)
+    grid = (
+        row_m.crossJoin(col_m)
+        .join(F.broadcast(cells), ["event_type", "iso_dow"], "left")
+        .select(
+            "event_type",
+            "iso_dow",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+            "rt",
+            "ct",
+        )
+    )
+    one = grid.agg(
+        F.count("*").cast("long").alias("_cells"),
+        F.countDistinct("event_type").cast("long").alias("r"),
+        F.countDistinct("iso_dow").cast("long").alias("c"),
+        F.sum("o").cast("long").alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct("event_type", "iso_dow", "o", "rt", "ct"))
+        ).alias("_cl"),
+    )
+    chi2 = F.expr(
+        "aggregate(_cl, CAST(0.0 AS DOUBLE), (acc, x) ->"
+        " acc + (CAST(x.o AS DOUBLE)"
+        "        - CAST(x.rt AS DOUBLE) * x.ct / n)"
+        "       * (CAST(x.o AS DOUBLE) - CAST(x.rt AS DOUBLE) * x.ct / n)"
+        "       / (CAST(x.rt AS DOUBLE) * x.ct / n))"
+    )
+    folded = one.withColumn("_chi2_raw", chi2)
+    return folded.select(
+        "n",
+        "r",
+        "c",
+        F.round(F.col("_chi2_raw"), 6).alias("chi2"),
+        F.when(
+            (F.least("r", "c") > 1) & (F.col("n") > 0),
+            F.round(
+                F.sqrt(
+                    F.col("_chi2_raw")
+                    / (F.col("n").cast("double") * (F.least("r", "c") - 1))
+                ),
+                6,
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+Q_X_CRAMERS_V_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS INT) AS iso_dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), row_m AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+             FROM cells GROUP BY 1),
+col_m AS (SELECT iso_dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+grid AS (
+  SELECT r.event_type, c.iso_dow,
+         CAST(coalesce(x.o, 0) AS BIGINT) AS o, r.rt, c.ct
+  FROM row_m r CROSS JOIN col_m c
+  LEFT JOIN cells x ON x.event_type = r.event_type AND x.iso_dow = c.iso_dow
+), one AS (
+  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+         CAST(count(DISTINCT iso_dow) AS BIGINT) AS c,
+         CAST(sum(o) AS BIGINT) AS n,
+         list({'event_type': event_type, 'iso_dow': iso_dow,
+               'o': o, 'rt': rt, 'ct': ct}
+              ORDER BY event_type, iso_dow) AS cl
+  FROM grid
+)
+SELECT n, r, c,
+       round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(cl, x ->
+                   (CAST(x.o AS DOUBLE) - CAST(x.rt AS DOUBLE) * x.ct / n)
+                   * (CAST(x.o AS DOUBLE) - CAST(x.rt AS DOUBLE) * x.ct / n)
+                   / (CAST(x.rt AS DOUBLE) * x.ct / n))),
+               (acc, v) -> acc + v), 6) AS chi2,
+       CASE WHEN least(r, c) > 1 AND n > 0 THEN
+         round(sqrt(list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(cl, x ->
+                     (CAST(x.o AS DOUBLE) - CAST(x.rt AS DOUBLE) * x.ct / n)
+                     * (CAST(x.o AS DOUBLE) - CAST(x.rt AS DOUBLE) * x.ct / n)
+                     / (CAST(x.rt AS DOUBLE) * x.ct / n))),
+                 (acc, v) -> acc + v)
+               / (CAST(n AS DOUBLE) * (least(r, c) - 1))), 6) END AS cramers_v
+FROM one
+"""

@@ -1861,3 +1861,80 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve (round 11)
+# ---------------------------------------------------------------------------
+
+HEAPS_CHECKPOINT_EVERY = 50  # emit every 50th document
+
+
+def q_text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: cumulative token count vs
+    cumulative DISTINCT type count in doc_id order, emitted at every
+    50th document — the corpus-planning curve (V ~ K*N^beta) that says
+    how much new vocabulary the next 10x of data buys, and the input
+    to tokenizer-vocab sizing. A flattening curve means the corpus is
+    saturating (more data, few new types — dedup/diversity problem).
+
+    Distributed first-seen semantics with NO ordered scan: a type's
+    first occurrence is min(doc_id) over its postings (one aggregate),
+    new-type counts bucket by that first doc, and both cumulative
+    tracks run through two_phase_cumsum (integral values, total order
+    on doc_id) — the same machinery as the coverage sweep-line, so no
+    single-partition window at any corpus size.
+    """
+    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    per_doc = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("_nt")
+    )
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("_fd"))
+    new_types = first_seen.groupBy("_fd").agg(
+        F.count("*").cast("long").alias("_new")
+    )
+    base = per_doc.join(
+        new_types, per_doc["doc_id"] == new_types["_fd"], "left"
+    ).select(
+        "doc_id",
+        "_nt",
+        F.coalesce("_new", F.lit(0)).cast("long").alias("_new"),
+    )
+    c1 = two_phase_cumsum(base, "_nt", [F.col("doc_id").asc()], out_col="cum_tokens")
+    c2 = two_phase_cumsum(c1, "_new", [F.col("doc_id").asc()], out_col="cum_types")
+    return (
+        c2.where(F.col("doc_id") % HEAPS_CHECKPOINT_EVERY == 0)
+        .select("doc_id", "cum_tokens", "cum_types")
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_HEAPS_CURVE_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS w
+  FROM d
+), per_doc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS BIGINT) AS nt
+  FROM d
+), first_seen AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+new_types AS (SELECT fd, CAST(count(*) AS BIGINT) AS nn
+              FROM first_seen GROUP BY fd),
+base AS (
+  SELECT p.doc_id, p.nt, CAST(coalesce(n.nn, 0) AS BIGINT) AS nn
+  FROM per_doc p LEFT JOIN new_types n ON n.fd = p.doc_id
+)
+SELECT doc_id,
+       CAST(sum(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+       CAST(sum(nn) OVER (ORDER BY doc_id) AS BIGINT) AS cum_types
+FROM base
+QUALIFY doc_id % {HEAPS_CHECKPOINT_EVERY} = 0
+ORDER BY doc_id
+"""

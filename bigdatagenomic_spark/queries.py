@@ -4128,6 +4128,12 @@ from bigdatagenomic_spark.operators.graph import (  # noqa: E402
 )
 
 register("q_graph_two_hop", _q_twohop, _TWOHOP_SQL)
+# Cramer's V effect size (bounded sorted-fold float total)
+register("q_x_cramers_v", ST.q_x_cramers_v, ST.Q_X_CRAMERS_V_SQL)
+# Heaps-law vocabulary growth curve (first-seen + two-phase cumsums)
+register("q_text_heaps_curve", T.q_text_heaps_curve, T.Q_TEXT_HEAPS_CURVE_SQL)
+# exact multimodal payload dedup by content hash
+register("q_mm_payload_dedup", MM.q_mm_payload_dedup, MM.Q_MM_PAYLOAD_DEDUP_SQL)
 
 
 def q_asm_dinuc_bias(spark: SparkSession, sf_dir: str) -> DataFrame:

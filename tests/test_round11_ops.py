@@ -180,9 +180,12 @@ def test_spearman_rank_tables_broadcast(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_trimmed_mean_keeps_row_number_partitioned(spark):
-    """Same pin as q_x_gini/q_x_exact_median: the rank must come from the
-    pid-partitioned two-phase window, never a per-group single task."""
+def test_trimmed_mean_is_grid_algebra_not_per_row_rank(spark):
+    """Round-11 perf rewrite pin: the kept multiset comes from rank-
+    interval overlap on the DISTINCT-CENTS grid — the plan must contain
+    NO row_number at all (the per-row two_phase_rank formulation cost
+    20.6 s on a 6M-row replica; the grid form is ~flat), and every
+    window (the grid cumsum) must stay _pid-partitioned."""
     from bigdatagenomic_spark.operators.scale import q_x_trimmed_mean
 
     plan = (
@@ -191,7 +194,8 @@ def test_trimmed_mean_keeps_row_number_partitioned(spark):
         .optimizedPlan()
         .toString()
     )
-    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+    assert "row_number" not in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "_pid" in m.group(1), plan
 
 
@@ -268,15 +272,16 @@ def test_lift_rules_joins_are_equi(spark):
 # wave-5 ops: plan pins
 # ---------------------------------------------------------------------------
 
-def test_winsorize_keeps_row_number_partitioned(spark):
-    """Same two-phase pin as trimmed_mean/gini: no per-group single-task
-    rank window."""
+def test_winsorize_is_grid_algebra_not_per_row_rank(spark):
+    """Same grid pin as trimmed_mean: no row_number anywhere; the grid
+    cumsum windows stay _pid-partitioned."""
     from bigdatagenomic_spark.operators.scale import q_x_winsorize
 
     plan = (
         q_x_winsorize(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
     )
-    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+    assert "row_number" not in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "_pid" in m.group(1), plan
 
 
