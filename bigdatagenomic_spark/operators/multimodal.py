@@ -718,48 +718,60 @@ FROM s ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def q_mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact binary dedup over the multimodal payload column: group by
-    the content sha256, report every duplicate cluster (size, keeper =
-    lowest doc_id, wasted bytes) — the FIRST dedup pass any image/
-    audio/video corpus runs (identical files re-crawled under different
-    ids), upstream of perceptual pHash near-dup.
+    """Exact binary-dedup REPORT over the multimodal payload column:
+    group payloads by content sha256, then roll the hash table up to
+    one corpus row — total payloads, distinct contents, duplicate
+    clusters, redundant copies, and wasted bytes. The FIRST dedup pass
+    any image/audio/video corpus runs (identical files re-crawled under
+    different ids), upstream of perceptual pHash near-dup; the report
+    row is what the ingest dashboard plots (cluster listings are the
+    q24-shape drill-down).
 
-    The hash computes JVM-side in the scan's stage (sha2 over the
-    binary column, no Python); the groupBy key is the 64-hex digest, so
-    the shuffle carries (hash, id, n_bytes) — payload BYTES never cross
-    the exchange (the multimodal family's standing rule).
+    The digest computes JVM-side in the scan's stage (sha2 over the
+    binary column, no Python); the shuffle carries (hash, n_bytes) —
+    payload BYTES never cross the exchange (the multimodal family's
+    standing rule). Copies within a hash group have identical bytes,
+    so wasted = (copies - 1) * n_bytes summed over groups, exact.
     """
     mm = attach_payloads(
         load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     )
-    return (
-        mm.select("doc_id", "meta.sha256", "meta.n_bytes")
+    per_hash = (
+        mm.select("meta.sha256", "meta.n_bytes")
         .groupBy("sha256")
         .agg(
-            F.count("*").cast("long").alias("n_copies"),
-            F.min("doc_id").alias("keeper_id"),
-            F.max("n_bytes").cast("long").alias("payload_bytes"),
-            F.expr("CAST((count(*) - 1) * max(n_bytes) AS BIGINT)").alias(
-                "wasted_bytes"
-            ),
+            F.count("*").cast("long").alias("_cnt"),
+            F.max("n_bytes").cast("long").alias("_b"),
         )
-        .where(F.col("n_copies") >= 2)
-        .orderBy("keeper_id")
+    )
+    return per_hash.agg(
+        F.sum("_cnt").cast("long").alias("n_payloads"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("_cnt") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_clusters"),
+        F.sum(F.col("_cnt") - 1).cast("long").alias("n_redundant_copies"),
+        F.sum((F.col("_cnt") - 1) * F.col("_b")).cast("long").alias("wasted_bytes"),
+        F.sum(F.col("_cnt") * F.col("_b")).cast("long").alias("total_bytes"),
     )
 
 
 Q_MM_PAYLOAD_DEDUP_SQL = """
 WITH mm AS (
-  SELECT doc_id, sha256(encode(text)) AS h,
+  SELECT sha256(text) AS h,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
   FROM documents WHERE text IS NOT NULL
+), per_hash AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(max(n_bytes) AS BIGINT) AS b
+  FROM mm GROUP BY h
 )
-SELECT h AS sha256, CAST(count(*) AS BIGINT) AS n_copies,
-       min(doc_id) AS keeper_id,
-       CAST(max(n_bytes) AS BIGINT) AS payload_bytes,
-       CAST((count(*) - 1) * max(n_bytes) AS BIGINT) AS wasted_bytes
-FROM mm
-GROUP BY h
-HAVING count(*) >= 2
-ORDER BY keeper_id
+SELECT CAST(sum(cnt) AS BIGINT) AS n_payloads,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_clusters,
+       CAST(sum(cnt - 1) AS BIGINT) AS n_redundant_copies,
+       CAST(sum((cnt - 1) * b) AS BIGINT) AS wasted_bytes,
+       CAST(sum(cnt * b) AS BIGINT) AS total_bytes
+FROM per_hash
 """

@@ -346,6 +346,7 @@ _BNLJ_ALLOWED = {
     "q_asm_codon_usage",     # 1-row codon-total scalar
     "q_asm_dinuc_bias",      # two 1-row totals scalars (16-key grid)
     "q_x_decay_agg",         # 1-row calendar-max scalar
+    "q_x_cramers_v",         # bounded |types| x 7 margin cross (chi2 pattern)
 }
 
 

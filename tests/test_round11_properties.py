@@ -1067,3 +1067,121 @@ def test_two_hop_oracle_matches_python(pairs):
         expect[a] = (deg, len(exactly2), len(exactly2) * 1000000 // deg)
     assert got == expect
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# round-11 wave 6: Cramer's V, Heaps curve, payload dedup
+# ---------------------------------------------------------------------------
+
+from bigdatagenomic_spark.operators.multimodal import (  # noqa: E402
+    Q_MM_PAYLOAD_DEDUP_SQL,
+)
+from bigdatagenomic_spark.operators.stats import Q_X_CRAMERS_V_SQL  # noqa: E402
+from bigdatagenomic_spark.operators.text import (  # noqa: E402
+    HEAPS_CHECKPOINT_EVERY,
+    Q_TEXT_HEAPS_CURVE_SQL,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view", "purchase"]),
+            st.integers(min_value=0, max_value=13),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cramers_v_oracle_matches_python(rows):
+    base = datetime.datetime(2024, 1, 1)  # Monday
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_type": [r[0] for r in rows],
+                "ts": [base + datetime.timedelta(days=r[1]) for r in rows],
+            }
+        ),
+    )
+    (got,) = con.sql(Q_X_CRAMERS_V_SQL).fetchall()
+    cells: dict[tuple, int] = {}
+    rowm: dict[str, int] = {}
+    colm: dict[int, int] = {}
+    for t, d in rows:
+        dow = d % 7 + 1
+        cells[(t, dow)] = cells.get((t, dow), 0) + 1
+        rowm[t] = rowm.get(t, 0) + 1
+        colm[dow] = colm.get(dow, 0) + 1
+    n = len(rows)
+    # fold the FULL grid (incl. zero cells) in (event_type, iso_dow) order
+    chi2 = 0.0
+    for t in sorted(rowm):
+        for dow in sorted(colm):
+            o = cells.get((t, dow), 0)
+            e = rowm[t] * colm[dow] / n
+            chi2 += (o - e) * (o - e) / e
+    r, c = len(rowm), len(colm)
+    assert got[0] == n and got[1] == r and got[2] == c
+    assert abs(got[3] - chi2) <= max(1e-6, abs(chi2) * 1e-9)
+    if min(r, c) > 1:
+        v = math.sqrt(chi2 / (n * (min(r, c) - 1)))
+        assert got[4] is not None and abs(got[4] - v) <= 6e-7
+    else:
+        assert got[4] is None
+    con.close()
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=20),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_heaps_curve_oracle_matches_python(texts):
+    # doc_ids at multiples of the checkpoint so every doc emits a row
+    ids = [i * HEAPS_CHECKPOINT_EVERY for i in range(len(texts))]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": ids, "text": texts}))
+    got = {r[0]: r[1:] for r in con.sql(Q_TEXT_HEAPS_CURVE_SQL).fetchall()}
+    seen: set = set()
+    cum_tok = 0
+    expect = {}
+    for i, text in zip(ids, texts):
+        toks = _tokens(text)
+        cum_tok += len(toks)
+        seen |= set(toks)
+        expect[i] = (cum_tok, len(seen))
+    assert got == expect
+    con.close()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["aaa", "bbb", "ccc", "dd", ""]),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_payload_dedup_oracle_matches_python(texts):
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    (got,) = con.sql(Q_MM_PAYLOAD_DEDUP_SQL).fetchall()
+    groups: dict[str, int] = {}
+    for t in texts:
+        groups[t] = groups.get(t, 0) + 1
+    n_payloads = len(texts)
+    n_distinct = len(groups)
+    n_dup = sum(1 for c in groups.values() if c >= 2)
+    n_red = sum(c - 1 for c in groups.values())
+    wasted = sum((c - 1) * len(t.encode()) for t, c in groups.items())
+    total = sum(c * len(t.encode()) for t, c in groups.items())
+    assert got == (n_payloads, n_distinct, n_dup, n_red, wasted, total)
+    con.close()
