@@ -80,6 +80,11 @@ HEADLINE = [
     # row-local fold family (entropy/hapax machinery)
     "q_x_gini",
     "q_text_hapax",
+    # round 11 wave 2+: the grid-cumsum rank-statistics family (two tie
+    # grids + broadcast attach + moment aggregate) and the grid-overlap
+    # robust-mean family (the two_phase_rank -> grid-algebra rewrite)
+    "q_x_spearman_corr",
+    "q_x_trimmed_mean",
 ]
 
 

@@ -2522,3 +2522,236 @@ SELECT n, r, c,
                / (CAST(n AS DOUBLE) * (least(r, c) - 1))), 6) END AS cramers_v
 FROM one
 """
+
+
+def q_x_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM control track of daily event volume — the
+    classic sequential changepoint monitor (Page 1954): S_t =
+    max(0, S_{t-1} + dev_t) accumulates sustained positive drift and
+    resets on dips, firing long before a 3-sigma day exists
+    (q_x_volume_anomalies' blind spot: many small shifts, no big one).
+
+    The recursion is NOT a cumsum, but it has the closed scan form
+    S_t = cum_t - min(0, min_{i<=t} cum_i): one two_phase_cumsum of
+    integer milli-deviations + one two_phase_prefix_max of the negated
+    running sum (MIN via MAX of the negation — prefix-max is the
+    record-detection primitive, reused) — all order-proof integers, no
+    single-partition window, no recursion at any day count.
+    """
+    from bigdatagenomic_spark.operators.scale import (
+        two_phase_cumsum,
+        two_phase_prefix_max,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (
+        ev.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = daily.agg(
+        F.sum("n").cast("long").alias("_tot"),
+        F.count("*").cast("long").alias("_days"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        F.expr("1000 * n - 1000 * _tot div _days").cast("long").alias("_dev"),
+    )
+    cum = two_phase_cumsum(dev, "_dev", [F.col("day").asc()], out_col="_cum")
+    neg = cum.withColumn("_neg", -F.col("_cum"))
+    pm = two_phase_prefix_max(
+        neg, "_neg", [F.col("day").asc()], out_col="_pmax", inclusive=True
+    )
+    return pm.select(
+        "day",
+        "n",
+        F.col("_cum").alias("cum_dev_milli"),
+        F.expr("_cum - least(CAST(0 AS BIGINT), -_pmax)")
+        .cast("long")
+        .alias("cusum_milli"),
+    ).orderBy("day")
+
+
+Q_X_CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                  CAST(count(*) AS BIGINT) AS days FROM daily),
+dev AS (
+  SELECT day, n,
+         CAST(1000 * n - 1000 * t.tot // t.days AS BIGINT) AS dv
+  FROM daily CROSS JOIN tot t
+), track AS (
+  SELECT day, n, CAST(sum(dv) OVER (ORDER BY day) AS BIGINT) AS cum
+  FROM dev
+), track2 AS (
+  SELECT day, n, cum,
+         CAST(min(cum) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND CURRENT ROW)
+              AS BIGINT) AS pmin
+  FROM track
+)
+SELECT day, n, cum AS cum_dev_milli,
+       CAST(cum - least(CAST(0 AS BIGINT), pmin) AS BIGINT) AS cusum_milli
+FROM track2
+ORDER BY day
+"""
+
+
+def q_x_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily-volume
+    sequence: label each day above/below the corpus mean (mean-equal
+    days drop, the standard convention), count the runs of equal
+    labels, and compare to the null expectation mu = 2*n1*n2/n + 1 —
+    too FEW runs means regime clustering (autocorrelation, the usual
+    truth), too MANY means oscillation (load-balancer flapping,
+    dithered samplers). The randomness sanity check behind every
+    "can I treat days as i.i.d." bootstrap assumption.
+
+    The above/below label is an exact integer comparison
+    (n_t * n_days vs total), runs count by one lag over the
+    calendar-bounded daily series (the q_x_acf/sax precedent: the
+    window's row count is bounded by the CALENDAR, not the corpus);
+    n1/n2/runs are exact, z is one identical double expression.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (
+        ev.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = daily.agg(
+        F.sum("n").cast("long").alias("_tot"),
+        F.count("*").cast("long").alias("_days"),
+    )
+    lab = (
+        daily.crossJoin(F.broadcast(tot))
+        .where(F.col("n") * F.col("_days") != F.col("_tot"))
+        .select(
+            "day",
+            (F.col("n") * F.col("_days") > F.col("_tot"))
+            .cast("int")
+            .alias("_b"),
+        )
+    )
+    w = W.orderBy("day")
+    runs_flag = F.when(
+        F.lag("_b").over(w).isNull() | (F.lag("_b").over(w) != F.col("_b")), 1
+    ).otherwise(0)
+    m = lab.select("_b", runs_flag.alias("_r")).agg(
+        F.coalesce(F.sum("_b"), F.lit(0)).cast("long").alias("n1"),
+        (F.count("*") - F.coalesce(F.sum("_b"), F.lit(0)))
+        .cast("long")
+        .alias("n2"),
+        F.coalesce(F.sum("_r"), F.lit(0)).cast("long").alias("runs"),
+    )
+    return m.select(
+        "n1",
+        "n2",
+        "runs",
+        F.expr(
+            "CASE WHEN n1 > 0 AND n2 > 0 AND (n1 + n2) > 1"
+            "      AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2)) > 0"
+            "     THEN round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))"
+            "           / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))"
+            "                  / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)"
+            "                     * (n1 + n2 - 1))), 6) END"
+        ).alias("z"),
+    )
+
+
+Q_X_RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                  CAST(count(*) AS BIGINT) AS days FROM daily),
+lab AS (
+  SELECT day, CAST(n * t.days > t.tot AS INT) AS b
+  FROM daily CROSS JOIN tot t
+  WHERE n * t.days <> t.tot
+), flags AS (
+  SELECT b, CASE WHEN lag(b) OVER (ORDER BY day) IS NULL
+                   OR lag(b) OVER (ORDER BY day) <> b THEN 1 ELSE 0 END AS r
+  FROM lab
+), m AS (
+  SELECT CAST(coalesce(sum(b), 0) AS BIGINT) AS n1,
+         CAST(count(*) - coalesce(sum(b), 0) AS BIGINT) AS n2,
+         CAST(coalesce(sum(r), 0) AS BIGINT) AS runs
+  FROM flags
+)
+SELECT n1, n2, runs,
+       CASE WHEN n1 > 0 AND n2 > 0 AND (n1 + n2) > 1
+             AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2)) > 0
+            THEN round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                  / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                         / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                            * (n1 + n2 - 1))), 6) END AS z
+FROM m
+"""
+
+
+def q_x_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve over user LIFETIMES (days
+    between a user's first and last observed event) — the retention/
+    churn survival readout: H(t) jumps by d_t/n_t at each observed
+    lifetime t (d = users ending at t, n = users still at risk), and
+    S(t) ~ exp(-H(t)). Nelson-Aalen rather than Kaplan-Meier because
+    the hazard is a SUM, not a product: each jump quantizes to the
+    integer micro grid (d*1e6 div n) and the running total is an
+    order-proof integer cumsum — a float K-M product would be
+    libm/order-sensitive between engines.
+
+    Plan: one (user) min/max aggregate, one lifetime-grid count
+    (|grid| <= calendar days), at-risk counts by reverse-cumulative
+    algebra (n_t = total - cum_exclusive), hazard cumsum via
+    two_phase_cumsum. Nothing after the first aggregate exceeds the
+    lifetime grid.
+    """
+    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    lives = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.datediff(F.max("day"), F.min("day")).cast("long").alias("lt"))
+    )
+    grid = lives.groupBy("lt").agg(F.count("*").cast("long").alias("d"))
+    tot = grid.agg(F.sum("d").cast("long").alias("_n"))
+    cum = two_phase_cumsum(grid, "d", [F.col("lt").asc()], out_col="_cum")
+    base = cum.crossJoin(F.broadcast(tot)).select(
+        "lt",
+        "d",
+        (F.col("_n") - F.col("_cum") + F.col("d")).cast("long").alias("at_risk"),
+    )
+    haz = base.withColumn(
+        "_h", F.expr("d * 1000000 div at_risk").cast("long")
+    )
+    out = two_phase_cumsum(haz, "_h", [F.col("lt").asc()], out_col="cum_hazard_micro")
+    return out.select("lt", "d", "at_risk", "cum_hazard_micro").orderBy("lt")
+
+
+Q_X_SURVIVAL_SQL = """
+WITH lives AS (
+  SELECT user_id,
+         CAST(datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+              AS BIGINT) AS lt
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+), grid AS (
+  SELECT lt, CAST(count(*) AS BIGINT) AS d FROM lives GROUP BY lt
+), tot AS (SELECT CAST(sum(d) AS BIGINT) AS n FROM grid),
+base AS (
+  SELECT lt, d,
+         CAST(t.n - sum(d) OVER (ORDER BY lt) + d AS BIGINT) AS at_risk
+  FROM grid CROSS JOIN tot t
+), haz AS (
+  SELECT lt, d, at_risk, CAST(d * 1000000 // at_risk AS BIGINT) AS h
+  FROM base
+)
+SELECT lt, d, at_risk,
+       CAST(sum(h) OVER (ORDER BY lt) AS BIGINT) AS cum_hazard_micro
+FROM haz
+ORDER BY lt
+"""

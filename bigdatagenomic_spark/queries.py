@@ -4130,6 +4130,12 @@ from bigdatagenomic_spark.operators.graph import (  # noqa: E402
 register("q_graph_two_hop", _q_twohop, _TWOHOP_SQL)
 # Cramer's V effect size (bounded sorted-fold float total)
 register("q_x_cramers_v", ST.q_x_cramers_v, ST.Q_X_CRAMERS_V_SQL)
+# one-sided CUSUM drift track (closed scan form, prefix-min algebra)
+register("q_x_cusum", ST.q_x_cusum, ST.Q_X_CUSUM_SQL)
+# Wald-Wolfowitz runs test for daily-volume randomness
+register("q_x_runs_test", ST.q_x_runs_test, ST.Q_X_RUNS_TEST_SQL)
+# Nelson-Aalen cumulative hazard over user lifetimes
+register("q_x_survival", ST.q_x_survival, ST.Q_X_SURVIVAL_SQL)
 # Heaps-law vocabulary growth curve (first-seen + two-phase cumsums)
 register("q_text_heaps_curve", T.q_text_heaps_curve, T.Q_TEXT_HEAPS_CURVE_SQL)
 # exact multimodal payload dedup by content hash

@@ -347,6 +347,9 @@ _BNLJ_ALLOWED = {
     "q_asm_dinuc_bias",      # two 1-row totals scalars (16-key grid)
     "q_x_decay_agg",         # 1-row calendar-max scalar
     "q_x_cramers_v",         # bounded |types| x 7 margin cross (chi2 pattern)
+    "q_x_cusum",             # 1-row total/day-count scalar
+    "q_x_runs_test",         # 1-row total/day-count scalar
+    "q_x_survival",          # 1-row population-size scalar
 }
 
 

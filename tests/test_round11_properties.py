@@ -1185,3 +1185,123 @@ def test_payload_dedup_oracle_matches_python(texts):
     total = sum(c * len(t.encode()) for t, c in groups.items())
     assert got == (n_payloads, n_distinct, n_dup, n_red, wasted, total)
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# round-11 wave 7: CUSUM track, runs test
+# ---------------------------------------------------------------------------
+
+from bigdatagenomic_spark.operators.stats import (  # noqa: E402
+    Q_X_CUSUM_SQL,
+    Q_X_RUNS_TEST_SQL,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=40)
+)
+def test_cusum_oracle_matches_python(day_counts):
+    base = datetime.datetime(2024, 3, 1, 9)
+    rows = []
+    for d, cnt in enumerate(day_counts):
+        rows += [(base + datetime.timedelta(days=d),)] * cnt
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame({"ts": [r[0] for r in rows]}))
+    got = {r[0]: r[1:] for r in con.sql(Q_X_CUSUM_SQL).fetchall()}
+    tot, days = sum(day_counts), len(day_counts)
+    mean_milli = 1000 * tot // days
+    cum = 0
+    s = 0
+    for d, cnt in enumerate(day_counts):
+        dev = 1000 * cnt - mean_milli
+        cum += dev
+        s = max(0, s + dev)
+        day = (base + datetime.timedelta(days=d)).date()
+        assert got[day] == (cnt, cum, s)
+    con.close()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=20), min_size=2, max_size=40)
+)
+def test_runs_test_oracle_matches_python(day_counts):
+    base = datetime.datetime(2024, 3, 1, 9)
+    rows = []
+    for d, cnt in enumerate(day_counts):
+        rows += [(base + datetime.timedelta(days=d),)] * cnt
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame({"ts": [r[0] for r in rows]}))
+    (got,) = con.sql(Q_X_RUNS_TEST_SQL).fetchall()
+    tot, days = sum(day_counts), len(day_counts)
+    labels = [
+        1 if cnt * days > tot else 0
+        for cnt in day_counts
+        if cnt * days != tot
+    ]
+    n1 = sum(labels)
+    n2 = len(labels) - n1
+    runs = 0
+    prev = None
+    for b in labels:
+        if prev is None or b != prev:
+            runs += 1
+        prev = b
+    assert got[0] == n1 and got[1] == n2 and got[2] == runs
+    n = n1 + n2
+    if n1 > 0 and n2 > 0 and n > 1 and 2 * n1 * n2 * (2 * n1 * n2 - n) > 0:
+        mu = 2.0 * n1 * n2 / n + 1
+        var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (float(n) * n * (n - 1))
+        z = (runs - mu) / math.sqrt(var)
+        assert got[3] is not None and abs(got[3] - z) <= 6e-7
+    else:
+        assert got[3] is None
+    con.close()
+
+
+from bigdatagenomic_spark.operators.stats import Q_X_SURVIVAL_SQL  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),  # user
+            st.integers(min_value=0, max_value=30),  # active day offset
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_survival_oracle_matches_python(rows):
+    base = datetime.datetime(2024, 2, 1, 8)
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [base + datetime.timedelta(days=r[1]) for r in rows],
+            }
+        ),
+    )
+    got = {r[0]: r[1:] for r in con.sql(Q_X_SURVIVAL_SQL).fetchall()}
+    spans: dict[int, list] = {}
+    for u, d in rows:
+        spans.setdefault(u, []).append(d)
+    lts = sorted(max(ds) - min(ds) for ds in spans.values())
+    n = len(lts)
+    grid: dict[int, int] = {}
+    for lt in lts:
+        grid[lt] = grid.get(lt, 0) + 1
+    cum = 0
+    hz = 0
+    for lt in sorted(grid):
+        d = grid[lt]
+        cum += d
+        at_risk = n - cum + d
+        hz += d * 1000000 // at_risk
+        assert got[lt] == (d, at_risk, hz)
+    assert len(got) == len(grid)
+    con.close()
