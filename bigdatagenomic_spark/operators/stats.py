@@ -1772,8 +1772,12 @@ ORDER BY event_type, iso_dow
 #     wrapped beyond it;
 #   * ratios of exact integers land on the integer-exact micro grid via
 #     decimal division; genuinely-float statistics (t, z, rho) are one
-#     identical IEEE-double expression tree in both engines, emitted at
-#     round(x, 6).
+#     identical IEEE-double expression tree in both engines, emitted as
+#     floor(x*1e6 + 0.5) micro BIGINTs — round(x, 6) is NOT portable
+#     (Spark rounds the shortest-decimal repr, DuckDB scale-multiplies;
+#     the runs-test z landed exactly on such a boundary at sf0.01), and
+#     decimal literals like 2.0 must be CAST(2 AS DOUBLE) in Spark SQL
+#     or the chain silently runs in DECIMAL arithmetic.
 # ---------------------------------------------------------------------------
 
 def _double_rank_table(base: DataFrame, group_cols: list[str], val_col: str):
@@ -1836,12 +1840,15 @@ def q_x_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rho = F.expr(
         "CASE WHEN n * _sxx - _sx * _sx > 0 AND n * _syy - _sy * _sy > 0"
-        "     THEN round(CAST(n * _sxy - _sx * _sy AS DOUBLE)"
+        "     THEN CAST(floor(CAST(n * _sxy - _sx * _sy AS DOUBLE)"
         "                / sqrt(CAST(n * _sxx - _sx * _sx AS DOUBLE)"
-        "                       * CAST(n * _syy - _sy * _sy AS DOUBLE)), 6)"
+        "                       * CAST(n * _syy - _sy * _sy AS DOUBLE))"
+        "                * 1000000 + 0.5) AS BIGINT)"
         " END"
     )
-    return m.select("l_returnflag", "n", rho.alias("rho")).orderBy("l_returnflag")
+    return m.select("l_returnflag", "n", rho.alias("rho_micro")).orderBy(
+        "l_returnflag"
+    )
 
 
 Q_X_SPEARMAN_CORR_SQL = """
@@ -1873,10 +1880,11 @@ WITH base AS (
 )
 SELECT l_returnflag, n,
        CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+            THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
-       END AS rho
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                       * 1000000 + 0.5) AS BIGINT)
+       END AS rho_micro
 FROM m
 ORDER BY l_returnflag
 """
@@ -1934,13 +1942,15 @@ def q_x_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN n1 > 0 AND _n - n1 > 0 AND _n > 1"
             "      AND (_n + 1) - CAST(_ties AS DOUBLE)"
             "          / (CAST(_n AS DOUBLE) * (_n - 1)) > 0"
-            "     THEN round((CAST(_r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)"
+            "     THEN CAST(floor((CAST(_r1x2 - CAST(n1 AS DECIMAL(38,0))"
+            "                           * (n1 + 1)"
             "                      AS DOUBLE) - CAST(n1 AS DOUBLE) * (_n - n1))"
             "                / sqrt(CAST(n1 AS DOUBLE) * (_n - n1) / 3.0"
             "                       * ((_n + 1) - CAST(_ties AS DOUBLE)"
-            "                          / (CAST(_n AS DOUBLE) * (_n - 1)))), 6)"
+            "                          / (CAST(_n AS DOUBLE) * (_n - 1))))"
+            "                * 1000000 + 0.5) AS BIGINT)"
             " END"
-        ).alias("z"),
+        ).alias("z_micro"),
     )
 
 
@@ -1967,12 +1977,14 @@ SELECT CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2,
        CASE WHEN n1 > 0 AND n - n1 > 0 AND n > 1
              AND (n + 1) - CAST(ties AS DOUBLE)
                  / (CAST(n AS DOUBLE) * (n - 1)) > 0
-            THEN round((CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+            THEN CAST(floor((CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                             AS DOUBLE)
                         - CAST(n1 AS DOUBLE) * (n - n1))
                        / sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 3.0
                               * ((n + 1) - CAST(ties AS DOUBLE)
-                                 / (CAST(n AS DOUBLE) * (n - 1)))), 6)
-       END AS z
+                                 / (CAST(n AS DOUBLE) * (n - 1))))
+                       * 1000000 + 0.5) AS BIGINT)
+       END AS z_micro
 FROM m
 """
 
@@ -2110,16 +2122,18 @@ def q_x_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(
             f"CASE WHEN n1 > 1 AND n2 > 1 AND {se2} > 0"
-            f"     THEN round((CAST(_s1 AS DOUBLE) / n1 - CAST(_s2 AS DOUBLE) / n2)"
-            f"                / sqrt({se2}), 6) END"
-        ).alias("t_stat"),
+            f"     THEN CAST(floor((CAST(_s1 AS DOUBLE) / n1"
+            f"                      - CAST(_s2 AS DOUBLE) / n2)"
+            f"                / sqrt({se2}) * 1000000 + 0.5) AS BIGINT) END"
+        ).alias("t_micro"),
         F.expr(
             f"CASE WHEN n1 > 1 AND n2 > 1 AND {se2} > 0"
-            f"     THEN round({se2} * {se2}"
+            f"     THEN CAST(floor({se2} * {se2}"
             f"                / ((({var1}) / n1) * (({var1}) / n1) / (n1 - 1)"
-            f"                   + (({var2}) / n2) * (({var2}) / n2) / (n2 - 1)), 6)"
+            f"                   + (({var2}) / n2) * (({var2}) / n2) / (n2 - 1))"
+            f"                * 1000000 + 0.5) AS BIGINT)"
             f" END"
-        ).alias("df"),
+        ).alias("df_micro"),
     )
 
 
@@ -2148,14 +2162,15 @@ SELECT n1, n2,
                + ((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
                   / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2 > 0
-            THEN round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+            THEN CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
                        / sqrt(((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
                                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                                / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
                               + ((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
                                   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
-                                 / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2), 6)
-       END AS t_stat,
+                                 / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2)
+                       * 1000000 + 0.5) AS BIGINT)
+       END AS t_micro,
        CASE WHEN n1 > 1 AND n2 > 1
              AND ((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
@@ -2163,8 +2178,8 @@ SELECT n1, n2,
                + ((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
                   / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2 > 0
-            THEN round(
-              (((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+            THEN CAST(floor(
+              ((((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                 / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
                + ((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
@@ -2187,8 +2202,9 @@ SELECT n1, n2,
                      / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2)
                    * (((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
                         - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
-                       / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2) / (n2 - 1)), 6)
-       END AS df
+                       / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2) / (n2 - 1)))
+              * 1000000 + 0.5) AS BIGINT)
+       END AS df_micro
 FROM m
 """
 
@@ -2463,21 +2479,21 @@ def q_x_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       / (CAST(x.rt AS DOUBLE) * x.ct / n))"
     )
     folded = one.withColumn("_chi2_raw", chi2)
+    micro = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("long")
     return folded.select(
         "n",
         "r",
         "c",
-        F.round(F.col("_chi2_raw"), 6).alias("chi2"),
+        micro(F.col("_chi2_raw")).alias("chi2_micro"),
         F.when(
             (F.least("r", "c") > 1) & (F.col("n") > 0),
-            F.round(
+            micro(
                 F.sqrt(
                     F.col("_chi2_raw")
                     / (F.col("n").cast("double") * (F.least("r", "c") - 1))
-                ),
-                6,
+                )
             ),
-        ).alias("cramers_v"),
+        ).alias("cramers_v_micro"),
     )
 
 
@@ -2504,22 +2520,23 @@ grid AS (
   FROM grid
 )
 SELECT n, r, c,
-       round(list_reduce(
+       CAST(floor(list_reduce(
                list_prepend(CAST(0.0 AS DOUBLE),
                  list_transform(cl, x ->
                    (CAST(x.o AS DOUBLE) - CAST(x.rt AS DOUBLE) * x.ct / n)
                    * (CAST(x.o AS DOUBLE) - CAST(x.rt AS DOUBLE) * x.ct / n)
                    / (CAST(x.rt AS DOUBLE) * x.ct / n))),
-               (acc, v) -> acc + v), 6) AS chi2,
+               (acc, v) -> acc + v) * 1000000 + 0.5) AS BIGINT) AS chi2_micro,
        CASE WHEN least(r, c) > 1 AND n > 0 THEN
-         round(sqrt(list_reduce(
+         CAST(floor(sqrt(list_reduce(
                  list_prepend(CAST(0.0 AS DOUBLE),
                    list_transform(cl, x ->
                      (CAST(x.o AS DOUBLE) - CAST(x.rt AS DOUBLE) * x.ct / n)
                      * (CAST(x.o AS DOUBLE) - CAST(x.rt AS DOUBLE) * x.ct / n)
                      / (CAST(x.rt AS DOUBLE) * x.ct / n))),
                  (acc, v) -> acc + v)
-               / (CAST(n AS DOUBLE) * (least(r, c) - 1))), 6) END AS cramers_v
+               / (CAST(n AS DOUBLE) * (least(r, c) - 1)))
+               * 1000000 + 0.5) AS BIGINT) END AS cramers_v_micro
 FROM one
 """
 
@@ -2653,12 +2670,16 @@ def q_x_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runs",
         F.expr(
             "CASE WHEN n1 > 0 AND n2 > 0 AND (n1 + n2) > 1"
-            "      AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2)) > 0"
-            "     THEN round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))"
-            "           / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))"
+            "      AND CAST(2 AS DOUBLE) * n1 * n2"
+            "          * (CAST(2 AS DOUBLE) * n1 * n2 - (n1 + n2)) > 0"
+            "     THEN CAST(floor((runs - (CAST(2 AS DOUBLE) * n1 * n2"
+            "                              / (n1 + n2) + 1))"
+            "           / sqrt(CAST(2 AS DOUBLE) * n1 * n2"
+            "                  * (CAST(2 AS DOUBLE) * n1 * n2 - (n1 + n2))"
             "                  / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)"
-            "                     * (n1 + n2 - 1))), 6) END"
-        ).alias("z"),
+            "                     * (n1 + n2 - 1))) * 1000000 + 0.5)"
+            "          AS BIGINT) END"
+        ).alias("z_micro"),
     )
 
 
@@ -2684,11 +2705,15 @@ lab AS (
 )
 SELECT n1, n2, runs,
        CASE WHEN n1 > 0 AND n2 > 0 AND (n1 + n2) > 1
-             AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2)) > 0
-            THEN round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
-                  / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+             AND CAST(2 AS DOUBLE) * n1 * n2
+                 * (CAST(2 AS DOUBLE) * n1 * n2 - (n1 + n2)) > 0
+            THEN CAST(floor((runs - (CAST(2 AS DOUBLE) * n1 * n2
+                                     / (n1 + n2) + 1))
+                  / sqrt(CAST(2 AS DOUBLE) * n1 * n2
+                         * (CAST(2 AS DOUBLE) * n1 * n2 - (n1 + n2))
                          / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
-                            * (n1 + n2 - 1))), 6) END AS z
+                            * (n1 + n2 - 1))) * 1000000 + 0.5)
+                 AS BIGINT) END AS z_micro
 FROM m
 """
 
