@@ -2780,3 +2780,141 @@ SELECT lt, d, at_risk,
 FROM haz
 ORDER BY lt
 """
+
+
+def q_x_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier share per
+    part — the market-concentration metric (antitrust lineage; HHI
+    above 0.25 is 'highly concentrated') applied to supply-chain risk:
+    a part whose line-item volume concentrates in one supplier is a
+    single point of failure. HHI = Sum over suppliers of share^2,
+    integer-exact: hhi_micro = Sum(cnt_i^2) * 1e6 div tot^2 via
+    DECIMAL(38,0)/HUGEINT (sum of squares and total are both exact,
+    no per-share float ever exists).
+
+    Plan: one (part, supplier) count, one per-part sum-of-squares
+    re-aggregate — two map-side-combined shuffles on well-distributed
+    keys; parts with a single line item trivially score 1e6. Output
+    bounded to parts with >= 5 line items (the screen's noise floor).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cell = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    d38 = "decimal(38,0)"
+    per_part = cell.groupBy("l_partkey").agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.sum(F.col("_c").cast(d38) * F.col("_c")).alias("_ss"),
+    )
+    return (
+        per_part.where(F.col("n") >= 5)
+        .select(
+            "l_partkey",
+            "n",
+            "n_suppliers",
+            F.expr(
+                "CAST(_ss * 1000000 div (CAST(n AS DECIMAL(38,0)) * n)"
+                "     AS BIGINT)"
+            ).alias("hhi_micro"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+Q_X_HHI_SQL = """
+WITH cell AS (
+  SELECT l_partkey, l_suppkey, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         sum(CAST(c AS HUGEINT) * c) AS ss
+  FROM cell GROUP BY l_partkey
+)
+SELECT l_partkey, n, n_suppliers,
+       CAST(ss * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS hhi_micro
+FROM per_part
+WHERE n >= 5
+ORDER BY l_partkey
+"""
+
+
+def q_x_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Shannon entropy of the event-type mix — the one-number
+    daily diversity monitor next to q_x_psi_drift's two-period view: a
+    day whose traffic collapses into one type (incident, bot flood)
+    craters the entropy long before volume moves. Per day: n, the
+    number of active types, and H = -Sum p ln p plus the normalized
+    H/ln(k) evenness, both on the floor-micro grid.
+
+    The per-day type list is BOUNDED (|event types|), so the float sum
+    uses the q_x_cramers_v device: fold the SORTED collected struct
+    list sequentially — identical IEEE chain in both engines, never an
+    unordered float aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    cells = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per_day = cells.groupBy("day").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.array_sort(F.collect_list(F.struct("event_type", "c"))).alias("_cl"),
+    )
+    h = F.expr(
+        "aggregate(_cl, CAST(0.0 AS DOUBLE), (acc, x) ->"
+        " acc - (CAST(x.c AS DOUBLE) / n) * ln(CAST(x.c AS DOUBLE) / n))"
+    )
+    folded = per_day.withColumn("_h", h)
+    return (
+        folded.select(
+            "day",
+            "n",
+            "k",
+            F.floor(F.col("_h") * 1000000 + F.lit(0.5)).cast("long").alias(
+                "entropy_micro"
+            ),
+            F.when(
+                F.col("k") > 1,
+                F.floor(
+                    F.col("_h") / F.log(F.col("k").cast("double")) * 1000000
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("evenness_micro"),
+        )
+        .orderBy("day")
+    )
+
+
+Q_X_MIX_ENTROPY_SQL = """
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), per_day AS (
+  SELECT day, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         list({'event_type': event_type, 'c': c}
+              ORDER BY event_type, c) AS cl
+  FROM cells GROUP BY day
+), folded AS (
+  SELECT day, n, k,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(cl, x ->
+               -(CAST(x.c AS DOUBLE) / n) * ln(CAST(x.c AS DOUBLE) / n))),
+           (acc, v) -> acc + v) AS h
+  FROM per_day
+)
+SELECT day, n, k,
+       CAST(floor(h * 1000000 + 0.5) AS BIGINT) AS entropy_micro,
+       CASE WHEN k > 1
+            THEN CAST(floor(h / ln(CAST(k AS DOUBLE)) * 1000000 + 0.5)
+                      AS BIGINT)
+            ELSE 0 END AS evenness_micro
+FROM folded
+ORDER BY day
+"""

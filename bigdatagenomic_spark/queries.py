@@ -4136,6 +4136,10 @@ register("q_x_cusum", ST.q_x_cusum, ST.Q_X_CUSUM_SQL)
 register("q_x_runs_test", ST.q_x_runs_test, ST.Q_X_RUNS_TEST_SQL)
 # Nelson-Aalen cumulative hazard over user lifetimes
 register("q_x_survival", ST.q_x_survival, ST.Q_X_SURVIVAL_SQL)
+# Herfindahl supplier-concentration index per part
+register("q_x_hhi", ST.q_x_hhi, ST.Q_X_HHI_SQL)
+# daily event-mix Shannon entropy + evenness (sorted bounded fold)
+register("q_x_mix_entropy", ST.q_x_mix_entropy, ST.Q_X_MIX_ENTROPY_SQL)
 # Heaps-law vocabulary growth curve (first-seen + two-phase cumsums)
 register("q_text_heaps_curve", T.q_text_heaps_curve, T.Q_TEXT_HEAPS_CURVE_SQL)
 # exact multimodal payload dedup by content hash

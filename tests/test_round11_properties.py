@@ -1313,3 +1313,92 @@ def test_survival_oracle_matches_python(rows):
         assert got[lt] == (d, at_risk, hz)
     assert len(got) == len(grid)
     con.close()
+
+
+from bigdatagenomic_spark.operators.stats import (  # noqa: E402
+    Q_X_HHI_SQL,
+    Q_X_MIX_ENTROPY_SQL,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),   # part
+            st.integers(min_value=1, max_value=4),   # supplier
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_hhi_oracle_matches_python(rows):
+    con = duckdb.connect()
+    con.register(
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_partkey": [r[0] for r in rows],
+                "l_suppkey": [r[1] for r in rows],
+            }
+        ),
+    )
+    got = {r[0]: r[1:] for r in con.sql(Q_X_HHI_SQL).fetchall()}
+    parts: dict[int, dict] = {}
+    for p, sup in rows:
+        parts.setdefault(p, {})
+        parts[p][sup] = parts[p].get(sup, 0) + 1
+    expect = {}
+    for p, sups in parts.items():
+        n = sum(sups.values())
+        if n < 5:
+            continue
+        ss = sum(c * c for c in sups.values())
+        expect[p] = (n, len(sups), ss * 1000000 // (n * n))
+    assert got == expect
+    con.close()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # day offset
+            st.sampled_from(["click", "view", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_mix_entropy_oracle_matches_python(rows):
+    base = datetime.datetime(2024, 4, 1, 7)
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "ts": [base + datetime.timedelta(days=r[0]) for r in rows],
+                "event_type": [r[1] for r in rows],
+            }
+        ),
+    )
+    got = {r[0]: r[1:] for r in con.sql(Q_X_MIX_ENTROPY_SQL).fetchall()}
+    days: dict = {}
+    for d, t in rows:
+        day = (base + datetime.timedelta(days=d)).date()
+        days.setdefault(day, {})
+        days[day][t] = days[day].get(t, 0) + 1
+    for day, mix in days.items():
+        n = sum(mix.values())
+        k = len(mix)
+        h = 0.0
+        for t in sorted(mix):  # sorted fold, same order as both engines
+            c = mix[t]
+            h += -(c / n) * math.log(c / n)
+        e = math.floor(h / math.log(k) * 1000000 + 0.5) if k > 1 else 0
+        g = got[day]
+        assert g[0] == n and g[1] == k
+        assert abs(g[2] - math.floor(h * 1000000 + 0.5)) <= 1
+        assert abs(g[3] - e) <= 1
+    assert len(got) == len(days)
+    con.close()
