@@ -1938,3 +1938,419 @@ FROM base
 QUALIFY doc_id % {HEAPS_CHECKPOINT_EVERY} = 0
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition screens (round 11, session 2)
+# ---------------------------------------------------------------------------
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram repetition screens in the Gopher
+    (Rae et al. 2021, table A1) family: the fraction of the document
+    covered by its single most-frequent token 2-gram, and the fraction
+    of token-5-gram positions that are duplicates of an earlier
+    position — the two rules that catch boilerplate loops and
+    copy-paste padding that per-type statistics (TTR, hapax, entropy)
+    miss, because a document can repeat one PHRASE forever while its
+    token mix still looks diverse.
+
+    Both ratios land integer-exact on the micro grid:
+    ``top2_frac_micro  = max 2-gram count * 1e6 div n_2grams`` and
+    ``dup5_frac_micro  = (n_5grams - distinct 5-grams) * 1e6 div
+    n_5grams``. Docs with < 2 (resp. < 5) tokens emit NULL for that
+    screen rather than a fake 0 — the guard is CASE-lazy so the
+    sequence/element_at machinery never sees an empty gram list.
+
+    Plan shape: map-only scan projection — grams are row-local
+    ``transform(sequence(...))`` arrays over the let-bound token list,
+    the max-count comes from the shared run-length fold
+    (O(G log G) per row), and the distinct count is ``array_distinct``
+    — NO explode and NO shuffle at any corpus size, the same argument
+    as q_text_entropy. At 100 TB this is embarrassingly parallel with
+    the scan.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+
+    def grams_of(t, n: int):
+        idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.try_element_at(t, (i + F.lit(j)).cast("int"))
+                    for j in range(n)
+                ],
+            ),
+        )
+
+    def cols(t):
+        nt = F.size(t)
+
+        def two_stats(g2):
+            return F.struct(
+                F.size(g2).cast("long").alias("n2"),
+                with_runlength_counts(
+                    g2, lambda c: F.array_max(c).cast("long")
+                ).alias("top2"),
+            )
+
+        def five_stats(g5):
+            return F.struct(
+                F.size(g5).cast("long").alias("n5"),
+                (F.size(g5) - F.size(F.array_distinct(g5)))
+                .cast("long")
+                .alias("dup5"),
+            )
+
+        return F.struct(
+            nt.cast("long").alias("n_tokens"),
+            F.when(nt >= 2, let_bound(grams_of(t, 2), two_stats)).alias("s2"),
+            F.when(nt >= 5, let_bound(grams_of(t, 5), five_stats)).alias("s5"),
+        )
+
+    s1 = d.select("doc_id", let_bound(tokens(F.col("text")), cols).alias("_r"))
+    return (
+        s1.select(
+            "doc_id",
+            "_r.n_tokens",
+            F.col("_r.s2.top2").alias("top2_count"),
+            F.expr("_r.s2.top2 * 1000000L div _r.s2.n2").alias(
+                "top2_frac_micro"
+            ),
+            F.col("_r.s5.dup5").alias("dup5_count"),
+            F.expr("_r.s5.dup5 * 1000000L div _r.s5.n5").alias(
+                "dup5_frac_micro"
+            ),
+        )
+        .where(F.col("n_tokens") > 0)
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) >= 2 THEN
+           list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1]) END AS g2,
+         CASE WHEN len(t) >= 5 THEN
+           list_transform(range(1, len(t) - 3),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               || ' ' || t[i+3] || ' ' || t[i+4]) END AS g5
+  FROM tok WHERE len(t) > 0
+), stats AS (
+  SELECT doc_id, n_tokens,
+         CAST(list_max(list_transform(list_distinct(g2),
+              c -> len(list_filter(g2, x -> x = c)))) AS BIGINT) AS top2_count,
+         CAST(len(g2) AS BIGINT) AS n2,
+         CAST(len(g5) - len(list_distinct(g5)) AS BIGINT) AS dup5_count,
+         CAST(len(g5) AS BIGINT) AS n5
+  FROM base
+)
+SELECT doc_id, n_tokens, top2_count,
+       CAST(top2_count * 1000000 // n2 AS BIGINT) AS top2_frac_micro,
+       dup5_count,
+       CAST(dup5_count * 1000000 // n5 AS BIGINT) AS dup5_frac_micro
+FROM stats ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# RAKE-style keyword extraction (round 11, session 2)
+# ---------------------------------------------------------------------------
+
+# RAKE phrase delimiters: the fixed English stopword set (mirrored as a
+# literal list in the oracle SQL so the two engines can never drift).
+RAKE_STOPWORDS: list[str] = STOPSETS["en"]
+RAKE_TOP_K = 25
+
+
+def _rake_phrases(t):
+    """Stopword-delimited candidate phrases of token array ``t`` —
+    row-local. Position i's group id = number of stopword tokens in
+    the prefix 1..i; non-stop positions sharing a group id form one
+    phrase. O(n^2) per row in the prefix counts, which is bounded by
+    the document token count (the same bound every row-local text fold
+    here carries) and trades a corpus-wide posexplode + window shuffle
+    for per-row arithmetic."""
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), n)
+
+    def is_stop(x):
+        return x.isin(*RAKE_STOPWORDS)
+
+    def with_grps(grps):
+        keep = F.filter(
+            idx, lambda i: ~is_stop(F.element_at(t, i))
+        )
+        gids = F.array_distinct(
+            F.transform(keep, lambda i: F.element_at(grps, i))
+        )
+        return F.transform(
+            gids,
+            lambda g: F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(keep, lambda i: F.element_at(grps, i) == g),
+                    lambda i: F.element_at(t, i),
+                ),
+            ),
+        )
+
+    return let_bound(
+        F.transform(
+            idx, lambda i: F.size(F.filter(F.slice(t, 1, i), is_stop))
+        ),
+        with_grps,
+    )
+
+
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keyword extraction (Rose et al. 2010):
+    stopword-delimited token runs are candidate phrases; each word
+    scores degree/frequency (degree = summed length of the phrase
+    occurrences containing it — co-occurrence counting including
+    self); a phrase scores the sum of its member words' scores. The
+    classic cheap keyword extractor corpus-curation pipelines run to
+    label shards by topic without an ML model.
+
+    Integer-exact end to end: word score is
+    ``degree * 1e6 div freq`` on DECIMAL(38,0)/HUGEINT (degree can
+    pass 1e12 at corpus scale, so the multiply is wide), and the
+    phrase score is an integer SUM of member-word scores — no float
+    anywhere, so the top-K order is deterministic under the
+    (score DESC, phrase ASC) total order.
+
+    Plan shape: phrase construction is ROW-LOCAL (no posexplode /
+    window over token positions — see _rake_phrases); then one
+    explode to phrase occurrences, a count per distinct phrase
+    (map-side combined), a word-level aggregate over the DISTINCT
+    phrase table (already collapsed — the heavy occurrence counts
+    ride along as n_occ, so the word shuffle moves one row per
+    (phrase, word-position), not per occurrence), one join back, and
+    a global top-K via orderBy().limit() — TakeOrdered, no full sort.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ph = (
+        d.select(
+            F.explode(
+                let_bound(tokens(F.col("text")), _rake_phrases)
+            ).alias("phrase")
+        )
+        .where(F.col("phrase") != "")
+    )
+    occ = ph.groupBy("phrase").agg(F.count("*").cast("long").alias("n_occ"))
+    w = occ.select(
+        "phrase",
+        "n_occ",
+        F.size(F.split(F.col("phrase"), " ")).cast("long").alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    ws = w.groupBy("word").agg(
+        F.sum("n_occ").cast("long").alias("freq"),
+        F.sum(F.col("n_occ") * F.col("plen")).cast("long").alias("degree"),
+    ).withColumn(
+        "w_score",
+        F.expr(
+            "CAST(CAST(degree AS DECIMAL(38,0)) * 1000000 div freq AS BIGINT)"
+        ),
+    )
+    scored = (
+        w.join(ws.select("word", "w_score"), "word")
+        .groupBy("phrase")
+        .agg(
+            F.first("n_occ").alias("n_occ"),
+            F.sum("w_score").cast("long").alias("score_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_micro").desc(), F.col("phrase").asc()
+    ).limit(RAKE_TOP_K)
+
+
+_RAKE_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in RAKE_STOPWORDS) + "]"
+
+Q_TEXT_RAKE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), ph AS (
+  SELECT unnest(
+    list_transform(
+      list_distinct(list_transform(
+        list_filter(range(1, len(t) + 1),
+                    i -> NOT list_contains({_RAKE_STOP_SQL}, t[i])),
+        i -> len(list_filter(t[1:i],
+                             x -> list_contains({_RAKE_STOP_SQL}, x))))),
+      g -> array_to_string(
+             list_transform(
+               list_filter(range(1, len(t) + 1),
+                           i -> NOT list_contains({_RAKE_STOP_SQL}, t[i])
+                                AND len(list_filter(t[1:i],
+                                        x -> list_contains({_RAKE_STOP_SQL},
+                                                           x))) = g),
+               i -> t[i]),
+             ' ')
+    )) AS phrase
+  FROM tok WHERE len(t) > 0
+), occ AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+  FROM ph WHERE phrase <> '' GROUP BY 1
+), w AS (
+  SELECT phrase, n_occ,
+         CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+         unnest(string_split(phrase, ' ')) AS word
+  FROM occ
+), ws AS (
+  SELECT word, CAST(sum(n_occ) AS BIGINT) AS freq,
+         CAST(sum(n_occ * plen) AS BIGINT) AS degree
+  FROM w GROUP BY 1
+), wsc AS (
+  SELECT word,
+         CAST(CAST(degree AS HUGEINT) * 1000000 // freq AS BIGINT) AS w_score
+  FROM ws
+)
+SELECT w.phrase, any_value(w.n_occ) AS n_occ,
+       CAST(sum(wsc.w_score) AS BIGINT) AS score_micro
+FROM w JOIN wsc ON wsc.word = w.word
+GROUP BY w.phrase
+ORDER BY score_micro DESC, phrase ASC
+LIMIT {RAKE_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram-LM surprisal (round 11, session 2)
+# ---------------------------------------------------------------------------
+
+def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal under an add-one-smoothed
+    bigram language model TRAINED ON THE CORPUS ITSELF — the classic
+    cheap perplexity-style quality screen (CCNet/Gopher run a real LM;
+    the count-based bigram model is its deterministic, dependency-free
+    stand-in): template text the corpus has seen a thousand times
+    scores LOW surprisal, token salad scores HIGH, and both tails get
+    dropped by a curation pipeline. surprisal(d) = -(1/|B_d|) * sum
+    over doc bigrams of ln((c(w1,w2)+1) / (c(w1·)+V)), with c(w1·) the
+    corpus head count and V the corpus vocabulary size.
+
+    Determinism: every count is an exact BIGINT; each ln() term is
+    computed from the same exact integers in both engines and the
+    per-doc sum folds the terms in ONE declared order (sorted by
+    (w1, w2) structs), so the float chains are IEEE-identical
+    op-for-op; the result snaps to the shared 1e-4 grid (the
+    transcendental-ulp device of q_text_entropy).
+
+    Plan shape: the bigram table and head-count table are map-side
+    combined aggregates over one row-local bigram explode; the doc
+    re-scoring is two shuffle joins on well-distributed token keys
+    plus a broadcast of the 1-row vocabulary count, then a per-doc
+    regroup whose collect_list is bounded by the document length. At
+    100 TB the model tables are the corpus vocabulary/bigram sets —
+    exactly the tables a distributed count-LM materializes; nothing
+    collects to the driver.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    base = d.select("doc_id", tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= 2
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").cast("long").alias("n1"))
+    v = base.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").cast("long").alias("v")
+    )
+    j = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.struct("w1", "w2", "n12", "n1", "v").alias("s"),
+        )
+    )
+    per = j.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("terms"),
+        F.count("*").cast("long").alias("n_bigrams"),
+    )
+    ssum = F.aggregate(
+        F.col("terms"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.log(
+            (s["n12"] + F.lit(1)).cast("double")
+            / (s["n1"] + s["v"]).cast("double")
+        ),
+    )
+    return (
+        per.select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.floor((-ssum / F.col("n_bigrams")) * 10000 + F.lit(0.5))
+                / 10000
+            ).alias("surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_BIGRAM_SURPRISAL_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), base AS (
+  SELECT doc_id, t FROM tok WHERE len(t) >= 2
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                        i -> {'w1': t[i], 'w2': t[i+1]})) AS b
+  FROM base
+), bgf AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bgf GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM bgf GROUP BY 1
+), vt AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM (SELECT unnest(t) AS w FROM base)
+), j AS (
+  SELECT bgf.doc_id,
+         {'w1': bgf.w1, 'w2': bgf.w2, 'n12': c12.n12,
+          'n1': c1.n1, 'v': vt.v} AS s
+  FROM bgf
+  JOIN c12 ON c12.w1 = bgf.w1 AND c12.w2 = bgf.w2
+  JOIN c1 ON c1.w1 = bgf.w1
+  CROSS JOIN vt
+), per AS (
+  SELECT doc_id, list_sort(list(s)) AS terms,
+         CAST(count(*) AS BIGINT) AS n_bigrams
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       floor((-(list_sum(list_transform(terms,
+                 s -> ln(CAST(s.n12 + 1 AS DOUBLE)
+                         / CAST(s.n1 + s.v AS DOUBLE)))))
+              / CAST(n_bigrams AS DOUBLE)) * 10000 + 0.5) / 10000
+         AS surprisal
+FROM per ORDER BY doc_id
+"""

@@ -4234,6 +4234,19 @@ register(
 )
 
 
+# -- round 11 session-2 wave 9: LLM-pipeline text screens ------------------
+# Gopher-style n-gram repetition screens (top-2-gram / dup-5-gram)
+register("q_text_repetition", T.q_text_repetition, T.Q_TEXT_REPETITION_SQL)
+# RAKE keyword extraction (integer-exact degree/freq scoring)
+register("q_text_rake_keywords", T.q_text_rake_keywords, T.Q_TEXT_RAKE_SQL)
+# corpus bigram-LM mean surprisal (add-one smoothing, sorted fold)
+register(
+    "q_text_bigram_surprisal",
+    T.q_text_bigram_surprisal,
+    T.Q_TEXT_BIGRAM_SURPRISAL_SQL,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks registry entries in
 # insertion order and may cap how many it runs (round 1 capped at 50), so
