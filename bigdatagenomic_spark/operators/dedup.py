@@ -1191,3 +1191,198 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "editdist", "sim_micro")
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: per-source distinct estimates + pairwise
+# set Jaccard (round 11, session 2)
+# ---------------------------------------------------------------------------
+
+KMV_K = 128
+KMV_BUCKETS = 32
+# md5_long yields 60-bit values: estimator scale M = 2^60
+KMV_M = 1 << 60
+
+
+def q_dedup_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch over each source's
+    word-3-gram shingle SET: per source the 128 smallest distinct
+    60-bit shingle hashes, giving (a) a distinct-shingle cardinality
+    estimate D-hat = (k-1) * 2^60 div h_(k) (Bar-Yossef et al. 2002)
+    and (b) for every source pair the bottom-k set-Jaccard estimate
+    |A cap B cap U| / |U| with U the k smallest of the UNION of the two
+    sketches (Broder 1997's min-wise resemblance in its mergeable
+    bottom-k form) — the corpus-level dual of the per-document MinHash
+    family above: MinHash asks "which DOCUMENTS are near-dups", KMV
+    asks "how much do two CRAWL SOURCES overlap" without ever holding
+    either shingle set whole.
+
+    Deterministic: the hash is the shared md5_long family, the sketch
+    is an order statistic of it, and both estimates are integer
+    divisions on DECIMAL(38,0)/HUGEINT — hash-gate friendly.
+
+    Plan shape (the scale argument): ONE distinct-aggregate shuffle on
+    (source, hash) — the only stage that touches the corpus — then the
+    bottom-k runs TWO-PHASE like two_phase_rank: row_number within
+    (source, hash mod 32) keeps each sort partition at 1/32nd of a
+    source's distinct set, and the second row_number sorts only the
+    32*k bounded survivors. Everything after (pair expansion, union
+    rank, flags) operates on <= 4*k rows and broadcasts. A single
+    window over the whole source would serialize each source through
+    one reducer at 100 TB; the bucketed first phase is what removes
+    that bottleneck.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.where(F.col("text").isNotNull()).select(
+        "source", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("s")
+    )
+    hs = sh.select("source", md5_long(F.col("s")).alias("h")).distinct()
+    w1 = Window.partitionBy("source", F.pmod("h", F.lit(KMV_BUCKETS))).orderBy(
+        "h"
+    )
+    w2 = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hs.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= KMV_K)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= KMV_K)
+        .select("source", "h", "rn")
+    )
+    per_src = sk.groupBy("source").agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.max("h").alias("h_k"),
+    ).select(
+        "source",
+        "k_used",
+        F.when(
+            F.col("k_used") < KMV_K, F.col("k_used")
+        )
+        .otherwise(
+            F.expr(
+                f"CAST(CAST({KMV_K - 1} AS DECIMAL(38,0)) * {KMV_M}"
+                "     div h_k AS BIGINT)"
+            )
+        )
+        .alias("est_distinct"),
+    )
+    srcs = per_src.select("source")
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    rows = pairs.join(
+        F.broadcast(sk),
+        (F.col("source") == F.col("source_a"))
+        | (F.col("source") == F.col("source_b")),
+    )
+    cell = rows.groupBy("source_a", "source_b", "h").agg(
+        F.max((F.col("source") == F.col("source_a")).cast("int")).alias("in_a"),
+        F.max((F.col("source") == F.col("source_b")).cast("int")).alias("in_b"),
+    )
+    wu = Window.partitionBy("source_a", "source_b").orderBy("h")
+    union_k = (
+        cell.withColumn("urn", F.row_number().over(wu))
+        .where(F.col("urn") <= KMV_K)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("union_k"),
+            F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias(
+                "n_common"
+            ),
+        )
+    )
+    ea = per_src.select(
+        F.col("source").alias("source_a"),
+        F.col("est_distinct").alias("est_distinct_a"),
+    )
+    eb = per_src.select(
+        F.col("source").alias("source_b"),
+        F.col("est_distinct").alias("est_distinct_b"),
+    )
+    return (
+        union_k.join(F.broadcast(ea), "source_a")
+        .join(F.broadcast(eb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "est_distinct_a",
+            "est_distinct_b",
+            "union_k",
+            "n_common",
+            F.expr("n_common * 1000000L div union_k").alias("jacc_micro"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+Q_DEDUP_KMV_SQL = f"""
+WITH tok AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS s
+  FROM tok
+), hs AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+  FROM sh
+), r1 AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source, h % {KMV_BUCKETS}
+                            ORDER BY h) AS rn1
+  FROM hs
+), sk AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM r1 WHERE rn1 <= {KMV_K}
+  QUALIFY rn <= {KMV_K}
+), per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS k_used,
+         max(h) AS h_k
+  FROM sk GROUP BY source
+), est AS (
+  SELECT source, k_used,
+         CASE WHEN k_used < {KMV_K} THEN k_used
+              ELSE CAST(CAST({KMV_K - 1} AS HUGEINT) * {KMV_M}
+                        // h_k AS BIGINT) END AS est_distinct
+  FROM per_src
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM est a, est b WHERE a.source < b.source
+), cell AS (
+  SELECT p.source_a, p.source_b, sk.h,
+         max(CASE WHEN sk.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN sk.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk
+    ON sk.source = p.source_a OR sk.source = p.source_b
+  GROUP BY 1, 2, 3
+), u AS (
+  SELECT source_a, source_b, in_a, in_b,
+         row_number() OVER (PARTITION BY source_a, source_b
+                            ORDER BY h) AS urn
+  FROM cell
+), agg AS (
+  SELECT source_a, source_b,
+         CAST(count(*) AS BIGINT) AS union_k,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+  FROM u WHERE urn <= {KMV_K}
+  GROUP BY 1, 2
+)
+SELECT g.source_a, g.source_b,
+       ea.est_distinct AS est_distinct_a,
+       eb.est_distinct AS est_distinct_b,
+       g.union_k, g.n_common,
+       CAST(g.n_common * 1000000 // g.union_k AS BIGINT) AS jacc_micro
+FROM agg g
+JOIN est ea ON ea.source = g.source_a
+JOIN est eb ON eb.source = g.source_b
+ORDER BY g.source_a, g.source_b
+"""

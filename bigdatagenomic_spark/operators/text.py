@@ -2226,131 +2226,3 @@ ORDER BY score_micro DESC, phrase ASC
 LIMIT {RAKE_TOP_K}
 """
 
-
-# ---------------------------------------------------------------------------
-# Corpus bigram-LM surprisal (round 11, session 2)
-# ---------------------------------------------------------------------------
-
-def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document mean bigram surprisal under an add-one-smoothed
-    bigram language model TRAINED ON THE CORPUS ITSELF — the classic
-    cheap perplexity-style quality screen (CCNet/Gopher run a real LM;
-    the count-based bigram model is its deterministic, dependency-free
-    stand-in): template text the corpus has seen a thousand times
-    scores LOW surprisal, token salad scores HIGH, and both tails get
-    dropped by a curation pipeline. surprisal(d) = -(1/|B_d|) * sum
-    over doc bigrams of ln((c(w1,w2)+1) / (c(w1·)+V)), with c(w1·) the
-    corpus head count and V the corpus vocabulary size.
-
-    Determinism: every count is an exact BIGINT; each ln() term is
-    computed from the same exact integers in both engines and the
-    per-doc sum folds the terms in ONE declared order (sorted by
-    (w1, w2) structs), so the float chains are IEEE-identical
-    op-for-op; the result snaps to the shared 1e-4 grid (the
-    transcendental-ulp device of q_text_entropy).
-
-    Plan shape: the bigram table and head-count table are map-side
-    combined aggregates over one row-local bigram explode; the doc
-    re-scoring is two shuffle joins on well-distributed token keys
-    plus a broadcast of the 1-row vocabulary count, then a per-doc
-    regroup whose collect_list is bounded by the document length. At
-    100 TB the model tables are the corpus vocabulary/bigram sets —
-    exactly the tables a distributed count-LM materializes; nothing
-    collects to the driver.
-    """
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    base = d.select("doc_id", tokens(F.col("text")).alias("t")).where(
-        F.size("t") >= 2
-    )
-    bg = base.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("t"), 1, F.size("t") - 1),
-                F.slice(F.col("t"), 2, F.size("t") - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n12"))
-    c1 = bg.groupBy("w1").agg(F.count("*").cast("long").alias("n1"))
-    v = base.select(F.explode("t").alias("w")).agg(
-        F.countDistinct("w").cast("long").alias("v")
-    )
-    j = (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, ["w1"])
-        .crossJoin(F.broadcast(v))
-        .select(
-            "doc_id",
-            F.struct("w1", "w2", "n12", "n1", "v").alias("s"),
-        )
-    )
-    per = j.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("s")).alias("terms"),
-        F.count("*").cast("long").alias("n_bigrams"),
-    )
-    ssum = F.aggregate(
-        F.col("terms"),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.log(
-            (s["n12"] + F.lit(1)).cast("double")
-            / (s["n1"] + s["v"]).cast("double")
-        ),
-    )
-    return (
-        per.select(
-            "doc_id",
-            "n_bigrams",
-            (
-                F.floor((-ssum / F.col("n_bigrams")) * 10000 + F.lit(0.5))
-                / 10000
-            ).alias("surprisal"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-Q_TEXT_BIGRAM_SURPRISAL_SQL = """
-WITH tok AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                     t -> t <> '') AS t
-  FROM documents WHERE text IS NOT NULL
-), base AS (
-  SELECT doc_id, t FROM tok WHERE len(t) >= 2
-), bg AS (
-  SELECT doc_id, unnest(list_transform(range(1, len(t)),
-                        i -> {'w1': t[i], 'w2': t[i+1]})) AS b
-  FROM base
-), bgf AS (
-  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
-), c12 AS (
-  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bgf GROUP BY 1, 2
-), c1 AS (
-  SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM bgf GROUP BY 1
-), vt AS (
-  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
-  FROM (SELECT unnest(t) AS w FROM base)
-), j AS (
-  SELECT bgf.doc_id,
-         {'w1': bgf.w1, 'w2': bgf.w2, 'n12': c12.n12,
-          'n1': c1.n1, 'v': vt.v} AS s
-  FROM bgf
-  JOIN c12 ON c12.w1 = bgf.w1 AND c12.w2 = bgf.w2
-  JOIN c1 ON c1.w1 = bgf.w1
-  CROSS JOIN vt
-), per AS (
-  SELECT doc_id, list_sort(list(s)) AS terms,
-         CAST(count(*) AS BIGINT) AS n_bigrams
-  FROM j GROUP BY doc_id
-)
-SELECT doc_id, n_bigrams,
-       floor((-(list_sum(list_transform(terms,
-                 s -> ln(CAST(s.n12 + 1 AS DOUBLE)
-                         / CAST(s.n1 + s.v AS DOUBLE)))))
-              / CAST(n_bigrams AS DOUBLE)) * 10000 + 0.5) / 10000
-         AS surprisal
-FROM per ORDER BY doc_id
-"""

@@ -4234,17 +4234,106 @@ register(
 )
 
 
+# -- round 11 session-2 wave 9: ORF finder ---------------------------------
+ORF_MIN_READ = 30  # a read must clean to >= 30 bases to be scanned
+ORF_PATTERN = "ATG(?:[ACGT]{3})*?(?:TAA|TAG|TGA)"
+
+
+def q_asm_orf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-reading-frame finder over the FULL-LENGTH cleaned reads
+    (not the 13-17 bp codon sample — ORFs need room): per read, the
+    non-overlapping left-to-right ORFs ``ATG (codon)*? stop`` with the
+    FIRST in-frame stop (TAA/TAG/TGA) closing each frame — the
+    classic gene-candidate scan (NCBI ORFfinder semantics for one
+    strand, frame of each ATG). Emits per read the ORF count, the
+    longest ORF length and total ORF bases.
+
+    Engine-portable by regex contract: the lazy ``(?:[ACGT]{{3}})*?``
+    quantifier means "shortest in-frame completion", and BOTH Java
+    regex (Spark) and RE2 (DuckDB) implement leftmost-first lazy
+    matching for backreference-free patterns, so the match sets are
+    identical; all outputs are exact integers.
+
+    Plan shape: map-only scan projection — one regexp_extract_all and
+    two row-local array folds per read, no explode, no shuffle at any
+    corpus size (the per-row cost is linear in read length).
+    assembly_final.cpp:73-145 lineage for the read derivation.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    reads = docs.select("doc_id", cleaned.alias("content")).where(
+        F.length("content") >= ORF_MIN_READ
+    )
+    orfs = F.regexp_extract_all("content", F.lit(ORF_PATTERN), 0)
+
+    def cols(o):
+        lens = F.transform(o, F.length)
+        return F.struct(
+            F.size(o).cast("long").alias("n_orfs"),
+            F.coalesce(F.array_max(lens), F.lit(0)).cast("long").alias(
+                "max_orf_len"
+            ),
+            F.aggregate(
+                lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("orf_bases"),
+        )
+    # let-bind the match list: the three folds reuse ONE regex scan
+    s1 = reads.select(
+        "doc_id",
+        F.length("content").cast("long").alias("read_len"),
+        _let_bound_local(orfs, cols).alias("_o"),
+    )
+    return s1.select(
+        "doc_id", "read_len", "_o.n_orfs", "_o.max_orf_len", "_o.orf_bases"
+    ).orderBy("doc_id")
+
+
+def _let_bound_local(expr, body):
+    from bigdatagenomic_spark.functions import let_bound as _lb
+
+    return _lb(expr, body)
+
+
+register(
+    "q_asm_orf",
+    q_asm_orf,
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             regexp_replace(upper(text), '[^ACGT]', '', 'g') AS content
+      FROM documents WHERE text IS NOT NULL
+    ), m AS (
+      SELECT doc_id, CAST(length(content) AS BIGINT) AS read_len,
+             regexp_extract_all(content,
+                 'ATG(?:[ACGT]{{3}})*?(?:TAA|TAG|TGA)') AS orfs
+      FROM r WHERE length(content) >= {ORF_MIN_READ}
+    )
+    SELECT doc_id, read_len,
+           CAST(len(orfs) AS BIGINT) AS n_orfs,
+           CAST(coalesce(list_max(list_transform(orfs, x -> length(x))), 0)
+                AS BIGINT) AS max_orf_len,
+           CAST(coalesce(list_sum(list_transform(orfs, x -> length(x))), 0)
+                AS BIGINT) AS orf_bases
+    FROM m ORDER BY doc_id
+    """,
+)
+
+
 # -- round 11 session-2 wave 9: LLM-pipeline text screens ------------------
 # Gopher-style n-gram repetition screens (top-2-gram / dup-5-gram)
 register("q_text_repetition", T.q_text_repetition, T.Q_TEXT_REPETITION_SQL)
 # RAKE keyword extraction (integer-exact degree/freq scoring)
+# (a planned bigram-surprisal op was dropped here: q_text_bigram_logprob
+# already covers the count-LM quality screen — no near-duplicate entries)
 register("q_text_rake_keywords", T.q_text_rake_keywords, T.Q_TEXT_RAKE_SQL)
-# corpus bigram-LM mean surprisal (add-one smoothing, sorted fold)
-register(
-    "q_text_bigram_surprisal",
-    T.q_text_bigram_surprisal,
-    T.Q_TEXT_BIGRAM_SURPRISAL_SQL,
-)
+# KMV bottom-k sketch: per-source distinct estimate + pairwise Jaccard
+register("q_dedup_kmv", D.q_dedup_kmv, D.Q_DEDUP_KMV_SQL)
 
 
 # ---------------------------------------------------------------------------
