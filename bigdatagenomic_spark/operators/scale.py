@@ -1045,3 +1045,85 @@ FROM ranked r JOIN bounds b ON b.grp = r.grp
 GROUP BY r.grp, r.n, b.lo, b.hi
 ORDER BY r.grp
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted exact median (round 11, session 2)
+# ---------------------------------------------------------------------------
+
+def q_x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median of line-item price per return flag, with
+    quantity as the weight — "the price point at which half the UNITS
+    (not half the line items) are cheaper": the inventory-weighted
+    dual of q_x_exact_median, and the robust location estimate
+    revenue planning uses when a few bulk lines would drag a mean.
+    Returns the smallest price p with 2 * cumweight(<= p) >= total
+    weight (the lower weighted median — a single witnessed data
+    value, never an interpolation, so no float arithmetic happens on
+    the price at all).
+
+    Scale shape: the cumulative weight track runs through
+    :func:`two_phase_cumsum` per group (range-repartitioned, pinned
+    pids, broadcast offsets — weights are integral BIGINTs by
+    contract), so there is NO per-group single-reducer window at any
+    row count; the crossing pick is a broadcast join of the 3-row
+    total-weight table plus one bounded aggregate. The naive
+    formulation — sum(w) OVER (PARTITION BY flag ORDER BY price) —
+    serializes each flag through one task exactly like the unweighted
+    median's full sort; this plan is why it survives 100 TB.
+    """
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = two_phase_cumsum(
+        base,
+        "w",
+        [F.col("p").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        group_cols=["g"],
+        out_col="cw",
+    )
+    tot = base.groupBy("g").agg(F.sum("w").cast("long").alias("tw"))
+    return (
+        cum.join(F.broadcast(tot), "g")
+        .where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("g")
+        .agg(
+            F.min("p").alias("wmedian_price"),
+            F.min("cw").cast("long").alias("crossing_cum_w"),
+            F.first("tw").cast("long").alias("total_w"),
+        )
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "wmedian_price",
+            "crossing_cum_w",
+            "total_w",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_X_WEIGHTED_MEDIAN_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS g, l_extendedprice AS p,
+         CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+  FROM lineitem
+), c AS (
+  SELECT g, p,
+         sum(w) OVER (PARTITION BY g
+                      ORDER BY p, l_orderkey, l_linenumber) AS cw,
+         sum(w) OVER (PARTITION BY g) AS tw
+  FROM base
+)
+SELECT g AS l_returnflag, min(p) AS wmedian_price,
+       CAST(min(cw) AS BIGINT) AS crossing_cum_w,
+       CAST(min(tw) AS BIGINT) AS total_w
+FROM c WHERE 2 * cw >= tw
+GROUP BY g ORDER BY g
+"""

@@ -4334,6 +4334,10 @@ register("q_text_repetition", T.q_text_repetition, T.Q_TEXT_REPETITION_SQL)
 register("q_text_rake_keywords", T.q_text_rake_keywords, T.Q_TEXT_RAKE_SQL)
 # KMV bottom-k sketch: per-source distinct estimate + pairwise Jaccard
 register("q_dedup_kmv", D.q_dedup_kmv, D.Q_DEDUP_KMV_SQL)
+# exact weighted median per group (two-phase cumulative weights)
+register(
+    "q_x_weighted_median", SC.q_x_weighted_median, SC.Q_X_WEIGHTED_MEDIAN_SQL
+)
 
 
 # ---------------------------------------------------------------------------
