@@ -1944,7 +1944,7 @@ ORDER BY doc_id
 # Gopher-style repetition screens (round 11, session 2)
 # ---------------------------------------------------------------------------
 
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram repetition screens in the Gopher
     (Rae et al. 2021, table A1) family: the fraction of the document
     covered by its single most-frequent token 2-gram, and the fraction
@@ -2028,7 +2028,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_TEXT_REPETITION_SQL = """
+Q_TEXT_GOPHER_REPETITION_SQL = """
 WITH tok AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

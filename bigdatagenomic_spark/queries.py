@@ -4326,8 +4326,14 @@ register(
 
 
 # -- round 11 session-2 wave 9: LLM-pipeline text screens ------------------
-# Gopher-style n-gram repetition screens (top-2-gram / dup-5-gram)
-register("q_text_repetition", T.q_text_repetition, T.Q_TEXT_REPETITION_SQL)
+# Gopher-style n-gram repetition screens (top-2-gram coverage /
+# duplicate-5-gram positions) — complements q_text_repetition's
+# distinct-token/bigram ratios (Gopher rule 4-7 vs rule 1-2 families)
+register(
+    "q_text_gopher_repetition",
+    T.q_text_gopher_repetition,
+    T.Q_TEXT_GOPHER_REPETITION_SQL,
+)
 # RAKE keyword extraction (integer-exact degree/freq scoring)
 # (a planned bigram-surprisal op was dropped here: q_text_bigram_logprob
 # already covers the count-LM quality screen — no near-duplicate entries)
