@@ -1235,8 +1235,16 @@ def q_dedup_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    sh = d.where(F.col("text").isNotNull()).select(
-        "source", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("s")
+    # drop the '' artifact shingle of zero-token docs (Spark's concat_ws
+    # over an all-null window emits '' where DuckDB's array_to_string
+    # emits NULL — excluded in both engines so the SET semantics agree)
+    sh = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(word_shingles(tokens(F.col("text")), 3)).alias("s"),
+        )
+        .where(F.col("s") != "")
     )
     hs = sh.select("source", md5_long(F.col("s")).alias("h")).distinct()
     w1 = Window.partitionBy("source", F.pmod("h", F.lit(KMV_BUCKETS))).orderBy(
@@ -1333,7 +1341,7 @@ WITH tok AS (
 ), hs AS (
   SELECT DISTINCT source,
          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
-  FROM sh
+  FROM sh WHERE s IS NOT NULL AND s <> ''
 ), r1 AS (
   SELECT source, h,
          row_number() OVER (PARTITION BY source, h % {KMV_BUCKETS}
