@@ -1257,6 +1257,12 @@ def q_dedup_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= KMV_K)
         .select("source", "h", "rn")
+        # materialize the <= |sources|*k-row sketch ONCE: it feeds the
+        # per-source estimates AND both sides of the pair expansion, and
+        # without the checkpoint each reference replays the full
+        # corpus-scan + distinct + two-phase bottom-k subtree (observed
+        # as 3 parquet scans in the static plan)
+        .localCheckpoint()
     )
     per_src = sk.groupBy("source").agg(
         F.count("*").cast("long").alias("k_used"),
