@@ -85,6 +85,11 @@ HEADLINE = [
     # robust-mean family (the two_phase_rank -> grid-algebra rewrite)
     "q_x_spearman_corr",
     "q_x_trimmed_mean",
+    # round 11 wave 9 (session 2): the corpus-wide (source, shingle-hash)
+    # distinct + bucketed two-phase bottom-k — the heaviest new shuffle
+    # this wave added (the other four wave-9 ops are map-only or reuse
+    # already-benched two-phase machinery)
+    "q_dedup_kmv",
 ]
 
 

@@ -1060,49 +1060,50 @@ def q_x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the smallest price p with 2 * cumweight(<= p) >= total
     weight (the lower weighted median — a single witnessed data
     value, never an interpolation, so no float arithmetic happens on
-    the price at all).
+    the price at all), plus the cumulative weight THROUGH that price
+    and the group total.
 
-    Scale shape: the cumulative weight track runs through
-    :func:`two_phase_cumsum` per group (range-repartitioned, pinned
-    pids, broadcast offsets — weights are integral BIGINTs by
-    contract), so there is NO per-group single-reducer window at any
-    row count; the crossing pick is a broadcast join of the 3-row
-    total-weight table plus one bounded aggregate. The naive
-    formulation — sum(w) OVER (PARTITION BY flag ORDER BY price) —
-    serializes each flag through one task exactly like the unweighted
-    median's full sort; this plan is why it survives 100 TB.
+    Scale shape — GRID algebra, the q_x_trimmed_mean lesson applied
+    up front: the median is value-determined, so the cumulative track
+    only needs per-DISTINCT-price weight sums, never per-row ranks.
+    One map-side-combined (flag, price) cell aggregate collapses the
+    fact, then :func:`two_phase_cumsum` runs over the |grid| cells
+    (range-repartitioned, pinned pids — no per-group single-reducer
+    window), and the crossing pick is a broadcast join of the 3-row
+    total-weight table plus one bounded aggregate. The first cut of
+    this operator cumsum-ranked every FACT row and measured 29x at
+    the x100 sweep (67 s, SCALING_r11s2.json first run); the grid
+    form moves only |distinct prices| rows after the cell aggregate.
     """
     from bigdatagenomic_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    base = li.select(
-        F.col("l_returnflag").alias("g"),
-        F.col("l_extendedprice").alias("p"),
-        F.col("l_quantity").cast("long").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_extendedprice").alias("p"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("g", "p")
+        .agg(F.sum("w").cast("long").alias("wsum"))
     )
     cum = two_phase_cumsum(
-        base,
-        "w",
-        [F.col("p").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
-        group_cols=["g"],
-        out_col="cw",
+        cells, "wsum", [F.col("p").asc()], group_cols=["g"], out_col="cw"
     )
-    tot = base.groupBy("g").agg(F.sum("w").cast("long").alias("tw"))
+    tot = cells.groupBy("g").agg(F.sum("wsum").cast("long").alias("tw"))
     return (
         cum.join(F.broadcast(tot), "g")
         .where(F.col("cw") * 2 >= F.col("tw"))
         .groupBy("g")
         .agg(
             F.min("p").alias("wmedian_price"),
-            F.min("cw").cast("long").alias("crossing_cum_w"),
+            F.min("cw").cast("long").alias("cum_w_at_median"),
             F.first("tw").cast("long").alias("total_w"),
         )
         .select(
             F.col("g").alias("l_returnflag"),
             "wmedian_price",
-            "crossing_cum_w",
+            "cum_w_at_median",
             "total_w",
         )
         .orderBy("l_returnflag")
@@ -1110,19 +1111,18 @@ def q_x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_X_WEIGHTED_MEDIAN_SQL = """
-WITH base AS (
+WITH cells AS (
   SELECT l_returnflag AS g, l_extendedprice AS p,
-         CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
-  FROM lineitem
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum
+  FROM lineitem GROUP BY 1, 2
 ), c AS (
   SELECT g, p,
-         sum(w) OVER (PARTITION BY g
-                      ORDER BY p, l_orderkey, l_linenumber) AS cw,
-         sum(w) OVER (PARTITION BY g) AS tw
-  FROM base
+         sum(wsum) OVER (PARTITION BY g ORDER BY p) AS cw,
+         sum(wsum) OVER (PARTITION BY g) AS tw
+  FROM cells
 )
 SELECT g AS l_returnflag, min(p) AS wmedian_price,
-       CAST(min(cw) AS BIGINT) AS crossing_cum_w,
+       CAST(min(cw) AS BIGINT) AS cum_w_at_median,
        CAST(min(tw) AS BIGINT) AS total_w
 FROM c WHERE 2 * cw >= tw
 GROUP BY g ORDER BY g

@@ -268,14 +268,14 @@ def test_weighted_median_oracle_matches_python(rows):
     got = con.sql(Q_X_WEIGHTED_MEDIAN_SQL).fetchall()
     expect = []
     for g in sorted({r[0] for r in rows}):
-        grp = sorted(
-            [(p, w, k) for (f, p, w), k in zip(rows, range(len(rows))) if f == g],
-            key=lambda r: (r[0], r[2]),
-        )
-        tot = sum(w for _, w, _ in grp)
+        cells: dict[float, int] = {}
+        for f, p, w in rows:
+            if f == g:
+                cells[p] = cells.get(p, 0) + w
+        tot = sum(cells.values())
         cum = 0
-        for p, w, _ in grp:
-            cum += w
+        for p in sorted(cells):
+            cum += cells[p]
             if 2 * cum >= tot:
                 expect.append((g, p, cum, tot))
                 break
