@@ -350,6 +350,10 @@ _BNLJ_ALLOWED = {
     "q_x_cusum",             # 1-row total/day-count scalar
     "q_x_runs_test",         # 1-row total/day-count scalar
     "q_x_survival",          # 1-row population-size scalar
+    "q_dedup_kmv",           # |sources|^2 pair cross + OR-condition pair
+                             # expansion over the localCheckpointed
+                             # <= |sources|*k-row SKETCH — bounded by
+                             # construction, never the corpus
 }
 
 
