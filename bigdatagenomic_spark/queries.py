@@ -4248,7 +4248,7 @@ def q_asm_orf(spark: SparkSession, sf_dir: str) -> DataFrame:
     strand, frame of each ATG). Emits per read the ORF count, the
     longest ORF length and total ORF bases.
 
-    Engine-portable by regex contract: the lazy ``(?:[ACGT]{{3}})*?``
+    Engine-portable by regex contract: the lazy ``(?:[ACGT]{3})*?``
     quantifier means "shortest in-frame completion", and BOTH Java
     regex (Spark) and RE2 (DuckDB) implement leftmost-first lazy
     matching for backreference-free patterns, so the match sets are
@@ -4261,6 +4261,7 @@ def q_asm_orf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from bigdatagenomic_spark.functions import let_bound
     from bigdatagenomic_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").where(
@@ -4287,17 +4288,12 @@ def q_asm_orf(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = reads.select(
         "doc_id",
         F.length("content").cast("long").alias("read_len"),
-        _let_bound_local(orfs, cols).alias("_o"),
+        let_bound(orfs, cols).alias("_o"),
     )
     return s1.select(
         "doc_id", "read_len", "_o.n_orfs", "_o.max_orf_len", "_o.orf_bases"
     ).orderBy("doc_id")
 
-
-def _let_bound_local(expr, body):
-    from bigdatagenomic_spark.functions import let_bound as _lb
-
-    return _lb(expr, body)
 
 
 register(

@@ -280,3 +280,31 @@ def test_weighted_median_oracle_matches_python(rows):
                 expect.append((g, p, cum, tot))
                 break
     assert got == expect
+
+
+def test_kmv_dense_corpus_exercises_estimator_branch():
+    """Deterministic hash-dense corpus: each source carries WAY more
+    than K distinct shingles, so this covers the three paths the
+    hypothesis inputs above cannot reach (every generated source there
+    stays under 128 distinct hashes): the (K-1)*2^60 div h_k
+    cardinality-estimate branch, the per-(source, bucket) rn1 <= K
+    prune (whose union-of-bucket-minima must still contain the global
+    bottom-K), and the urn <= K truncation of the pair union rank."""
+    # two sources, ~600 distinct shingles each, ~50% overlap
+    texts, sources = [], []
+    for i in range(200):
+        texts.append(" ".join(f"tok{i}x{j}" for j in range(5)))
+        sources.append("sa")
+    for i in range(100, 300):
+        texts.append(" ".join(f"tok{i}x{j}" for j in range(5)))
+        sources.append("sb")
+    con = _docs_con(texts, sources)
+    got = con.sql(Q_DEDUP_KMV_SQL).fetchall()
+    expect = _kmv_reference(texts, sources)
+    assert got == expect
+    (sa, sb, est_a, est_b, union_k, n_common, jacc) = got[0]
+    # the estimator branch really ran: k_used == K, so est != k_used
+    assert union_k == KMV_K and est_a > KMV_K and est_b > KMV_K
+    # estimates within 3x of truth (~600) — sanity, not the contract
+    assert 200 < est_a < 1800 and 200 < est_b < 1800
+    assert 0 < n_common < KMV_K

@@ -34,11 +34,12 @@ def force(df) -> None:
 
 
 def main() -> None:
-    argv = sys.argv[1:]
+    argv = list(sys.argv[1:])
     out = None
     if "--out" in argv:
-        out = argv[argv.index("--out") + 1]
-        argv = [a for a in argv if a != "--out" and a != out]
+        i = argv.index("--out")
+        out = argv[i + 1]
+        del argv[i : i + 2]
     corpus_dir = argv[0] if len(argv) > 0 else "/tmp/scale_corpus"
     rel_dir = argv[1] if len(argv) > 1 else "/tmp/scale_rel"
 
