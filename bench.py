@@ -158,6 +158,17 @@ def main() -> int:
         "sf": sf,
     }
     print(json.dumps(out))
+    # Also write the summary whole to a file: the driver's BENCH_rN
+    # harness has recorded "parsed": null with the metrics only inside
+    # a raw "tail" string (VERDICT r11 artifact nit) — a sidecar file
+    # lets any consumer read the JSON without scraping stdout.
+    summary_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_summary.json")
+    try:
+        with open(summary_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # non-fatal: stdout line is still canonical
+        print(f"bench_summary write failed: {exc}", file=sys.stderr)
     return 0
 
 

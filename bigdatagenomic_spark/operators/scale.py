@@ -1082,7 +1082,12 @@ def q_x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(
             F.col("l_returnflag").alias("g"),
             F.col("l_extendedprice").alias("p"),
-            F.col("l_quantity").cast("long").alias("w"),
+            # floor() BEFORE the long cast on both engines: Spark's
+            # cast truncates while DuckDB's CAST rounds half-even, so
+            # a bare cast would silently diverge on non-integral
+            # quantities (TPC-H quantities are integral, but the
+            # operator shouldn't depend on that).
+            F.floor("l_quantity").cast("long").alias("w"),
         )
         .groupBy("g", "p")
         .agg(F.sum("w").cast("long").alias("wsum"))
@@ -1113,7 +1118,7 @@ def q_x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_X_WEIGHTED_MEDIAN_SQL = """
 WITH cells AS (
   SELECT l_returnflag AS g, l_extendedprice AS p,
-         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum
+         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS wsum
   FROM lineitem GROUP BY 1, 2
 ), c AS (
   SELECT g, p,

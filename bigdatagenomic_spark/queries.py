@@ -4243,9 +4243,12 @@ def q_asm_orf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-reading-frame finder over the FULL-LENGTH cleaned reads
     (not the 13-17 bp codon sample — ORFs need room): per read, the
     non-overlapping left-to-right ORFs ``ATG (codon)*? stop`` with the
-    FIRST in-frame stop (TAA/TAG/TGA) closing each frame — the
-    classic gene-candidate scan (NCBI ORFfinder semantics for one
-    strand, frame of each ATG). Emits per read the ORF count, the
+    FIRST in-frame stop (TAA/TAG/TGA) closing each frame. NOTE: this
+    is a single non-overlapping regex scan, NOT full NCBI-ORFfinder
+    per-ATG semantics — an ATG inside an earlier match is never
+    reconsidered, so nested/alternate-frame ORFs are skipped by
+    design; the scan is deterministic and engine-identical, which is
+    the contract that matters here. Emits per read the ORF count, the
     longest ORF length and total ORF bases.
 
     Engine-portable by regex contract: the lazy ``(?:[ACGT]{3})*?``
@@ -4354,17 +4357,22 @@ register(
 # re-keys the dict into the contract order.
 # ---------------------------------------------------------------------------
 _PRIORITY_PREFIX = [
-    # -- SURVEY §2.B + §2.A end-to-end ------------------------------------
-    "q01_scan_filter", "q02_predicates", "q03_inner_join",
-    "q04_broadcast_join", "q05_outer_join", "q06_anti_join",
-    "q07_range_join", "q08_agg_tpch_q1", "q09_count_distinct",
-    "q10_approx_count_distinct", "q11_rollup", "q12_argmax",
-    "q13_rank_window", "q14_running_sum", "q15_topk", "q16_intersect",
-    "q17_string_funcs", "q18_date_funcs", "q19_math_funcs", "q20_case_when",
-    "q21_array_l2norm", "q22_json_extract", "q23_subquery",
-    "q24_dedup_exact", "q25_term_counts", "q26_cosine_topk", "q27_assembly",
-    # -- SURVEY §2 streaming batch shapes ---------------------------------
-    "q_s02_window_agg", "q_s03_session_agg",
+    # -- SURVEY §2 contract SENTINEL subset (ROTATION.md round 12) --------
+    # VERDICT r11 #2 adopted: the 29 permanently-pinned contract slots
+    # (Q01-Q27 + q_s02 + q_s03) shrink to a rotating ~1/3 sentinel
+    # subset so the freed ~19 slots clear the driver-row coverage debt
+    # (177/311 never-checked at r11) in ~4-5 rounds instead of ~9.
+    # Every contract entry STAYS hash-checked every round by the
+    # sf0.001 pytest oracle suite AND the full-registry vanilla-session
+    # preflight; the sentinel tranches round-robin so each contract
+    # entry still earns a fresh driver row every ~3 rounds.
+    # Round-12 tranche A (flagship + bench headliners):
+    "q01_scan_filter", "q03_inner_join", "q08_agg_tpch_q1",
+    "q10_approx_count_distinct", "q13_rank_window", "q15_topk",
+    "q24_dedup_exact", "q25_term_counts", "q26_cosine_topk",
+    "q27_assembly", "q_s02_window_agg",
+    # Round-13 tranche B (scheduled): q02, q04, q05, q06, q07, q09,
+    # q11, q12, q14, q_s03.  Round-14 tranche C: q16-q23 (+ restart).
     # -- LLM-pipeline core families (graded first-class alongside §2):
     #    dedup, text analysis, multimodal, ANN — one row each under the
     #    driver's 50-entry cap; everything rotated out stays hash-checked
@@ -4414,22 +4422,42 @@ _PRIORITY_PREFIX = [
     # every round by the sf0.001 pytest oracle suite + the
     # full-registry vanilla-session preflight.
     #
-    # -- round 11 rotated IN, rule 2 FIRST (behavior/plan changed this
-    #    round — the ANSI/rounding fixes must earn a driver row):
-    "q_asm_mash_distance",   # jacc -> jacc_micro (integer-exact)
-    "q_x_acf",               # moment-sum rewrite (ANSI zero-variance)
-    "q_x_rolling_corr",      # moment-sum rewrite (ANSI zero-variance);
-                             # pulled forward from round 12 under rule 2
-    "q_text_entropy",        # run-length fold rewrite (same values)
-    "q_x_bloom_join",        # perf-weak in VERDICT r10; plan reworked
-    # -- the rest of the ROTATION.md round-11 block (round-10 ops,
-    #    no driver row yet):
-    "q_x_level_shift", "q_x_sax", "q_text_novelty",
-    "q_graph_neighbor_agg", "q_graph_walks", "q_x_skyline",
-    "q_x_seasonal_decompose", "q_s15_leftjoin_shape", "q_mm_pixel_stats",
-    "q_graph_motifs", "q_text_sentences", "q_sim_filtered_topk",
-    "q_graph_katz", "q_graph_clustering_coeff", "q_x_exact_median",
-    "q_s16_funnel_join_shape",
+    # Round 12 rotated OUT (ROTATION.md): the 21 round-11 rotate-ins,
+    # all hash-green in CORRECTNESS_r11 (q_asm_mash_distance, q_x_acf,
+    # q_x_rolling_corr, q_text_entropy, q_x_bloom_join, q_x_level_shift,
+    # q_x_sax, q_text_novelty, q_graph_neighbor_agg, q_graph_walks,
+    # q_x_skyline, q_x_seasonal_decompose, q_s15_leftjoin_shape,
+    # q_mm_pixel_stats, q_graph_motifs, q_text_sentences,
+    # q_sim_filtered_topk, q_graph_katz, q_graph_clustering_coeff,
+    # q_x_exact_median, q_s16_funnel_join_shape), plus the 18
+    # non-sentinel contract entries (tranches B/C above — pytest +
+    # preflight keep them hash-checked; they re-enter rounds 13/14).
+    #
+    # -- round 12 rotated IN, rule 2 FIRST: wave 9 (session-2 ops,
+    #    newest machinery, zero driver rows; q_x_weighted_median also
+    #    behavior-changed this round — floor-before-cast, ADVICE r11):
+    "q_text_gopher_repetition", "q_text_rake_keywords", "q_dedup_kmv",
+    "q_asm_orf", "q_x_weighted_median",
+    # -- wave 1 (round-11 additions, no driver row yet):
+    "q_text_hapax", "q_text_readability", "q_x_psi_drift",
+    "q_x_chi2_independence", "q_x_gini", "q_graph_degree_assortativity",
+    # -- wave 2 statistics (q_x_trimmed_mean grid-rewritten, rule 2
+    #    twice over):
+    "q_x_spearman_corr", "q_x_mann_whitney", "q_x_ks_test",
+    "q_x_welch_ttest", "q_x_anova_decomp", "q_x_mutual_info",
+    "q_x_trimmed_mean",
+    # -- late statistics trio:
+    "q_x_cusum", "q_x_runs_test", "q_x_survival",
+    # -- TPC-H tranche (VERDICT r11 #3): the 18 shapes with no driver
+    #    row ever (q5/q9/q18 earned theirs in rounds 9/8/10) — the
+    #    most user-visible relational workloads in the registry, pulled
+    #    ahead of further statistics ops via the sentinel-freed slots:
+    "q_tpch_q2_shape", "q_tpch_q3_shape", "q_tpch_q4_shape",
+    "q_tpch_q6_shape", "q_tpch_q7_shape", "q_tpch_q8_shape",
+    "q_tpch_q10_shape", "q_tpch_q11_shape", "q_tpch_q12_shape",
+    "q_tpch_q13_shape", "q_tpch_q14_shape", "q_tpch_q15_shape",
+    "q_tpch_q16_shape", "q_tpch_q17_shape", "q_tpch_q19_shape",
+    "q_tpch_q20_shape", "q_tpch_q21_shape", "q_tpch_q22_shape",
 ]
 
 

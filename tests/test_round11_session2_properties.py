@@ -284,9 +284,10 @@ def test_weighted_median_oracle_matches_python(rows):
 
 def test_kmv_dense_corpus_exercises_estimator_branch():
     """Deterministic hash-dense corpus: each source carries WAY more
-    than K distinct shingles, so this covers the three paths the
-    hypothesis inputs above cannot reach (every generated source there
-    stays under 128 distinct hashes): the (K-1)*2^60 div h_k
+    than K distinct shingles, so this deterministically covers the
+    three paths the hypothesis inputs above rarely reach (a generated
+    source CAN exceed 128 distinct hashes — 8 docs x up to 28
+    shingles — but most draws stay under): the (K-1)*2^60 div h_k
     cardinality-estimate branch, the per-(source, bucket) rn1 <= K
     prune (whose union-of-bucket-minima must still contain the global
     bottom-K), and the urn <= K truncation of the pair union rank."""

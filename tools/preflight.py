@@ -33,6 +33,9 @@ def main() -> int:
     out_path = os.environ.get("PREFLIGHT_OUT")
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            print("usage: preflight.py [sf_dir] [--out FILE]")
+            return 2
         out_path = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"

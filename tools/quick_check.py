@@ -20,6 +20,9 @@ def main() -> int:
     sf_dir = "/root/testdata/sf0.01"
     if "--sf" in argv:
         i = argv.index("--sf")
+        if i + 1 >= len(argv):
+            print("usage: quick_check.py [--sf DIR] name ...")
+            return 2
         sf_dir = argv[i + 1]
         del argv[i : i + 2]
     if not argv:

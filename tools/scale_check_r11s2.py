@@ -38,6 +38,9 @@ def main() -> None:
     out = None
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            print("usage: scale_check_r11s2.py [corpus_dir] [rel_dir] --out FILE")
+            sys.exit(2)
         out = argv[i + 1]
         del argv[i : i + 2]
     corpus_dir = argv[0] if len(argv) > 0 else "/tmp/scale_corpus"
