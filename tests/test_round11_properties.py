@@ -8,6 +8,14 @@ Per the round-11 seed-discipline policy (SURVEY.md §5.2 item 7), NEW
 ops run max_examples=200 in the round they land; Python references use
 engine rounding (floor-half-up grids / integer-exact micro), never
 CPython round().
+
+Round-12 schedule note (policy applied, VERDICT r11 #6): these ops'
+driver rows land in CORRECTNESS_r12 (wave 1/2 + cusum/runs/survival
+are round-12 rotate-ins) and CORRECTNESS_r13 (the displaced five +
+round-11 tail), so max_examples stays 200 THIS round and drops to 30
+in the round AFTER each op's driver row is on disk — do the drop in
+round 13 for the r12 cohort. Any falsifying input found meanwhile gets
+a permanent @example pin.
 """
 
 from __future__ import annotations

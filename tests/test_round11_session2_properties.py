@@ -8,6 +8,11 @@ so a pass validates both engines against a third implementation.
 New ops run max_examples=200 in the round they land (seed-discipline
 policy); Python references use engine arithmetic (integer-exact micro
 grids, md5-prefix hashing), never CPython round().
+
+Round-12 schedule note (policy applied, VERDICT r11 #6): all five
+wave-9 ops are round-12 rotate-ins, so their driver rows land in
+CORRECTNESS_r12 — max_examples stays 200 through round 12 and drops
+to 30 in round 13 once that artifact is on disk (SURVEY §5.2.7).
 """
 
 from __future__ import annotations

@@ -1,7 +1,13 @@
-"""One-off x100 re-measure of the wave-9 ops (min-of-3) for the
-SCALING_r11s2 artifact — the committed sweep's x100 block showed 2-4x
-run-to-run variance from host-load bursts, so the x100 ratios get a
-dedicated quieter-window pass. Writes /tmp/x100_regrind.json."""
+"""x100 re-measure of the wave-9 ops (min-of-3) — first used for the
+SCALING_r11s2 artifact, re-run in round 12 on a quiet host (VERDICT
+r11 #5) with two additions: q_text_readability (the 47.6x ratio
+outlier from the loaded r11 sweep) and an input-partition diagnostic —
+the replica corpora are 32 small files, so Spark's file packing
+(maxPartitionBytes + openCostInBytes) can collapse the x100 scan into
+a handful of partitions, serializing map-only per-row work; the
+diagnostic separates that harness artifact (real 100 TB corpora have
+thousands of well-sized files) from genuine operator cost. Writes
+/tmp/x100_regrind.json (or --out FILE)."""
 
 from __future__ import annotations
 
@@ -23,9 +29,20 @@ def main() -> None:
     from bigdatagenomic_spark.operators.text import (
         q_text_gopher_repetition,
         q_text_rake_keywords,
+        q_text_readability,
     )
     from bigdatagenomic_spark.queries import q_asm_orf
     from bigdatagenomic_spark.session import get_spark
+
+    argv = list(sys.argv[1:])
+    out_path = "/tmp/x100_regrind.json"
+    if "--out" in argv:
+        i = argv.index("--out")
+        if i + 1 >= len(argv):
+            print("usage: x100_regrind.py [--out FILE]")
+            sys.exit(2)
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
 
     spark = get_spark(app_name="x100-regrind")
     spark.sparkContext.setLogLevel("ERROR")
@@ -35,7 +52,18 @@ def main() -> None:
         ("kmv", q_dedup_kmv, "/tmp/scale_corpus"),
         ("orf", q_asm_orf, "/tmp/scale_corpus"),
         ("wmed", q_x_weighted_median, "/tmp/scale_rel"),
+        ("readab", q_text_readability, "/tmp/scale_corpus"),
     ]
+    # input-partition diagnostic: how many scan partitions does the
+    # documents table get at each scale under the session's file
+    # packing? (a collapsed x100 scan serializes map-only work)
+    scan_parts = {}
+    for rep in ("x1", "x100"):
+        p = os.path.join("/tmp/scale_corpus", rep, "documents.parquet")
+        scan_parts[rep] = (
+            spark.read.parquet(p).rdd.getNumPartitions()
+        )
+    print("scan_partitions", json.dumps(scan_parts), flush=True)
     for _, fn, d in ops:
         force(fn(spark, os.path.join(d, "x1")))
     x1 = {}
@@ -60,8 +88,13 @@ def main() -> None:
             "load": round(os.getloadavg()[0], 1),
         }
         print("X100", n, json.dumps(out[n]), flush=True)
-    with open("/tmp/x100_regrind.json", "w") as fh:
-        json.dump({"x1": x1, "x100": out}, fh, indent=1)
+    with open(out_path, "w") as fh:
+        json.dump(
+            {"x1": x1, "x100": out, "scan_partitions": scan_parts},
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
 
 
 if __name__ == "__main__":
