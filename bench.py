@@ -90,6 +90,12 @@ HEADLINE = [
     # this wave added (the other four wave-9 ops are map-only or reuse
     # already-benched two-phase machinery)
     "q_dedup_kmv",
+    # round 12: the TPC-H tranche enters the driver gate (ROTATION.md);
+    # q21 is its heaviest member — lineitem self-joined three ways
+    # (exists-other-supplier / not-exists-other-late-supplier) plus
+    # supplier/orders/nation — the multi-semi-join plan family none of
+    # the existing headliners cover
+    "q_tpch_q21_shape",
 ]
 
 

@@ -4448,16 +4448,23 @@ _PRIORITY_PREFIX = [
     "q_x_trimmed_mean",
     # -- late statistics trio:
     "q_x_cusum", "q_x_runs_test", "q_x_survival",
-    # -- TPC-H tranche (VERDICT r11 #3): the 18 shapes with no driver
-    #    row ever (q5/q9/q18 earned theirs in rounds 9/8/10) — the
-    #    most user-visible relational workloads in the registry, pulled
-    #    ahead of further statistics ops via the sentinel-freed slots:
-    "q_tpch_q2_shape", "q_tpch_q3_shape", "q_tpch_q4_shape",
-    "q_tpch_q6_shape", "q_tpch_q7_shape", "q_tpch_q8_shape",
-    "q_tpch_q10_shape", "q_tpch_q11_shape", "q_tpch_q12_shape",
-    "q_tpch_q13_shape", "q_tpch_q14_shape", "q_tpch_q15_shape",
-    "q_tpch_q16_shape", "q_tpch_q17_shape", "q_tpch_q19_shape",
-    "q_tpch_q20_shape", "q_tpch_q21_shape", "q_tpch_q22_shape",
+    # -- TPC-H tranche (VERDICT r11 #3): the ELEVEN shapes with no
+    #    driver row ever — coverage_report.py showed q2/q4/q7/q10/q14/
+    #    q16/q19 earned rows back in CORRECTNESS_r02/r03 (the verdict's
+    #    "18 never-checked" overcounted; q5/q9/q18 got theirs in rounds
+    #    9/8/10), so only the true first-timers occupy slots here:
+    "q_tpch_q3_shape", "q_tpch_q6_shape", "q_tpch_q8_shape",
+    "q_tpch_q11_shape", "q_tpch_q12_shape", "q_tpch_q13_shape",
+    "q_tpch_q15_shape", "q_tpch_q17_shape", "q_tpch_q20_shape",
+    "q_tpch_q21_shape", "q_tpch_q22_shape",
+    # -- the 7 slots freed by the already-checked TPC-H shapes go to
+    #    the round-13 queue's head (all zero driver rows): the
+    #    displaced five + the first two round-11 text additions —
+    #    every slot in this checked-50 now buys a FIRST-TIME driver
+    #    row (39 rotate-ins − 7 re-checks = 32 → 39 first-timers;
+    #    never-checked 177 → 138):
+    "q_x_hhi", "q_x_mix_entropy", "q_x_winsorize", "q_x_cramers_v",
+    "q_dedup_editdist", "q_text_burstiness", "q_text_wordlen_profile",
 ]
 
 
