@@ -1559,6 +1559,100 @@ ORDER BY prev, next
 
 
 # --------------------------------------------------------------------------
+# sequential pattern support (the ORDERED dual of basket_pairs/lift_rules)
+# --------------------------------------------------------------------------
+def q_x_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-2 sequential-pattern support over user event timelines
+    (the support-counting core of AprioriAll / PrefixSpan's first
+    level, Agrawal-Srikant 1995): for every ordered type pair a → b,
+    how many users have SOME a-event strictly before SOME b-event,
+    with per-antecedent confidence — the ordered dual of
+    q_x_basket_pairs (itemsets ignore order; q_x_markov_transitions
+    counts only ADJACENT pairs, this counts any-gap precedence).
+
+    The existence algebra makes it grid-sized: user u supports a → b
+    iff min_ts(u, a) < max_ts(u, b) — so the events table collapses to
+    ONE per-(user, type) min/max aggregate (map-side combined), and
+    the pattern join is a self equi-join of that grid on user_id with
+    ≤ |event_types| rows per user per side (≤25 pairs/user at any
+    event volume, never events²). a = b is the repeat pattern a → a
+    (two a-events at distinct timestamps) and needs no special case:
+    first < last is exactly "at least two distinct-ts events".
+    Supports/conf emit as integer-exact micro BIGINTs; n_users_a and
+    the 1-row user total attach by broadcast (≤|types| and 1 row).
+
+    Tie contract: simultaneous events (equal ts) do not establish
+    precedence — strict '<' on raw timestamps, identical in both
+    engines, no epoch arithmetic (epoch would drag session-timezone
+    casts into a vanilla-session difference for TIMESTAMP_NTZ; raw
+    timestamp comparison is order-isomorphic and portable).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    a = spans.select(
+        "user_id", F.col("event_type").alias("pat_a"), "first_ts"
+    )
+    b = spans.select(
+        "user_id", F.col("event_type").alias("pat_b"), "last_ts"
+    )
+    supp = (
+        a.join(b, "user_id")
+        .where(F.col("first_ts") < F.col("last_ts"))
+        .groupBy("pat_a", "pat_b")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    users_a = spans.groupBy(F.col("event_type").alias("pat_a")).agg(
+        F.count("*").cast("long").alias("n_users_a")
+    )
+    total = spans.select("user_id").distinct().agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    return (
+        supp.join(F.broadcast(users_a), "pat_a")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pat_a",
+            "pat_b",
+            "n_users",
+            "n_users_a",
+            # integer-exact micro ratios (house rule: no float division
+            # crosses the engine boundary)
+            F.expr("n_users * 1000000 div n_users_a").alias("conf_micro"),
+            F.expr("n_users * 1000000 div n_total").alias("support_micro"),
+        )
+        .orderBy("pat_a", "pat_b")
+    )
+
+
+Q_X_SEQ_PATTERNS_SQL = """
+WITH spans AS (
+  SELECT user_id, event_type, min(ts) AS first_ts, max(ts) AS last_ts
+  FROM events GROUP BY 1, 2
+), supp AS (
+  SELECT a.event_type AS pat_a, b.event_type AS pat_b,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM spans a JOIN spans b
+    ON a.user_id = b.user_id AND a.first_ts < b.last_ts
+  GROUP BY 1, 2
+), ua AS (
+  SELECT event_type AS pat_a, CAST(count(*) AS BIGINT) AS n_users_a
+  FROM spans GROUP BY 1
+), tot AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total FROM spans
+)
+SELECT pat_a, pat_b, n_users, n_users_a,
+       CAST(n_users * 1000000 // n_users_a AS BIGINT) AS conf_micro,
+       CAST(n_users * 1000000 // n_total AS BIGINT) AS support_micro
+FROM supp JOIN ua USING (pat_a) CROSS JOIN tot
+ORDER BY pat_a, pat_b
+"""
+
+
+# --------------------------------------------------------------------------
 # weighted sampling without replacement (Efraimidis-Spirakis order stat)
 # --------------------------------------------------------------------------
 WEIGHTED_SAMPLE_K = 200

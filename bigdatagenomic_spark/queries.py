@@ -4324,6 +4324,127 @@ register(
 )
 
 
+# -- round 12: per-read Burrows-Wheeler transform --------------------------
+BWT_MIN_READ = 10
+BWT_MAX_READ = 120  # rotation table is O(n²) chars/read — pushed-filter
+                    # contract like q_dedup_editdist's 400-char bound
+
+
+def q_asm_bwt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-read Burrows-Wheeler transform (Burrows & Wheeler 1994) with
+    the '$' sentinel, plus run counts before/after — the
+    compressibility/index primitive under BWA/Bowtie read aligners and
+    bzip-family compressors (the reference pipeline aligns reads by
+    direct overlap, assembly_final.cpp:100-145; BWT is the index those
+    tools build instead at scale).
+
+    Semantics: bwt(s) = last column of the lexicographically sorted
+    rotation table of s||'$'. Both engines sort the rotation strings
+    by BINARY byte order over the pure-ASCII {$,A,C,G,T} alphabet
+    ('$'=0x24 sorts first), and the unique sentinel makes every
+    rotation distinct — so the sorted order, hence the transform, is
+    engine-identical with no collation caveat. Run counts fold
+    adjacent-char inequality (1 + Σ [s[i] != s[i-1]]) — NOT a
+    backreference regex, which RE2 (DuckDB) cannot run.
+
+    Plan shape: map-only scan projection — the rotation table, its
+    sort, and both run folds are row-local array expressions; no
+    explode, no shuffle at any corpus size. Per-read cost is
+    O(n² log n) chars bounded by the 10..120-length pushed-filter
+    contract (avg cleaned read ~63 chars → ~4 KB sorted per read).
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatagenomic_spark.functions import let_bound
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    cleaned = F.regexp_replace(F.upper("text"), "[^ACGT]", "")
+    reads = docs.select("doc_id", cleaned.alias("content")).where(
+        F.length("content").between(BWT_MIN_READ, BWT_MAX_READ)
+    )
+
+    def runs_of(s):
+        # 1 + number of adjacent unequal pairs; row-local fold
+        n = F.length(s)
+        return F.lit(1).cast("long") + F.aggregate(
+            F.sequence(F.lit(2), n),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(s.substr(i, F.lit(1)) != s.substr(i - 1, F.lit(1)), 1)
+            .otherwise(0)
+            .cast("long"),
+        )
+
+    def bwt_cols(t):
+        n = F.length(t)
+        rots = F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat(t.substr(i + 1, n - i), t.substr(F.lit(1), i)),
+        )
+        bwt = F.concat_ws(
+            "",
+            F.transform(F.array_sort(rots), lambda r: r.substr(n, F.lit(1))),
+        )
+        return F.struct(bwt.alias("bwt"))
+
+    s1 = reads.select(
+        "doc_id",
+        F.length("content").cast("long").alias("read_len"),
+        runs_of(F.col("content")).alias("runs_orig"),
+        let_bound(
+            F.concat(F.col("content"), F.lit("$")), bwt_cols
+        ).alias("_b"),
+    )
+    return s1.select(
+        "doc_id",
+        "read_len",
+        F.col("_b.bwt").alias("bwt"),
+        "runs_orig",
+        runs_of(F.col("_b.bwt")).alias("runs_bwt"),
+    ).orderBy("doc_id")
+
+
+Q_ASM_BWT_SQL = f"""
+    WITH r AS (
+      SELECT doc_id,
+             regexp_replace(upper(text), '[^ACGT]', '', 'g') AS content
+      FROM documents WHERE text IS NOT NULL
+    ), b AS (
+      SELECT doc_id, content, content || '$' AS t,
+             length(content) + 1 AS n
+      FROM r
+      WHERE length(content) BETWEEN {BWT_MIN_READ} AND {BWT_MAX_READ}
+    ), w AS (
+      SELECT doc_id, content, n,
+             array_to_string(
+               list_transform(
+                 list_sort(list_transform(range(0, n),
+                     i -> substring(t, i + 1, n - i) || substring(t, 1, i))),
+                 r -> substring(r, n, 1)), '') AS bwt
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(length(content) AS BIGINT) AS read_len,
+           bwt,
+           CAST(1 + coalesce(list_sum(list_transform(
+                 range(2, length(content) + 1),
+                 i -> CASE WHEN substring(content, i, 1)
+                             != substring(content, i - 1, 1)
+                      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS runs_orig,
+           CAST(1 + coalesce(list_sum(list_transform(
+                 range(2, n + 1),
+                 i -> CASE WHEN substring(bwt, i, 1)
+                             != substring(bwt, i - 1, 1)
+                      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS runs_bwt
+    FROM w ORDER BY doc_id
+    """
+
+register("q_asm_bwt", q_asm_bwt, Q_ASM_BWT_SQL)
+
+
 # -- round 11 session-2 wave 9: LLM-pipeline text screens ------------------
 # Gopher-style n-gram repetition screens (top-2-gram coverage /
 # duplicate-5-gram positions) — complements q_text_repetition's
@@ -4343,6 +4464,10 @@ register("q_dedup_kmv", D.q_dedup_kmv, D.Q_DEDUP_KMV_SQL)
 register(
     "q_x_weighted_median", SC.q_x_weighted_median, SC.Q_X_WEIGHTED_MEDIAN_SQL
 )
+# -- round 12 additions (two; VERDICT r11 #2 caps the round at <= 5) -------
+# length-2 sequential-pattern support via the (user,type) min/max grid
+register("q_x_seq_patterns", RX.q_x_seq_patterns, RX.Q_X_SEQ_PATTERNS_SQL)
+# q_asm_bwt is registered above with its oracle (genomics section)
 
 
 # ---------------------------------------------------------------------------

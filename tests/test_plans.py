@@ -354,6 +354,7 @@ _BNLJ_ALLOWED = {
                              # expansion over the localCheckpointed
                              # <= |sources|*k-row SKETCH — bounded by
                              # construction, never the corpus
+    "q_x_seq_patterns",      # 1-row user-total scalar (tfidf pattern)
 }
 
 
