@@ -1590,8 +1590,16 @@ def q_x_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
-    spans = ev.groupBy("user_id", "event_type").agg(
-        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    # localCheckpoint the grid: spans feeds FOUR consumers (a, b,
+    # users_a, total) and the static plan would otherwise replay the
+    # events scan + aggregate for each — the q_dedup_kmv lesson. The
+    # checkpointed frame is |users|·|types| rows, trivially small;
+    # the shuffle audit measured the un-checkpointed form at 4 fact
+    # scans (shuffled rows still narrow, 13.9 B/row).
+    spans = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .localCheckpoint(eager=True)
     )
     a = spans.select(
         "user_id", F.col("event_type").alias("pat_a"), "first_ts"
