@@ -168,7 +168,12 @@ def main() -> int:
     # harness has recorded "parsed": null with the metrics only inside
     # a raw "tail" string (VERDICT r11 artifact nit) — a sidecar file
     # lets any consumer read the JSON without scraping stdout.
-    summary_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_summary.json")
+    # Default OUTSIDE the repo checkout (ADVICE r12: defaulting to the
+    # CWD dirtied the repo and silently overwrote the committed
+    # artifact on every run); set SPARK_GRAFT_BENCH_OUT to override.
+    summary_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", "/tmp/bench_summary.json"
+    )
     try:
         with open(summary_path, "w") as fh:
             json.dump(out, fh, indent=1)

@@ -1587,8 +1587,19 @@ def q_x_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     casts into a vanilla-session difference for TIMESTAMP_NTZ; raw
     timestamp comparison is order-isomorphic and portable).
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        # NULL guard (ADVICE r12): a NULL event_type would survive the
+        # groupBy into pat_a and the final ORDER BY then diverges
+        # between engines (Spark asc = NULLS FIRST, DuckDB asc = NULLS
+        # LAST); NULL user_id/ts can't establish precedence anyway.
+        # Same explicit-filter convention as q_x_markov_transitions.
+        .where(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
     )
     # localCheckpoint the grid: spans feeds FOUR consumers (a, b,
     # users_a, total) and the static plan would otherwise replay the
@@ -1639,7 +1650,9 @@ def q_x_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_X_SEQ_PATTERNS_SQL = """
 WITH spans AS (
   SELECT user_id, event_type, min(ts) AS first_ts, max(ts) AS last_ts
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
 ), supp AS (
   SELECT a.event_type AS pat_a, b.event_type AS pat_b,
          CAST(count(*) AS BIGINT) AS n_users

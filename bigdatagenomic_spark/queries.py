@@ -4367,10 +4367,15 @@ def q_asm_bwt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def runs_of(s):
-        # 1 + number of adjacent unequal pairs; row-local fold
+        # 1 + number of adjacent unequal pairs; row-local fold.
+        # Explicit step 1 (ADVICE r12): for a length-1 string Spark's
+        # two-arg sequence(2, 1) would infer step -1 and yield [2, 1]
+        # — a silently-wrong run count; with step 1 it errors/empties
+        # instead. Unreachable here anyway (BWT_MIN_READ=10 pushed
+        # filter), but the helper now guards itself.
         n = F.length(s)
         return F.lit(1).cast("long") + F.aggregate(
-            F.sequence(F.lit(2), n),
+            F.sequence(F.lit(2), n, F.lit(1)),
             F.lit(0).cast("long"),
             lambda acc, i: acc
             + F.when(s.substr(i, F.lit(1)) != s.substr(i - 1, F.lit(1)), 1)
@@ -4482,7 +4487,12 @@ register("q_x_seq_patterns", RX.q_x_seq_patterns, RX.Q_X_SEQ_PATTERNS_SQL)
 # re-keys the dict into the contract order.
 # ---------------------------------------------------------------------------
 _PRIORITY_PREFIX = [
-    # -- SURVEY §2 contract SENTINEL subset (ROTATION.md round 12) --------
+    # -- round 13 rule 2 FIRST: the two round-12 additions (zero driver
+    #    rows, property-tested at 200 examples until their rows land;
+    #    q_x_seq_patterns also behavior-changed this round — explicit
+    #    NULL guards on user_id/event_type/ts, ADVICE r12):
+    "q_x_seq_patterns", "q_asm_bwt",
+    # -- SURVEY §2 contract SENTINEL subset (ROTATION.md round 13) --------
     # VERDICT r11 #2 adopted: the 29 permanently-pinned contract slots
     # (Q01-Q27 + q_s02 + q_s03) shrink to a rotating ~1/3 sentinel
     # subset so the freed ~19 slots clear the driver-row coverage debt
@@ -4491,13 +4501,11 @@ _PRIORITY_PREFIX = [
     # sf0.001 pytest oracle suite AND the full-registry vanilla-session
     # preflight; the sentinel tranches round-robin so each contract
     # entry still earns a fresh driver row every ~3 rounds.
-    # Round-12 tranche A (flagship + bench headliners):
-    "q01_scan_filter", "q03_inner_join", "q08_agg_tpch_q1",
-    "q10_approx_count_distinct", "q13_rank_window", "q15_topk",
-    "q24_dedup_exact", "q25_term_counts", "q26_cosine_topk",
-    "q27_assembly", "q_s02_window_agg",
-    # Round-13 tranche B (scheduled): q02, q04, q05, q06, q07, q09,
-    # q11, q12, q14, q_s03.  Round-14 tranche C: q16-q23 (+ restart).
+    # Round-13 tranche B:
+    "q02_predicates", "q04_broadcast_join", "q05_outer_join",
+    "q06_anti_join", "q07_range_join", "q09_count_distinct",
+    "q11_rollup", "q12_argmax", "q14_running_sum", "q_s03_session_agg",
+    # Round-14 tranche C (scheduled): q16-q23 (+ tranche A restarts).
     # -- LLM-pipeline core families (graded first-class alongside §2):
     #    dedup, text analysis, multimodal, ANN — one row each under the
     #    driver's 50-entry cap; everything rotated out stays hash-checked
@@ -4558,38 +4566,41 @@ _PRIORITY_PREFIX = [
     # non-sentinel contract entries (tranches B/C above — pytest +
     # preflight keep them hash-checked; they re-enter rounds 13/14).
     #
-    # -- round 12 rotated IN, rule 2 FIRST: wave 9 (session-2 ops,
-    #    newest machinery, zero driver rows; q_x_weighted_median also
-    #    behavior-changed this round — floor-before-cast, ADVICE r11):
-    "q_text_gopher_repetition", "q_text_rake_keywords", "q_dedup_kmv",
-    "q_asm_orf", "q_x_weighted_median",
-    # -- wave 1 (round-11 additions, no driver row yet):
-    "q_text_hapax", "q_text_readability", "q_x_psi_drift",
-    "q_x_chi2_independence", "q_x_gini", "q_graph_degree_assortativity",
-    # -- wave 2 statistics (q_x_trimmed_mean grid-rewritten, rule 2
-    #    twice over):
-    "q_x_spearman_corr", "q_x_mann_whitney", "q_x_ks_test",
-    "q_x_welch_ttest", "q_x_anova_decomp", "q_x_mutual_info",
-    "q_x_trimmed_mean",
-    # -- late statistics trio:
-    "q_x_cusum", "q_x_runs_test", "q_x_survival",
-    # -- TPC-H tranche (VERDICT r11 #3): the ELEVEN shapes with no
-    #    driver row ever — coverage_report.py showed q2/q4/q7/q10/q14/
-    #    q16/q19 earned rows back in CORRECTNESS_r02/r03 (the verdict's
-    #    "18 never-checked" overcounted; q5/q9/q18 got theirs in rounds
-    #    9/8/10), so only the true first-timers occupy slots here:
-    "q_tpch_q3_shape", "q_tpch_q6_shape", "q_tpch_q8_shape",
-    "q_tpch_q11_shape", "q_tpch_q12_shape", "q_tpch_q13_shape",
-    "q_tpch_q15_shape", "q_tpch_q17_shape", "q_tpch_q20_shape",
-    "q_tpch_q21_shape", "q_tpch_q22_shape",
-    # -- the 7 slots freed by the already-checked TPC-H shapes go to
-    #    the round-13 queue's head (all zero driver rows): the
-    #    displaced five + the first two round-11 text additions —
-    #    every slot in this checked-50 now buys a FIRST-TIME driver
-    #    row (39 rotate-ins − 7 re-checks = 32 → 39 first-timers;
-    #    never-checked 177 → 138):
-    "q_x_hhi", "q_x_mix_entropy", "q_x_winsorize", "q_x_cramers_v",
-    "q_dedup_editdist", "q_text_burstiness", "q_text_wordlen_profile",
+    # Round 13 rotated OUT (ROTATION.md): sentinel tranche A (q01, q03,
+    # q08, q10, q13, q15, q24-q27, q_s02 — all green in CORRECTNESS_r12,
+    # q10 rows-only by contract) and the 39 round-12 rotate-ins, all
+    # hash-green in CORRECTNESS_r12 (wave 9: gopher_repetition,
+    # rake_keywords, kmv, orf, weighted_median; wave 1: hapax,
+    # readability, psi_drift, chi2_independence, gini,
+    # degree_assortativity; statistics: spearman, mann_whitney, ks_test,
+    # welch_ttest, anova_decomp, mutual_info, trimmed_mean, cusum,
+    # runs_test, survival; TPC-H first-timers q3/q6/q8/q11/q12/q13/q15/
+    # q17/q20/q21/q22; plus hhi, mix_entropy, winsorize, cramers_v,
+    # editdist, burstiness, wordlen_profile). All stay hash-checked
+    # every round by the sf0.001 pytest oracle suite + the
+    # full-registry vanilla-session preflight.
+    #
+    # -- round 13 rotated IN (38 + rule-2 pair above = 40 first-time
+    #    rows): the 8 remaining round-11 additions with no driver row:
+    "q_x_lift_rules", "q_text_heaps_curve", "q_x_decay_agg",
+    "q_asm_codon_usage", "q_asm_dinuc_bias", "q_text_lang_confusion",
+    "q_graph_two_hop", "q_mm_payload_dedup",
+    # -- the ROTATION.md round-13 named queue:
+    "q_asm_kmer_entropy", "q_asm_gc_skew", "q_x_calibration",
+    "q_x_item_cosine", "q_x_join_size", "q_x_scd2_history",
+    "q_x_funnel", "q_text_zipf", "q_x_ewma", "q_mm_silence_trim",
+    # -- ~20 from the never-checked sweep, queue head order
+    #    (tools/coverage_report.py --list is the authoritative queue;
+    #    these are its first 20 entries not already named above —
+    #    mostly the round-9 cohort whose CORRECTNESS_r09 artifact was
+    #    never written, so their rows were lost to the accounting):
+    "q_asm_minimizers", "q_asm_minimizer_overlaps", "q_asm_gc_content",
+    "q_asm_overlap_hist", "q_asm_canonical_kmers", "q_asm_bubbles",
+    "q_asm_low_complexity", "q_asm_tandem_repeats", "q_asm_tips",
+    "q_text_quality_filter", "q_text_bigram_logprob", "q_text_pii_redact",
+    "q_dedup_containment", "q_dedup_lsh_tuning", "q_dedup_rate_report",
+    "q_dedup_simhash_pairs", "q_sim_sq_topk", "q_sim_rerank",
+    "q_sim_hard_negatives", "q_sim_lsh_recall",
 ]
 
 

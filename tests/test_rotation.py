@@ -44,8 +44,12 @@ def test_sentinels_are_contract_entries():
     from bigdatagenomic_spark.queries import _PRIORITY_PREFIX
 
     sentinels = [n for n in _PRIORITY_PREFIX if n in CONTRACT]
-    # the sentinel tranche leads the prefix (driver sees them first)
-    assert _PRIORITY_PREFIX[: len(sentinels)] == sentinels
+    # the sentinel tranche is a CONTIGUOUS leading block, allowing only
+    # rule-2 entries (new/behavior-changed ops that must earn a driver
+    # row) ahead of it — round 13 leads with the two round-12 additions
+    first = _PRIORITY_PREFIX.index(sentinels[0])
+    assert first <= 5, "sentinel tranche must sit at the prefix head"
+    assert _PRIORITY_PREFIX[first : first + len(sentinels)] == sentinels
     # a tranche is ~1/3 of the contract, never the empty set
     assert 8 <= len(sentinels) <= 12
 

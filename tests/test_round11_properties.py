@@ -9,13 +9,14 @@ ops run max_examples=200 in the round they land; Python references use
 engine rounding (floor-half-up grids / integer-exact micro), never
 CPython round().
 
-Round-12 schedule note (policy applied, VERDICT r11 #6): these ops'
-driver rows land in CORRECTNESS_r12 (wave 1/2 + cusum/runs/survival
-are round-12 rotate-ins) and CORRECTNESS_r13 (the displaced five +
-round-11 tail), so max_examples stays 200 THIS round and drops to 30
-in the round AFTER each op's driver row is on disk — do the drop in
-round 13 for the r12 cohort. Any falsifying input found meanwhile gets
-a permanent @example pin.
+Round-13 schedule note (policy applied, VERDICT r12 #5): the r12
+cohort's driver rows are on disk in CORRECTNESS_r12, so those tests
+dropped to max_examples=30 this round (all @example pins kept). The
+eight ops whose rows land in CORRECTNESS_r13 (lift_rules, codon_usage,
+dinuc_bias, decay_agg, lang_confusion, two_hop, heaps_curve,
+payload_dedup) stay at their landing budget (200/150) and drop to 30
+in round 14 once that artifact is on disk. Any falsifying input found
+meanwhile gets a permanent @example pin.
 """
 
 from __future__ import annotations
@@ -51,7 +52,7 @@ def _tokens(text: str) -> list[str]:
 # hapax legomena ratio
 # ---------------------------------------------------------------------------
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.text(alphabet="ab c.d!", min_size=0, max_size=60),
@@ -87,7 +88,7 @@ def test_hapax_oracle_matches_python(texts):
 # Flesch readability
 # ---------------------------------------------------------------------------
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.text(alphabet="the quick fox.! ", min_size=0, max_size=80),
@@ -123,7 +124,7 @@ def test_readability_oracle_matches_python(texts):
 # PSI drift
 # ---------------------------------------------------------------------------
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(0, 20), st.sampled_from(["a", "b", "c"])),
@@ -169,7 +170,7 @@ def test_psi_drift_oracle_matches_python(raw):
 # chi-squared independence cells
 # ---------------------------------------------------------------------------
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(0, 13), st.sampled_from(["a", "b", "c"])),
@@ -220,7 +221,7 @@ def test_chi2_cells_oracle_matches_python(raw):
 # Gini concentration (integer-exact — equality, no tolerance)
 # ---------------------------------------------------------------------------
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(0, 2), st.integers(1, 500)),
@@ -252,7 +253,7 @@ def test_gini_oracle_matches_python(rows):
 # degree assortativity
 # ---------------------------------------------------------------------------
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(0, 12), st.integers(0, 6)),
@@ -333,7 +334,7 @@ def _double_ranks(vals):
     return dr
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -387,7 +388,7 @@ def _mw_events_frame(clicks, purchases):
     return pd.DataFrame({"event_type": types, "value": vals})
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=50),
     st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=50),
@@ -419,7 +420,7 @@ def test_mann_whitney_oracle_matches_python(clicks, purchases):
             assert row[4] is None
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=50),
     st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=50),
@@ -438,7 +439,7 @@ def test_ks_oracle_matches_python(clicks, purchases):
     assert row == (n1, n2, d_num * 1000000 // (n1 * n2))
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(st.integers(min_value=1, max_value=10**6), min_size=2, max_size=40),
     st.lists(st.integers(min_value=1, max_value=10**6), min_size=2, max_size=40),
@@ -473,7 +474,7 @@ def test_welch_oracle_matches_python(clicks, purchases):
         assert row[4] is None and row[5] is None
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -514,7 +515,7 @@ def test_anova_decomp_oracle_matches_python(rows):
         assert abs(g_ssw - ssw) <= 1
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -557,7 +558,7 @@ def test_mutual_info_oracle_matches_python(rows):
     con.close()
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -636,7 +637,7 @@ def _py_shingles(text: str) -> set:
     return out
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.text(alphabet="abc d.e", min_size=0, max_size=30),
@@ -683,7 +684,7 @@ def test_editdist_oracle_matches_python(texts):
     con.close()
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6),
@@ -718,7 +719,7 @@ def test_burstiness_oracle_matches_python(doc_tokens):
     con.close()
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -935,7 +936,7 @@ def test_decay_agg_oracle_matches_python(rows):
     con.close()
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -1097,7 +1098,7 @@ from bigdatagenomic_spark.operators.text import (  # noqa: E402
 )
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -1212,7 +1213,7 @@ from bigdatagenomic_spark.operators.stats import (  # noqa: E402
 )
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=40)
 )
@@ -1237,7 +1238,7 @@ def test_cusum_oracle_matches_python(day_counts):
     con.close()
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(st.integers(min_value=1, max_value=20), min_size=2, max_size=40)
 )
@@ -1279,7 +1280,7 @@ def test_runs_test_oracle_matches_python(day_counts):
 from bigdatagenomic_spark.operators.stats import Q_X_SURVIVAL_SQL  # noqa: E402
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -1329,7 +1330,7 @@ from bigdatagenomic_spark.operators.stats import (  # noqa: E402
 )
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -1367,7 +1368,7 @@ def test_hhi_oracle_matches_python(rows):
     con.close()
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(

@@ -9,10 +9,9 @@ New ops run max_examples=200 in the round they land (seed-discipline
 policy); Python references use engine arithmetic (integer-exact micro
 grids, md5-prefix hashing), never CPython round().
 
-Round-12 schedule note (policy applied, VERDICT r11 #6): all five
-wave-9 ops are round-12 rotate-ins, so their driver rows land in
-CORRECTNESS_r12 — max_examples stays 200 through round 12 and drops
-to 30 in round 13 once that artifact is on disk (SURVEY §5.2.7).
+Round-13 schedule note (policy applied, VERDICT r12 #5): all five
+wave-9 ops earned driver rows in CORRECTNESS_r12, so max_examples
+dropped to 30 this round (SURVEY §5.2.7); @example pins kept.
 """
 
 from __future__ import annotations
@@ -62,7 +61,7 @@ _TEXTS = st.lists(_WORDS, min_size=0, max_size=30).map(" ".join)
 # Gopher repetition screens
 # ---------------------------------------------------------------------------
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(st.lists(_TEXTS, min_size=1, max_size=6))
 def test_gopher_repetition_oracle_matches_python(texts):
     con = _docs_con(texts)
@@ -126,7 +125,7 @@ def _rake_reference(texts):
     return scored[:RAKE_TOP_K]
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(st.lists(_TEXTS, min_size=1, max_size=6))
 def test_rake_oracle_matches_python(texts):
     con = _docs_con(texts)
@@ -192,7 +191,7 @@ def _kmv_reference(texts, sources):
     return rows
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(_TEXTS, min_size=1, max_size=8),
     st.data(),
@@ -213,7 +212,7 @@ def test_kmv_oracle_matches_python(texts, data):
 _ORF_RE = re.compile(r"ATG(?:[ACGT]{3})*?(?:TAA|TAG|TGA)")
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.text(alphabet="ACGTacgt xy", min_size=0, max_size=120),
@@ -244,7 +243,7 @@ def test_orf_oracle_matches_python(texts):
 # weighted exact median
 # ---------------------------------------------------------------------------
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=30, deadline=None)
 @given(
     st.lists(
         st.tuples(

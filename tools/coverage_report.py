@@ -28,11 +28,25 @@ def main() -> int:
     names = list(registry.queries())
     checked50 = names[:50]
 
+    # A row counts as "checked" only if it was GREEN (ADVICE r12: a red
+    # driver row — err set, hash_match false — must not pay down the
+    # debt this tool exists to audit). Green = no err AND (hash_match
+    # true, or rows_match true for the documented no-oracle entries).
     ever: set[str] = set()
+    red: set[str] = set()
     arts = sorted(glob.glob("CORRECTNESS_r*.json"))
     for art in arts:
         with open(art) as fh:
-            ever.update(json.load(fh).keys())
+            for name, row in json.load(fh).items():
+                err = row.get("err")
+                green = (not err and (row.get("hash_match") or row.get("rows_match"))) or (
+                    # documented weaker tier: no-oracle entries (e.g. the
+                    # approximate-by-contract q10) get a rows-only driver
+                    # check — spark ran and produced rows
+                    err == "no_oracle" and row.get("spark_rows") is not None
+                )
+                (ever if green else red).add(name)
+    red -= ever  # red-only: never earned a green row anywhere
 
     never = [n for n in names if n not in ever]
     after_this_round = [n for n in never if n not in checked50]
@@ -49,6 +63,7 @@ def main() -> int:
                 "projected_never_checked_after_this_round": len(
                     after_this_round
                 ),
+                "red_only_rows": sorted(red & set(names)),
             }
         )
     )

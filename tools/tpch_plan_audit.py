@@ -27,9 +27,14 @@ COUNTERS = {
     "bnlj": r"BroadcastNestedLoopJoin",
     "cartesian": r"CartesianProduct",
     "exchange": r"Exchange (?:hash|range)partitioning",
+    # ADVICE r12: global aggregates / top-Ns emit "Exchange
+    # SinglePartition" which the hash/range pattern missed — count it
+    # separately so shuffle totals are complete
+    "exchange_single": r"Exchange SinglePartition",
     "broadcast_exchange": r"BroadcastExchange",
     # executed-plan strings mark codegen membership with "*(id) Node";
-    # distinct ids = whole-stage codegen spans
+    # this counts node OCCURRENCES inside codegen (see wsc_spans below
+    # for distinct-span counting — ADVICE r12)
     "wsc_nodes": r"\*\(\d+\) ",
 }
 
@@ -72,6 +77,9 @@ def main() -> int:
         row = {
             k: len(re.findall(pat, plan)) for k, pat in COUNTERS.items()
         }
+        # distinct codegen ids = whole-stage codegen SPANS (ADVICE r12:
+        # wsc_nodes counts occurrences, not spans)
+        row["wsc_spans"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
         table[name] = row
         if row["cartesian"] or row["bnlj"]:
             flagged.append(name)
@@ -82,7 +90,8 @@ def main() -> int:
         "plans": table,
         "flagged_cartesian_or_bnlj": flagged,
         "totals": {
-            k: sum(r[k] for r in table.values()) for k in COUNTERS
+            k: sum(r[k] for r in table.values())
+            for k in list(COUNTERS) + ["wsc_spans"]
         },
     }
     print(json.dumps({"flagged": flagged, "totals": out["totals"]}))
