@@ -679,3 +679,66 @@ def test_round9_ops_plan_shapes(spark):
     df = _df(spark, "q_text_cdc_chunks")
     assert join_kinds(df) == []
     assert exchange_count(df) <= 2
+
+
+def test_tranche_c_contract_plan_shapes(spark):
+    """Plan pins for sentinel tranche C (q16-q23) ahead of their
+    round-14 driver-gate re-entry (VERDICT r12 #6). The pure-scan
+    members (q17-q22) must stay single-scan map-only jobs: pruned
+    read schema, no join, one ORDER BY exchange; the set-op and
+    subquery members must broadcast, never sort-merge."""
+    # q16 INTERSECT: two 1-column pruned scans, broadcast-only joins
+    df = _df(spark, "q16_intersect")
+    assert set(join_kinds(df)) == {"BroadcastHashJoin"}
+    assert sorted(scan_schemas(df)) == [
+        "struct<c_nationkey:int>", "struct<s_nationkey:int>",
+    ]
+    assert exchange_count(df) <= 2  # distinct agg + output sort
+    # q17 string funcs: one pruned parts scan, no shuffle but the sort
+    df = _df(spark, "q17_string_funcs")
+    assert join_kinds(df) == []
+    assert exchange_count(df) <= 1
+    (schema,) = scan_schemas(df)
+    assert schema == (
+        "struct<p_partkey:bigint,p_name:string,p_brand:string,"
+        "p_type:string>"
+    )
+    # q18 date funcs: 1-column orders scan; agg + output sort
+    df = _df(spark, "q18_date_funcs")
+    assert join_kinds(df) == []
+    assert scan_schemas(df) == ["struct<o_orderdate:timestamp_ntz>"]
+    assert exchange_count(df) <= 2
+    # q19 math funcs: 5-of-16-column lineitem scan, map-only + sort
+    df = _df(spark, "q19_math_funcs")
+    assert join_kinds(df) == []
+    assert exchange_count(df) <= 1
+    (schema,) = scan_schemas(df)
+    assert schema.count(":") == 5  # pruned to exactly 5 columns
+    # q20 case/when: 2-column orders scan, map-only + sort
+    df = _df(spark, "q20_case_when")
+    assert join_kinds(df) == []
+    assert exchange_count(df) <= 1
+    assert scan_schemas(df) == [
+        "struct<o_orderkey:bigint,o_totalprice:double>"
+    ]
+    # q21 array L2 norm: embeddings scan, row-local HOF, no shuffle
+    # beyond the sort — the vector math must stay inside the scan stage
+    df = _df(spark, "q21_array_l2norm")
+    assert join_kinds(df) == []
+    assert exchange_count(df) <= 1
+    assert scan_schemas(df) == [
+        "struct<vec_id:bigint,embedding:array<float>>"
+    ]
+    # q22 JSON extraction: 2-column events scan, map-only + sort
+    df = _df(spark, "q22_json_extract")
+    assert join_kinds(df) == []
+    assert exchange_count(df) <= 1
+    assert scan_schemas(df) == ["struct<event_id:bigint,props:string>"]
+    # q23 scalar subquery: the avg cutoff must PUSH to the fact scan as
+    # a ScalarSubquery filter (not a post-scan Filter), no join at all
+    df = _df(spark, "q23_subquery")
+    assert join_kinds(df) == []
+    pushed = " ".join(pushed_filters(df))
+    assert "GreaterThan(o_totalprice" in pushed
+    assert "ScalarSubquery" in pushed
+    assert exchange_count(df) <= 2  # subquery agg + output sort
