@@ -2918,3 +2918,283 @@ SELECT day, n, k,
 FROM folded
 ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# round 13: Kendall tau-b rank correlation (Kendall 1938; tau-b tie
+# correction per Kendall 1945) and Theil-Sen robust slope (Theil 1950,
+# Sen 1968) — the concordance-based companions to q_x_spearman_corr and
+# q_x_linreg.
+# ---------------------------------------------------------------------------
+
+
+def q_x_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between line-item quantity and
+    discount per return flag — the concordance-probability association
+    measure (same variables as q_x_spearman_corr so the two screens
+    read side by side; tau-b's tie correction handles the heavy
+    discount ties that raw tau-a would dilute).
+
+    Scale shape: the fact table collapses to the (flag, qv, dv)
+    CONTINGENCY CELL grid first (<=50 quantities x <=11 discount points
+    = <=550 cells per group), and concordance is counted on cell PAIRS,
+    never row pairs: C - D = sum over cell pairs with qv2 > qv1 and
+    dv2 <> dv1 of sign(dv2 - dv1) * n1 * n2 — a broadcast self equi-join
+    on the flag key with range predicates, <=550^2 pair rows per group
+    at ANY fact volume (the O(n log n) merge-sort trick is unnecessary
+    once ties compress the domain this hard). Tie terms n1/n2 come from
+    the two marginals; everything accumulates in DECIMAL(38,0)/HUGEINT
+    (exact to ~1e19 pair products), and only the final tau divides,
+    floor-snapped onto the micro grid inside a positivity CASE guard —
+    the q_x_spearman_corr device.
+
+    References: reference has no statistics surface (assembly_final.cpp
+    is a genome assembler); this extends SURVEY §2.C's statistical-test
+    family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("long").alias("qv"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("dv"),
+    )
+    # localCheckpoint the cell grid: it feeds FOUR consumers (both join
+    # sides, xm, ym) and the static plan would otherwise replay the
+    # fact scan + aggregate for each — the q_dedup_kmv lesson; the
+    # x1/x10/x100 sweep measured the un-checkpointed form at 28.5x
+    # wall at x100, the checkpointed grid is <=550 rows x 3 groups
+    cells = (
+        base.groupBy("l_returnflag", "qv", "dv")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    d38 = "decimal(38,0)"
+    a = cells.select(
+        "l_returnflag",
+        F.col("qv").alias("qv1"),
+        F.col("dv").alias("dv1"),
+        F.col("cnt").alias("n1c"),
+    )
+    b = cells.select(
+        "l_returnflag",
+        F.col("qv").alias("qv2"),
+        F.col("dv").alias("dv2"),
+        F.col("cnt").alias("n2c"),
+    )
+    sgn = F.when(F.col("dv2") > F.col("dv1"), F.lit(1)).otherwise(F.lit(-1))
+    cd = (
+        a.join(F.broadcast(b), "l_returnflag")
+        .where((F.col("qv2") > F.col("qv1")) & (F.col("dv2") != F.col("dv1")))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                sgn.cast(d38) * F.col("n1c") * F.col("n2c")
+            ).alias("_cd")
+        )
+    )
+    xm = (
+        cells.groupBy("l_returnflag", "qv")
+        .agg(F.sum("cnt").cast("long").alias("_cq"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.col("_cq").cast(d38) * (F.col("_cq") - 1)
+            ).alias("_tx2"),
+            F.sum("_cq").cast("long").alias("n"),
+        )
+    )
+    ym = (
+        cells.groupBy("l_returnflag", "dv")
+        .agg(F.sum("cnt").cast("long").alias("_cd2"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.col("_cd2").cast(d38) * (F.col("_cd2") - 1)
+            ).alias("_ty2")
+        )
+    )
+    m = cd.join(F.broadcast(xm), "l_returnflag").join(
+        F.broadcast(ym), "l_returnflag"
+    )
+    # n0 = n(n-1)/2; tie terms tx = sum cq(cq-1)/2, ty likewise; all
+    # doubled here (x2) so nothing ever divides by 2 before the guard
+    tau = F.expr(
+        "CASE WHEN CAST(n AS DECIMAL(38,0)) * (n - 1) - _tx2 > 0"
+        "      AND CAST(n AS DECIMAL(38,0)) * (n - 1) - _ty2 > 0"
+        "     THEN CAST(floor(2.0 * CAST(_cd AS DOUBLE)"
+        "                / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1)"
+        "                            - _tx2 AS DOUBLE)"
+        "                       * CAST(CAST(n AS DECIMAL(38,0)) * (n - 1)"
+        "                              - _ty2 AS DOUBLE))"
+        "                * 1000000 + 0.5) AS BIGINT)"
+        " END"
+    )
+    return m.select("l_returnflag", "n", tau.alias("tau_micro")).orderBy(
+        "l_returnflag"
+    )
+
+
+Q_X_KENDALL_TAU_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS qv,
+         CAST(round(l_discount * 100) AS BIGINT) AS dv
+  FROM lineitem
+), cells AS (
+  SELECT l_returnflag, qv, dv, CAST(count(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2, 3
+), cd AS (
+  SELECT a.l_returnflag,
+         sum(CAST(CASE WHEN b.dv > a.dv THEN 1 ELSE -1 END AS HUGEINT)
+             * a.cnt * b.cnt) AS cdv
+  FROM cells a JOIN cells b
+    ON b.l_returnflag = a.l_returnflag
+   AND b.qv > a.qv AND b.dv <> a.dv
+  GROUP BY 1
+), xm AS (
+  SELECT l_returnflag, sum(CAST(cq AS HUGEINT) * (cq - 1)) AS tx2,
+         CAST(sum(cq) AS BIGINT) AS n
+  FROM (SELECT l_returnflag, qv, CAST(sum(cnt) AS BIGINT) AS cq
+        FROM cells GROUP BY 1, 2) GROUP BY 1
+), ym AS (
+  SELECT l_returnflag, sum(CAST(cd2 AS HUGEINT) * (cd2 - 1)) AS ty2
+  FROM (SELECT l_returnflag, dv, CAST(sum(cnt) AS BIGINT) AS cd2
+        FROM cells GROUP BY 1, 2) GROUP BY 1
+)
+SELECT cd.l_returnflag, xm.n,
+       CASE WHEN CAST(xm.n AS HUGEINT) * (xm.n - 1) - xm.tx2 > 0
+             AND CAST(xm.n AS HUGEINT) * (xm.n - 1) - ym.ty2 > 0
+            THEN CAST(floor(2.0 * CAST(cd.cdv AS DOUBLE)
+                       / sqrt(CAST(CAST(xm.n AS HUGEINT) * (xm.n - 1)
+                                   - xm.tx2 AS DOUBLE)
+                              * CAST(CAST(xm.n AS HUGEINT) * (xm.n - 1)
+                                     - ym.ty2 AS DOUBLE))
+                       * 1000000 + 0.5) AS BIGINT)
+       END AS tau_micro
+FROM cd JOIN xm USING (l_returnflag) JOIN ym USING (l_returnflag)
+ORDER BY l_returnflag
+"""
+
+
+def q_x_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily event volume per event type:
+    the MEDIAN of all pairwise slopes (c_j - c_i) / (day_j - day_i) —
+    the 29%-breakdown-point alternative to q_x_linreg's OLS slope
+    (one outlier day cannot move it), the standard trend estimator for
+    noisy operational series (Theil 1950, Sen 1968).
+
+    Scale shape: the fact table collapses to the per-(type, day) count
+    grid FIRST, so the pair table is CALENDAR-bounded — O(days^2) per
+    type regardless of event volume (x100 events = same days = same
+    pair count; ~90 days -> ~4k pairs/type). Median selection runs a
+    row_number window PARTITIONED BY event_type over that bounded pair
+    table (documented bound: a 10-year series is ~6.6M pairs/type —
+    still one executor's work; past that, switch to the
+    Matousek/Chazelle randomized O(n log n) estimator before pointing
+    this op at it). Slopes are single IEEE divisions of small integers
+    and the median (or the two-middle average) floor-snaps onto the
+    micro grid — both engines evaluate the identical expression tree,
+    so the double is deterministic; no summation-order hazard exists
+    because nothing sums floats.
+
+    References: reference has no statistics surface; this extends
+    SURVEY §2.C's statistical-test family.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    # localCheckpoint the daily grid (three consumers: both pair-join
+    # sides + ndays would each replay the events scan otherwise — the
+    # q_dedup_kmv lesson); the grid is |types| x |days| rows
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("c").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("c").alias("c2")
+    )
+    pairs = (
+        a.join(F.broadcast(b), "event_type")
+        .where(F.col("d2") > F.col("d1"))
+        .select(
+            "event_type",
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / F.datediff("d2", "d1").cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("slope")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("_m"),
+    )
+    # odd m: the middle element; even m: mean of the two middles —
+    # both engines pick by identical (m+1) div 2 / m div 2 + 1 ranks
+    # (integer division — (m+1)/2 would be a DOUBLE in Spark and miss
+    # every even-m rank)
+    med = (
+        ranked.where(
+            (F.col("_rn") == F.expr("(_m + 1) div 2"))
+            | (F.col("_rn") == F.expr("_m div 2 + 1"))
+        )
+        .groupBy("event_type")
+        .agg(
+            (F.sum("slope") / F.count("*")).alias("_med"),
+            F.max("_m").cast("long").alias("n_pairs"),
+        )
+    )
+    ndays = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    return (
+        med.join(F.broadcast(ndays), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.expr(
+                "CAST(floor(_med * 1000000 + 0.5) AS BIGINT)"
+            ).alias("slope_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_X_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CAST(b.c - a.c AS DOUBLE)
+         / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day > a.day
+), ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs
+), med AS (
+  SELECT event_type, sum(slope) / count(*) AS medv,
+         CAST(max(m) AS BIGINT) AS n_pairs
+  FROM ranked
+  WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+  GROUP BY 1
+), nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days, n_pairs,
+       CAST(floor(medv * 1000000 + 0.5) AS BIGINT) AS slope_micro
+FROM med JOIN nd USING (event_type)
+ORDER BY event_type
+"""

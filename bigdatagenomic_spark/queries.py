@@ -4474,6 +4474,15 @@ register(
 register("q_x_seq_patterns", RX.q_x_seq_patterns, RX.Q_X_SEQ_PATTERNS_SQL)
 # q_asm_bwt is registered above with its oracle (genomics section)
 
+# -- round 13 additions (<=5 cap, VERDICT r12 #2; rule-2 rotate-ins for
+#    round 14's checked-50) --------------------------------------------
+# Kendall tau-b on the contingency-cell grid (concordance companion to
+# q_x_spearman_corr)
+register("q_x_kendall_tau", ST.q_x_kendall_tau, ST.Q_X_KENDALL_TAU_SQL)
+# Theil-Sen robust daily-volume slope (breakdown-point companion to
+# q_x_linreg's OLS trend)
+register("q_x_theil_sen", ST.q_x_theil_sen, ST.Q_X_THEIL_SEN_SQL)
+
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks registry entries in
