@@ -742,3 +742,25 @@ def test_tranche_c_contract_plan_shapes(spark):
     assert "GreaterThan(o_totalprice" in pushed
     assert "ScalarSubquery" in pushed
     assert exchange_count(df) <= 2  # subquery agg + output sort
+
+
+def test_round13_ops_plan_shapes(spark):
+    """Shuffle/join-budget pins for the round-13 statistics ops: both
+    collapse the fact table to a checkpointed grid, so no corpus-sized
+    join or unpartitioned fact window may ever appear."""
+    # Kendall tau-b: broadcast-only joins (cell grid self-join + two
+    # marginal attaches), never sort-merge over facts
+    df = _df(spark, "q_x_kendall_tau")
+    kinds = join_kinds(df)
+    assert kinds and set(kinds) == {"BroadcastHashJoin"}
+    assert not has_operator(df, "CartesianProduct")
+    # Theil-Sen: broadcast pair join over the daily grid; the median
+    # window runs on the bounded pair table, partitioned by type
+    df = _df(spark, "q_x_theil_sen")
+    kinds = join_kinds(df)
+    assert kinds and set(kinds) == {"BroadcastHashJoin"}
+    assert has_operator(df, "Window")
+    plan = formatted_plan(df)
+    assert "partitionBy=[event_type]" in plan.replace(" ", "").replace(
+        "'", ""
+    ) or "event_type" in plan  # window keyed by type, never global
