@@ -1805,38 +1805,74 @@ def q_x_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives outliers and nonlinearity (Pearson on AVERAGE ranks is
     exactly the tie-corrected Spearman rho).
 
-    Scale shape: ranks never touch the fact table's row order — the
-    distinct-value grids (<=50 quantities, <=11 discount points per
-    group) carry the tie structure, their running counts go through
-    two_phase_cumsum, and the tiny grids broadcast back onto the fact
-    rows (map-only attaches). The five moments are one map-side-combined
-    aggregate over integer double-ranks; DECIMAL(38,0)/HUGEINT sums keep
-    them exact to ~7e8 rows/group (documented bound; past it the micro
-    grid is unchanged by the last-digit loss a double would add).
+    Scale shape (round-13 cell-grid form): ranks never touch the fact
+    table at all — ONE map-side-combined aggregate collapses the facts
+    to the joint (qv, dv) contingency grid (<=550 cells per group), the
+    two marginals carry the tie structure through two_phase_cumsum, and
+    the five moments are a count-weighted aggregate over the CELLS
+    (sum(drx*dry) over rows == sum(cnt*drx*dry) over cells, exactly).
+    DECIMAL(38,0)/HUGEINT sums keep them exact to ~7e8 rows/group
+    (documented bound; past it the micro grid is unchanged by the
+    last-digit loss a double would add). The DuckDB oracle deliberately
+    keeps the original fact-row window formulation, so the grid algebra
+    is checked against an independent derivation every round.
     """
+    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
+
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
         "l_returnflag",
         F.round(F.col("l_quantity")).cast("long").alias("qv"),
         F.round(F.col("l_discount") * 100).cast("long").alias("dv"),
     )
-    rq = _double_rank_table(base, ["l_returnflag"], "qv").select(
-        "l_returnflag", "qv", F.col("_dr").alias("_drx")
+    # Round-13 rewrite (the q_x_kendall_tau device): the moments are
+    # computable ENTIRELY on the joint (qv, dv) contingency-cell grid —
+    # drx depends only on qv's marginal and dry only on dv's, so
+    # sum(drx*dry) over rows = sum(cnt*drx*dry) over cells. One fact
+    # scan builds the <=550-cell grid; the old form joined both rank
+    # grids back onto every fact row and aggregated the full table.
+    # The grid feeds three consumers (both marginals + the moment
+    # aggregate), hence the eager localCheckpoint. Output is
+    # bit-identical (same integer double-ranks, same DECIMAL sums).
+    cells = (
+        base.groupBy("l_returnflag", "qv", "dv")
+        .agg(F.count("*").cast("long").alias("_cnt"))
+        .localCheckpoint(eager=True)
     )
-    rd = _double_rank_table(base, ["l_returnflag"], "dv").select(
-        "l_returnflag", "dv", F.col("_dr").alias("_dry")
+    xm = cells.groupBy("l_returnflag", "qv").agg(
+        F.sum("_cnt").cast("long").alias("_cq")
     )
-    joined = base.join(F.broadcast(rq), ["l_returnflag", "qv"]).join(
+    rq = two_phase_cumsum(
+        xm.withColumnRenamed("_cq", "_cnt"), "_cnt",
+        [F.col("qv").asc()], group_cols=["l_returnflag"], out_col="_cum",
+    ).select(
+        "l_returnflag", "qv",
+        (F.lit(2) * F.col("_cum") - F.col("_cnt") + 1)
+        .cast("long").alias("_drx"),
+    )
+    ym = cells.groupBy("l_returnflag", "dv").agg(
+        F.sum("_cnt").cast("long").alias("_cd")
+    )
+    rd = two_phase_cumsum(
+        ym.withColumnRenamed("_cd", "_cnt"), "_cnt",
+        [F.col("dv").asc()], group_cols=["l_returnflag"], out_col="_cum",
+    ).select(
+        "l_returnflag", "dv",
+        (F.lit(2) * F.col("_cum") - F.col("_cnt") + 1)
+        .cast("long").alias("_dry"),
+    )
+    joined = cells.join(F.broadcast(rq), ["l_returnflag", "qv"]).join(
         F.broadcast(rd), ["l_returnflag", "dv"]
     )
     d38 = "decimal(38,0)"
+    c = F.col("_cnt").cast(d38)
     m = joined.groupBy("l_returnflag").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.col("_drx").cast(d38)).alias("_sx"),
-        F.sum(F.col("_dry").cast(d38)).alias("_sy"),
-        F.sum(F.col("_drx").cast(d38) * F.col("_dry")).alias("_sxy"),
-        F.sum(F.col("_drx").cast(d38) * F.col("_drx")).alias("_sxx"),
-        F.sum(F.col("_dry").cast(d38) * F.col("_dry")).alias("_syy"),
+        F.sum("_cnt").cast("long").alias("n"),
+        F.sum(c * F.col("_drx")).alias("_sx"),
+        F.sum(c * F.col("_dry")).alias("_sy"),
+        F.sum(c * F.col("_drx") * F.col("_dry")).alias("_sxy"),
+        F.sum(c * F.col("_drx") * F.col("_drx")).alias("_sxx"),
+        F.sum(c * F.col("_dry") * F.col("_dry")).alias("_syy"),
     )
     rho = F.expr(
         "CASE WHEN n * _sxx - _sx * _sx > 0 AND n * _syy - _sy * _sy > 0"
