@@ -921,7 +921,12 @@ def q_x_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = two_phase_cumsum(
         dv, "_cnt", [F.col("cents").asc()], group_cols=["grp"], out_col="_cum"
     )
-    tot = dv.groupBy("grp").agg(F.sum("_cnt").cast("long").alias("n"))
+    # n per group = MAX of the inclusive cumsum, derived from `cum`
+    # (lineage ends at two_phase_cumsum's internal checkpoint) — a
+    # dv-rooted total was a second consumer of the un-checkpointed
+    # aggregate and replayed the fact scan (round-13 fix, the
+    # q_dedup_kmv lesson in its join-back form)
+    tot = cum.groupBy("grp").agg(F.max("_cum").cast("long").alias("n"))
     base = cum.join(F.broadcast(tot), "grp").withColumn(
         "_kept",
         F.expr(
@@ -989,7 +994,12 @@ def q_x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = two_phase_cumsum(
         dv, "_cnt", [F.col("cents").asc()], group_cols=["grp"], out_col="_cum"
     )
-    tot = dv.groupBy("grp").agg(F.sum("_cnt").cast("long").alias("n"))
+    # n per group = MAX of the inclusive cumsum, derived from `cum`
+    # (lineage ends at two_phase_cumsum's internal checkpoint) — a
+    # dv-rooted total was a second consumer of the un-checkpointed
+    # aggregate and replayed the fact scan (round-13 fix, the
+    # q_dedup_kmv lesson in its join-back form)
+    tot = cum.groupBy("grp").agg(F.max("_cum").cast("long").alias("n"))
     wide = cum.join(F.broadcast(tot), "grp")
     bounds = wide.groupBy("grp", "n").agg(
         F.min(
