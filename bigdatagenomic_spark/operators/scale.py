@@ -917,7 +917,16 @@ def q_x_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
-    dv = li.groupBy("grp", "cents").agg(F.count("*").cast("long").alias("_cnt"))
+    # localCheckpoint the grid BEFORE two_phase_cumsum: its internal
+    # repartitionByRange SAMPLES the un-materialized input to pick
+    # range bounds, so the fact scan + aggregate would run twice (the
+    # shuffle_audit measured 3 fact scans here pre-fix); the grid is
+    # |distinct cents| narrow rows
+    dv = (
+        li.groupBy("grp", "cents")
+        .agg(F.count("*").cast("long").alias("_cnt"))
+        .localCheckpoint(eager=True)
+    )
     cum = two_phase_cumsum(
         dv, "_cnt", [F.col("cents").asc()], group_cols=["grp"], out_col="_cum"
     )
@@ -990,7 +999,16 @@ def q_x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
-    dv = li.groupBy("grp", "cents").agg(F.count("*").cast("long").alias("_cnt"))
+    # localCheckpoint the grid BEFORE two_phase_cumsum: its internal
+    # repartitionByRange SAMPLES the un-materialized input to pick
+    # range bounds, so the fact scan + aggregate would run twice (the
+    # shuffle_audit measured 3 fact scans here pre-fix); the grid is
+    # |distinct cents| narrow rows
+    dv = (
+        li.groupBy("grp", "cents")
+        .agg(F.count("*").cast("long").alias("_cnt"))
+        .localCheckpoint(eager=True)
+    )
     cum = two_phase_cumsum(
         dv, "_cnt", [F.col("cents").asc()], group_cols=["grp"], out_col="_cum"
     )
@@ -1101,6 +1119,10 @@ def q_x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("g", "p")
         .agg(F.sum("w").cast("long").alias("wsum"))
+        # checkpoint: the grid feeds the cumsum (whose repartitionByRange
+        # SAMPLES its input — a second scan) and the total; without it
+        # the shuffle_audit measured FOUR fact scans for this operator
+        .localCheckpoint(eager=True)
     )
     cum = two_phase_cumsum(
         cells, "wsum", [F.col("p").asc()], group_cols=["g"], out_col="cw"

@@ -2056,9 +2056,13 @@ def q_x_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum1 = two_phase_cumsum(dv, "_c1", [F.col("v").asc()], out_col="_cum1")
     cum2 = two_phase_cumsum(cum1, "_c2", [F.col("v").asc()], out_col="_cum2")
     d38 = "decimal(38,0)"
-    tot = dv.agg(
-        F.sum("_c1").cast("long").alias("n1"),
-        F.sum("_c2").cast("long").alias("n2"),
+    # totals = MAX of the inclusive cumsums, derived from cum2 (lineage
+    # ends at two_phase_cumsum's internal checkpoint) — a dv-rooted
+    # total was a second consumer of the un-checkpointed aggregate and
+    # replayed the events scan (round-13 fix)
+    tot = cum2.agg(
+        F.max("_cum1").cast("long").alias("n1"),
+        F.max("_cum2").cast("long").alias("n2"),
     )
     m = (
         cum2.crossJoin(F.broadcast(tot))
