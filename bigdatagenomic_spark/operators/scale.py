@@ -34,6 +34,7 @@ def two_phase_rank(
     group_cols: list[str] | None = None,
     n_parts: int | None = None,
     rank_col: str = "rank",
+    checkpoint_input: bool = False,
 ) -> DataFrame:
     """Exact dense row-number rank WITHOUT a single-partition sort.
 
@@ -69,6 +70,13 @@ def two_phase_rank(
         # values are partition-count-invariant, so this is purely a
         # physical knob
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if checkpoint_input:
+        # repartitionByRange SAMPLES its input to pick range bounds, so
+        # an un-materialized df computes twice (sample pass + shuffle
+        # pass). Opt in when df's lineage is expensive (a fact scan or
+        # a tokenize) and its row count is grid-sized (SCALING.md
+        # Part 14 addendum, round 13).
+        df = df.localCheckpoint(eager=True)
     parts = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in group_cols], *order_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -110,6 +118,7 @@ def two_phase_cumsum(
     group_cols: list[str] | None = None,
     n_parts: int | None = None,
     out_col: str = "cumsum",
+    checkpoint_input: bool = False,
 ) -> DataFrame:
     """Exact (per-group) INCLUSIVE running sum of an integral column
     WITHOUT a single-partition window — the cumsum sibling of
@@ -130,6 +139,13 @@ def two_phase_cumsum(
     group_cols = list(group_cols or [])
     if n_parts is None:
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if checkpoint_input:
+        # repartitionByRange SAMPLES its input to pick range bounds, so
+        # an un-materialized df computes twice (sample pass + shuffle
+        # pass). Opt in when df's lineage is expensive (a fact scan or
+        # a tokenize) and its row count is grid-sized (SCALING.md
+        # Part 14 addendum, round 13).
+        df = df.localCheckpoint(eager=True)
     parts = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in group_cols], *order_cols)
         .withColumn("_pid", F.spark_partition_id())
