@@ -1780,25 +1780,6 @@ ORDER BY event_type, iso_dow
 #     or the chain silently runs in DECIMAL arithmetic.
 # ---------------------------------------------------------------------------
 
-def _double_rank_table(base: DataFrame, group_cols: list[str], val_col: str):
-    """Per-(group, distinct value) tie table with the integer double-rank
-    ``dr = 2*cum - cnt + 1`` (twice the average rank of that value's tie
-    block). |output| = |distinct grid points|, not |rows|; the running
-    count uses two_phase_cumsum, so no partition ever holds a whole
-    group's ordered set."""
-    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
-
-    dv = base.groupBy(*group_cols, val_col).agg(
-        F.count("*").cast("long").alias("_cnt")
-    )
-    cum = two_phase_cumsum(
-        dv, "_cnt", [F.col(val_col).asc()], group_cols=group_cols, out_col="_cum"
-    )
-    return cum.withColumn(
-        "_dr", (F.lit(2) * F.col("_cum") - F.col("_cnt") + 1).cast("long")
-    )
-
-
 def q_x_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-corrected Spearman rank correlation between line-item quantity
     and discount, per return flag — the monotone-association screen that
@@ -3116,6 +3097,11 @@ ORDER BY l_returnflag
 """
 
 
+# 10 years: past this the per-type pair table leaves "one executor's
+# work" territory (~6.6M pairs at 3653 days; 100 years would be ~670M).
+_THEIL_SEN_MAX_SPAN_DAYS = 3653
+
+
 def q_x_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend of the daily event volume per event type:
     the MEDIAN of all pairwise slopes (c_j - c_i) / (day_j - day_i) —
@@ -3128,10 +3114,15 @@ def q_x_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     type regardless of event volume (x100 events = same days = same
     pair count; ~90 days -> ~4k pairs/type). Median selection runs a
     row_number window PARTITIONED BY event_type over that bounded pair
-    table (documented bound: a 10-year series is ~6.6M pairs/type —
-    still one executor's work; past that, switch to the
-    Matousek/Chazelle randomized O(n log n) estimator before pointing
-    this op at it). Slopes are single IEEE divisions of small integers
+    table (ENFORCED bound, VERDICT r13 #4: a runtime guard on the
+    checkpointed grid raises ValueError when any type's day span
+    exceeds ``_THEIL_SEN_MAX_SPAN_DAYS`` = 3653 — a 10-year series is
+    ~6.6M pairs/type, still one executor's work; past that, switch to
+    the Matousek/Chazelle randomized O(n log n) estimator before
+    pointing this op at it — the same fail-loud discipline as
+    q_asm_bwt's pushed 10..120 length filter, except BWT's bound is a
+    filter by contract while an over-span series here is a caller
+    error). Slopes are single IEEE divisions of small integers
     and the median (or the two-middle average) floor-snaps onto the
     micro grid — both engines evaluate the identical expression tree,
     so the double is deterministic; no summation-order hazard exists
@@ -3151,6 +3142,25 @@ def q_x_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("c"))
         .localCheckpoint(eager=True)
     )
+    # Contract guard (VERDICT r13 #4): the O(days^2) pair table is only
+    # sane while the calendar stays bounded. One 1-row aggregate on the
+    # ALREADY-materialized grid (bounded driver read, the assembly.py
+    # path-walk precedent) fails loudly before any 670M-row pair table
+    # per type can be built.
+    span_row = (
+        daily.groupBy("event_type")
+        .agg(F.datediff(F.max("day"), F.min("day")).alias("_span"))
+        .agg(F.max("_span").alias("_max_span"))
+        .collect()[0]
+    )
+    max_span = span_row["_max_span"]
+    if max_span is not None and max_span > _THEIL_SEN_MAX_SPAN_DAYS:
+        raise ValueError(
+            f"q_x_theil_sen: day span {max_span} exceeds the documented "
+            f"{_THEIL_SEN_MAX_SPAN_DAYS}-day (10-year) O(days^2) contract; "
+            "use a windowed/rolling slope or the Matousek/Chazelle "
+            "randomized O(n log n) estimator for longer series"
+        )
     a = daily.select(
         "event_type", F.col("day").alias("d1"), F.col("c").alias("c1")
     )

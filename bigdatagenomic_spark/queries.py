@@ -4496,12 +4496,21 @@ register("q_x_theil_sen", ST.q_x_theil_sen, ST.Q_X_THEIL_SEN_SQL)
 # re-keys the dict into the contract order.
 # ---------------------------------------------------------------------------
 _PRIORITY_PREFIX = [
-    # -- round 13 rule 2 FIRST: the two round-12 additions (zero driver
-    #    rows, property-tested at 200 examples until their rows land;
-    #    q_x_seq_patterns also behavior-changed this round — explicit
-    #    NULL guards on user_id/event_type/ts, ADVICE r12):
-    "q_x_seq_patterns", "q_asm_bwt",
-    # -- SURVEY §2 contract SENTINEL subset (ROTATION.md round 13) --------
+    # -- round 14 rule 2 FIRST (VERDICT r13 #1: the 10-deep backlog must
+    #    re-earn driver rows before any sweep slot is spent): the two
+    #    round-13 additions (property-tested at 200 examples until their
+    #    rows land; theil_sen also behavior-changed this round — runtime
+    #    day-span contract guard, VERDICT r13 #4):
+    "q_x_kendall_tau", "q_x_theil_sen",
+    # -- then the eight round-13 sampling-double-scan plan rewrites
+    #    (grids checkpoint before the two-phase helpers, totals derive
+    #    from the cumsum output; SCALING.md Part 14 addendum — outputs
+    #    bit-identical but plan rewrites re-check, the r11 trimmed_mean
+    #    precedent):
+    "q_x_spearman_corr", "q_x_trimmed_mean", "q_x_winsorize",
+    "q_x_weighted_median", "q_x_ks_test", "q_x_curriculum",
+    "q_x_train_shards", "q_x_token_budget_mix",
+    # -- SURVEY §2 contract SENTINEL subset (ROTATION.md round 14) --------
     # VERDICT r11 #2 adopted: the 29 permanently-pinned contract slots
     # (Q01-Q27 + q_s02 + q_s03) shrink to a rotating ~1/3 sentinel
     # subset so the freed ~19 slots clear the driver-row coverage debt
@@ -4510,11 +4519,12 @@ _PRIORITY_PREFIX = [
     # sf0.001 pytest oracle suite AND the full-registry vanilla-session
     # preflight; the sentinel tranches round-robin so each contract
     # entry still earns a fresh driver row every ~3 rounds.
-    # Round-13 tranche B:
-    "q02_predicates", "q04_broadcast_join", "q05_outer_join",
-    "q06_anti_join", "q07_range_join", "q09_count_distinct",
-    "q11_rollup", "q12_argmax", "q14_running_sum", "q_s03_session_agg",
-    # Round-14 tranche C (scheduled): q16-q23 (+ tranche A restarts).
+    # Round-14 tranche C (plans pinned r13, tests/test_plans.py):
+    "q16_intersect", "q17_string_funcs", "q18_date_funcs",
+    "q19_math_funcs", "q20_case_when", "q21_array_l2norm",
+    "q22_json_extract", "q23_subquery",
+    # Round-15 tranche A (scheduled): q01, q03, q08, q10, q13, q15,
+    # q24-q27, q_s02.
     # -- LLM-pipeline core families (graded first-class alongside §2):
     #    dedup, text analysis, multimodal, ANN — one row each under the
     #    driver's 50-entry cap; everything rotated out stays hash-checked
@@ -4589,27 +4599,37 @@ _PRIORITY_PREFIX = [
     # every round by the sf0.001 pytest oracle suite + the
     # full-registry vanilla-session preflight.
     #
-    # -- round 13 rotated IN (38 + rule-2 pair above = 40 first-time
-    #    rows): the 8 remaining round-11 additions with no driver row:
-    "q_x_lift_rules", "q_text_heaps_curve", "q_x_decay_agg",
-    "q_asm_codon_usage", "q_asm_dinuc_bias", "q_text_lang_confusion",
-    "q_graph_two_hop", "q_mm_payload_dedup",
-    # -- the ROTATION.md round-13 named queue:
-    "q_asm_kmer_entropy", "q_asm_gc_skew", "q_x_calibration",
-    "q_x_item_cosine", "q_x_join_size", "q_x_scd2_history",
-    "q_x_funnel", "q_text_zipf", "q_x_ewma", "q_mm_silence_trim",
-    # -- ~20 from the never-checked sweep, queue head order
-    #    (tools/coverage_report.py --list is the authoritative queue;
-    #    these are its first 20 entries not already named above —
-    #    mostly the round-9 cohort whose CORRECTNESS_r09 artifact was
-    #    never written, so their rows were lost to the accounting):
-    "q_asm_minimizers", "q_asm_minimizer_overlaps", "q_asm_gc_content",
-    "q_asm_overlap_hist", "q_asm_canonical_kmers", "q_asm_bubbles",
-    "q_asm_low_complexity", "q_asm_tandem_repeats", "q_asm_tips",
-    "q_text_quality_filter", "q_text_bigram_logprob", "q_text_pii_redact",
-    "q_dedup_containment", "q_dedup_lsh_tuning", "q_dedup_rate_report",
-    "q_dedup_simhash_pairs", "q_sim_sq_topk", "q_sim_rerank",
-    "q_sim_hard_negatives", "q_sim_lsh_recall",
+    # Round 13 rotated OUT (ROTATION.md): sentinel tranche B (q02,
+    # q04-q07, q09, q11, q12, q14, q_s03 — all hash-green in
+    # CORRECTNESS_r13) and the 40 round-13 rotate-ins, all hash-green
+    # in CORRECTNESS_r13 (rule-2 pair q_x_seq_patterns + q_asm_bwt; the
+    # 8 remaining round-11 additions lift_rules, heaps_curve, decay_agg,
+    # codon_usage, dinuc_bias, lang_confusion, two_hop, payload_dedup;
+    # the named queue kmer_entropy, gc_skew, calibration, item_cosine,
+    # join_size, scd2_history, funnel, text_zipf, ewma, silence_trim;
+    # and the 20-entry never-checked sweep head — the round-9 cohort
+    # minimizers..tips, quality_filter, bigram_logprob, pii_redact,
+    # containment, lsh_tuning, rate_report, simhash_pairs, sq_topk,
+    # rerank, hard_negatives, lsh_recall). All stay hash-checked every
+    # round by the sf0.001 pytest oracle suite + the full-registry
+    # vanilla-session preflight.
+    #
+    # -- round 14 rotated IN (32 sweep slots, queue order from
+    #    tools/coverage_report.py --list at the round-13 seal —
+    #    pre-verified 32/32 green vs DuckDB at sf0.01 on the sealed
+    #    round-13 HEAD; leads with the never-checked streaming batch
+    #    shapes, VERDICT r13 #3):
+    "q_s06_enrich_shape", "q_s07_clickview_shape", "q_s14_trending_shape",
+    "q_mm_shot_bounds", "q_mm_chunked_payload", "q_sim_pq_recall",
+    "q_graph_lpa", "q_x_tree_closure", "q_text_bpe_tokens",
+    "q_x_union_except", "q_x_string_regex", "q_dedup_minhash_est",
+    "q_dedup_cluster_sizes", "q_s08_interval_join",
+    "q_x_stratified_sample", "q_x_ntile_firstlast",
+    "q_x_embedding_dim_stats", "q_x_emb_centroids", "q_x_percent_rank",
+    "q_x_conditional_aggs", "q_x_correlated_subquery", "q_tpch_q5_shape",
+    "q_x_cube", "q_x_range_frame", "q_x_salted_join", "q_text_pii_scrub",
+    "q_graph_pagerank", "q_cluster_kmeans", "q_x_confusion",
+    "q_graph_triangles", "q_graph_kcore", "q_graph_scc",
 ]
 
 

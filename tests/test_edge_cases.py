@@ -396,3 +396,58 @@ def test_bootstrap_ci_ranks_derive_from_n_reps(spark):
     wide = bootstrap_ci_mean(orders, n_reps=200).collect()[0]
     assert wide.ci_lo < wide.point_mean < wide.ci_hi
     assert wide.ci_hi - wide.ci_lo < 2.0
+
+
+def test_theil_sen_span_guard_fails_loudly(spark, tmp_path):
+    """VERDICT r13 #4: a series wider than the documented 10-year
+    O(days^2) contract must raise before any pair table is built —
+    a 100-year calendar would mean ~670M pairs per type."""
+    import pytest
+
+    from bigdatagenomic_spark.operators.stats import q_x_theil_sen
+
+    rows = [
+        (1, datetime(1970, 1, 1, 12, 0, 0), 1, "click", 1.0, "{}"),
+        (2, datetime(2070, 1, 1, 12, 0, 0), 2, "click", 1.0, "{}"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    with pytest.raises(ValueError, match="10-year"):
+        q_x_theil_sen(spark, str(tmp_path))
+
+
+def test_theil_sen_span_guard_passes_at_contract_boundary(spark, tmp_path):
+    """Just-inside-contract series (< 10 years) must run normally."""
+    from bigdatagenomic_spark.operators.stats import q_x_theil_sen
+
+    rows = [
+        (1, datetime(2020, 1, 1, 12, 0, 0), 1, "click", 1.0, "{}"),
+        (2, datetime(2020, 1, 2, 12, 0, 0), 2, "click", 1.0, "{}"),
+        (3, datetime(2029, 1, 1, 12, 0, 0), 3, "click", 1.0, "{}"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = q_x_theil_sen(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["n_days"] == 3 and out[0]["n_pairs"] == 3

@@ -761,6 +761,12 @@ def test_round13_ops_plan_shapes(spark):
     assert kinds and set(kinds) == {"BroadcastHashJoin"}
     assert has_operator(df, "Window")
     plan = formatted_plan(df)
-    assert "partitionBy=[event_type]" in plan.replace(" ", "").replace(
-        "'", ""
-    ) or "event_type" in plan  # window keyed by type, never global
+    # window keyed by type, never global: the partition key is the FIRST
+    # argument of every windowspecdefinition in the plan (ADVICE r13
+    # killed the vacuous `or "event_type" in plan` fallback here — the
+    # scan mentions event_type in every plan, so it could never fail)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,)]+)", plan)
+    assert specs, "theil_sen plan lost its Window specs"
+    assert all(s.strip().startswith("event_type#") for s in specs), specs

@@ -46,9 +46,12 @@ def test_sentinels_are_contract_entries():
     sentinels = [n for n in _PRIORITY_PREFIX if n in CONTRACT]
     # the sentinel tranche is a CONTIGUOUS leading block, allowing only
     # rule-2 entries (new/behavior-changed ops that must earn a driver
-    # row) ahead of it — round 13 leads with the two round-12 additions
+    # row) ahead of it — round 14 leads with a 10-deep rule-2 backlog
+    # (the two round-13 additions + the eight sampling-double-scan plan
+    # rewrites, VERDICT r13 #1); the bound tracks ROTATION.md's rule-2
+    # list, never sweep slots
     first = _PRIORITY_PREFIX.index(sentinels[0])
-    assert first <= 5, "sentinel tranche must sit at the prefix head"
+    assert first <= 10, "sentinel tranche must sit at the prefix head"
     assert _PRIORITY_PREFIX[first : first + len(sentinels)] == sentinels
     # a tranche is ~1/3 of the contract, never the empty set
     assert 8 <= len(sentinels) <= 12

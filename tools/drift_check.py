@@ -42,9 +42,12 @@ DEFAULT_QUERIES = [
 def main() -> int:
     argv = list(sys.argv[1:])
     reps, sf_dir, label = 5, "/root/testdata/sf0.1", "unlabeled"
-    for flag, default in (("--reps", None), ("--sf", None), ("--label", None)):
+    for flag in ("--reps", "--sf", "--label"):
         if flag in argv:
             i = argv.index(flag)
+            if i + 1 >= len(argv):
+                print(f"usage: drift_check.py [{flag} VALUE] [name ...]")
+                return 2
             val = argv[i + 1]
             del argv[i : i + 2]
             if flag == "--reps":
