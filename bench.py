@@ -118,6 +118,15 @@ CONTROL_SUSPECT_RATIO = 1.5
 
 
 def main() -> int:
+    # The summary must be the ONLY line on stdout (VERDICT r13 #8: the
+    # driver's BENCH_rN harness recorded "parsed": null because JVM /
+    # log4j startup noise lands on fd 1 ahead of the JSON). Park the
+    # real stdout on a dup'd fd and point fd 1 at stderr for the whole
+    # run — the Spark JVM inherits the redirect at launch — then write
+    # the one JSON line to the saved fd at the end.
+    real_stdout_fd = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -163,7 +172,8 @@ def main() -> int:
         ),
         "sf": sf,
     }
-    print(json.dumps(out))
+    with os.fdopen(real_stdout_fd, "w") as real_stdout:
+        real_stdout.write(json.dumps(out) + "\n")
     # Also write the summary whole to a file: the driver's BENCH_rN
     # harness has recorded "parsed": null with the metrics only inside
     # a raw "tail" string (VERDICT r11 artifact nit) — a sidecar file

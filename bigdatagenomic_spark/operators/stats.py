@@ -3097,9 +3097,32 @@ ORDER BY l_returnflag
 """
 
 
-# 10 years: past this the per-type pair table leaves "one executor's
-# work" territory (~6.6M pairs at 3653 days; 100 years would be ~670M).
+# 10 years: past this the per-type day-pair table leaves "one
+# executor's work" territory (~6.6M pairs at 3653 days; 100 years
+# would be ~670M). Shared by every O(days^2) pairwise-over-the-
+# calendar estimator (theil_sen, mann_kendall).
 _THEIL_SEN_MAX_SPAN_DAYS = 3653
+
+
+def _guard_day_span(daily: DataFrame, op: str) -> None:
+    """Fail-loud contract guard (VERDICT r13 #4) for O(days^2) day-pair
+    estimators: one 1-row aggregate on the ALREADY-materialized daily
+    grid (bounded driver read, the assembly.py path-walk precedent)
+    raises before any over-contract pair table can be built."""
+    span_row = (
+        daily.groupBy("event_type")
+        .agg(F.datediff(F.max("day"), F.min("day")).alias("_span"))
+        .agg(F.max("_span").alias("_max_span"))
+        .collect()[0]
+    )
+    max_span = span_row["_max_span"]
+    if max_span is not None and max_span > _THEIL_SEN_MAX_SPAN_DAYS:
+        raise ValueError(
+            f"{op}: day span {max_span} exceeds the documented "
+            f"{_THEIL_SEN_MAX_SPAN_DAYS}-day (10-year) O(days^2) contract; "
+            "use a windowed/rolling slope or the Matousek/Chazelle "
+            "randomized O(n log n) estimator for longer series"
+        )
 
 
 def q_x_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3142,25 +3165,7 @@ def q_x_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("c"))
         .localCheckpoint(eager=True)
     )
-    # Contract guard (VERDICT r13 #4): the O(days^2) pair table is only
-    # sane while the calendar stays bounded. One 1-row aggregate on the
-    # ALREADY-materialized grid (bounded driver read, the assembly.py
-    # path-walk precedent) fails loudly before any 670M-row pair table
-    # per type can be built.
-    span_row = (
-        daily.groupBy("event_type")
-        .agg(F.datediff(F.max("day"), F.min("day")).alias("_span"))
-        .agg(F.max("_span").alias("_max_span"))
-        .collect()[0]
-    )
-    max_span = span_row["_max_span"]
-    if max_span is not None and max_span > _THEIL_SEN_MAX_SPAN_DAYS:
-        raise ValueError(
-            f"q_x_theil_sen: day span {max_span} exceeds the documented "
-            f"{_THEIL_SEN_MAX_SPAN_DAYS}-day (10-year) O(days^2) contract; "
-            "use a windowed/rolling slope or the Matousek/Chazelle "
-            "randomized O(n log n) estimator for longer series"
-        )
+    _guard_day_span(daily, "q_x_theil_sen")
     a = daily.select(
         "event_type", F.col("day").alias("d1"), F.col("c").alias("c1")
     )
@@ -3247,4 +3252,249 @@ SELECT event_type, n_days, n_pairs,
        CAST(floor(medv * 1000000 + 0.5) AS BIGINT) AS slope_micro
 FROM med JOIN nd USING (event_type)
 ORDER BY event_type
+"""
+
+
+def q_x_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily event volume per event
+    type: S = sum over day-ordered pairs of sign(c_j - c_i), with the
+    tie-corrected variance 18*Var(S) = n(n-1)(2n+5) - sum_t t(t-1)(2t+5)
+    and the continuity-corrected z (Mann 1945, Kendall 1975) — the
+    significance companion to q_x_theil_sen's slope magnitude: Theil-Sen
+    says HOW steep the robust trend is, Mann-Kendall says whether a
+    monotone trend exists at all. The standard pairing for operational
+    volume monitoring (detect drift, then size it).
+
+    Scale shape: identical to q_x_theil_sen — the fact table collapses
+    to the per-(type, day) count grid FIRST (one map-side-combined
+    aggregate, eager-checkpointed: three consumers), so the pair table
+    is CALENDAR-bounded, O(days^2) per type regardless of event volume,
+    under the same enforced 10-year ``_guard_day_span`` contract. S and
+    18*Var(S) are EXACT BIGINTs in both engines (sign sums and the
+    integer tie polynomial — nothing sums floats); z is one identical
+    IEEE expression tree (CAST-to-double subtraction, one sqrt, one
+    division) snapped to the micro grid, and S != 0 implies at least
+    two distinct counts, so vs_num > 0 wherever the z branches divide.
+
+    References: reference has no statistics surface; this extends
+    SURVEY §2.C's statistical-test family alongside q_x_theil_sen.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    _guard_day_span(daily, "q_x_mann_kendall")
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("c").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("c").alias("c2")
+    )
+    s_tab = (
+        a.join(F.broadcast(b), "event_type")
+        .where(F.col("d2") > F.col("d1"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("c2") - F.col("c1")).cast("long"))
+            .cast("long")
+            .alias("s"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    # tie polynomial over the per-count tie groups: |groups| <= |days|
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count("*").cast("long").alias("_t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            )
+            .cast("long")
+            .alias("_tie_term"),
+            # n_days = sum of tie-group sizes, NOT the group count —
+            # counting groups undercounts whenever two days share a
+            # count (property test falsifying example: 2 days, both
+            # c=1, one tie group)
+            F.sum("_t").cast("long").alias("n_days"),
+        )
+    )
+    joined = s_tab.join(F.broadcast(ties), "event_type").withColumn(
+        "vs_num",
+        (
+            F.col("n_days")
+            * (F.col("n_days") - 1)
+            * (2 * F.col("n_days") + 5)
+            - F.col("_tie_term")
+        ).cast("long"),
+    )
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double"))
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double"))
+        .otherwise(F.lit(0).cast("double"))
+    ) / F.sqrt(F.col("vs_num").cast("double") / F.lit(18).cast("double"))
+    return joined.select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        "s",
+        "vs_num",
+        F.when(
+            F.col("s") == 0, F.lit(0).cast("long")
+        )
+        .otherwise(F.floor(z * 1000000 + F.lit(0.5)).cast("long"))
+        .alias("z_micro"),
+    ).orderBy("event_type")
+
+
+Q_X_MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), s_tab AS (
+  SELECT a.event_type,
+         CAST(sum(CAST(sign(b.c - a.c) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day > a.day
+  GROUP BY 1
+), ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         CAST(sum(t) AS BIGINT) AS n_days
+  FROM (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS t
+    FROM daily GROUP BY event_type, c
+  ) GROUP BY 1
+), joined AS (
+  SELECT event_type, n_days, n_pairs, s,
+         CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+              AS BIGINT) AS vs_num
+  FROM s_tab JOIN ties USING (event_type)
+)
+SELECT event_type, n_days, n_pairs, s, vs_num,
+       CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+              (CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                    ELSE CAST(s + 1 AS DOUBLE) END
+               / sqrt(CAST(vs_num AS DOUBLE) / CAST(18 AS DOUBLE)))
+              * 1000000 + 0.5) AS BIGINT)
+       END AS z_micro
+FROM joined
+ORDER BY event_type
+"""
+
+
+def q_x_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between two deterministic document
+    quality raters, per source: rater A passes docs with
+    ``n_chars >= 200`` (the metadata length gate), rater B passes docs
+    with at least 39 spaces in the text (a structure proxy: ~40+
+    whitespace-separated tokens). Kappa is the agreement ABOVE CHANCE —
+    the standard QA readout for whether two corpus-curation classifiers
+    measure the same thing or merely share base rates (raw agreement is
+    inflated whenever both raters pass almost everything).
+
+    Integer-exact core: for binary raters,
+    kappa = (n*agree - chance) / (n^2 - chance) with
+    chance = r1*c1 + (n-r1)*(n-c1), all BIGINTs — emitted as exact
+    ``kappa_num``/``kappa_den`` columns so no rounding hazard exists;
+    ``kappa_micro`` is the one identical IEEE division snapped to the
+    micro grid (NULL when a degenerate table makes the denominator 0:
+    both raters constant with the same label).
+
+    Scale shape: ONE map-side-combined aggregate over documents
+    (conditional sums on the two rater bits), a single shuffle on
+    source — no joins, no windows, no text shuffled (only the two bits
+    leave the scan). Trivially 100-TB-sane.
+
+    References: reference has no statistics surface; this extends
+    SURVEY §2.C's agreement/association family (q_x_confusion,
+    q_x_cramers_v) to the LLM-curation QA loop.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    bits = docs.select(
+        "source",
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).cast("long").alias("a"),
+        F.when(
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+            >= 39,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("b"),
+    )
+    per = bits.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+        F.sum("a").cast("long").alias("_r1"),
+        F.sum("b").cast("long").alias("_c1"),
+    )
+    chance = F.col("_r1") * F.col("_c1") + (F.col("n") - F.col("_r1")) * (
+        F.col("n") - F.col("_c1")
+    )
+    out = per.select(
+        "source",
+        "n",
+        "agree",
+        (F.col("n") * F.col("agree") - chance).cast("long").alias("kappa_num"),
+        (F.col("n") * F.col("n") - chance).cast("long").alias("kappa_den"),
+    )
+    return out.select(
+        "source",
+        "n",
+        "agree",
+        "kappa_num",
+        "kappa_den",
+        F.when(
+            F.col("kappa_den") > 0,
+            F.floor(
+                F.col("kappa_num").cast("double")
+                / F.col("kappa_den").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("kappa_micro"),
+    ).orderBy("source")
+
+
+Q_X_COHENS_KAPPA_SQL = """
+WITH bits AS (
+  SELECT source,
+         CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+         CASE WHEN length(text) - length(replace(text, ' ', '')) >= 39
+              THEN 1 ELSE 0 END AS b
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+), per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+         CAST(sum(a) AS BIGINT) AS r1,
+         CAST(sum(b) AS BIGINT) AS c1
+  FROM bits GROUP BY 1
+), k AS (
+  SELECT source, n, agree,
+         CAST(n * agree - (r1 * c1 + (n - r1) * (n - c1)) AS BIGINT)
+           AS kappa_num,
+         CAST(n * n - (r1 * c1 + (n - r1) * (n - c1)) AS BIGINT)
+           AS kappa_den
+  FROM per
+)
+SELECT source, n, agree, kappa_num, kappa_den,
+       CASE WHEN kappa_den > 0 THEN
+         CAST(floor(CAST(kappa_num AS DOUBLE) / CAST(kappa_den AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT)
+       END AS kappa_micro
+FROM k
+ORDER BY source
 """

@@ -4483,6 +4483,17 @@ register("q_x_kendall_tau", ST.q_x_kendall_tau, ST.Q_X_KENDALL_TAU_SQL)
 # q_x_linreg's OLS trend)
 register("q_x_theil_sen", ST.q_x_theil_sen, ST.Q_X_THEIL_SEN_SQL)
 
+# -- round 14 additions (<=5 cap, VERDICT r13 #2; rule-2 rotate-ins for
+#    round 15's checked-50 — registered AFTER the round-14 checked-50
+#    froze) ---------------------------------------------------------------
+# Mann-Kendall monotone-trend test (significance companion to
+# q_x_theil_sen's slope magnitude; same calendar-bounded day-pair grid
+# and the same enforced 10-year span contract)
+register("q_x_mann_kendall", ST.q_x_mann_kendall, ST.Q_X_MANN_KENDALL_SQL)
+# Cohen's kappa agreement between two document-quality raters
+# (above-chance agreement for the corpus-curation QA loop)
+register("q_x_cohens_kappa", ST.q_x_cohens_kappa, ST.Q_X_COHENS_KAPPA_SQL)
+
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks registry entries in

@@ -770,3 +770,31 @@ def test_round13_ops_plan_shapes(spark):
     specs = re.findall(r"windowspecdefinition\(([^,)]+)", plan)
     assert specs, "theil_sen plan lost its Window specs"
     assert all(s.strip().startswith("event_type#") for s in specs), specs
+
+
+def test_round14_ops_plan_shapes(spark):
+    """Shuffle/join-budget pins for the round-14 ops: Mann-Kendall
+    mirrors Theil-Sen's checkpointed-grid + broadcast day-pair shape
+    (no window at all — S is a plain aggregate); kappa is one map-side
+    combined aggregate, no joins, only the two rater bits leave the
+    scan."""
+    import re
+
+    df = _df(spark, "q_x_mann_kendall")
+    kinds = join_kinds(df)
+    assert kinds and set(kinds) == {"BroadcastHashJoin"}
+    assert not has_operator(df, "CartesianProduct")
+    assert not has_operator(df, "Window")
+    plan = formatted_plan(df)
+    assert "partial_sum" in plan  # map-side combine on the pair agg
+
+    df = _df(spark, "q_x_cohens_kappa")
+    assert join_kinds(df) == []
+    assert not has_operator(df, "Window")
+    plan = formatted_plan(df)
+    assert "partial_sum" in plan or "partial_count" in plan
+    # agg hashpartitioning + declared ORDER BY only
+    assert exchange_count(df) <= 2
+    # column pruning: only source/n_chars/text reach the documents scan
+    (schema,) = scan_schemas(df)
+    assert "doc_id" not in schema and "lang" not in schema
