@@ -798,3 +798,36 @@ def test_round14_ops_plan_shapes(spark):
     # column pruning: only source/n_chars/text reach the documents scan
     (schema,) = scan_schemas(df)
     assert "doc_id" not in schema and "lang" not in schema
+
+
+def test_tranche_a_sentinel_plan_shapes(spark):
+    """Round-15 sentinel prep (the tranche-C precedent from round 13):
+    pins for the tranche-A entries that lack a dedicated plan test
+    (q01/q03/q08/q15/q24/q25/q26 already have one above). Explain-only."""
+    # q10: HLL sketch must aggregate partially map-side — one exchange,
+    # a single-partition gather of the per-partition sketches
+    df = _df(spark, "q10_approx_count_distinct")
+    plan = formatted_plan(df)
+    assert "partial_approx_count_distinct" in plan
+    assert exchange_count(df) == 1
+    # q13: the rank window shuffles ONCE on its partition key and the
+    # scan reads only the three projected columns
+    df = _df(spark, "q13_rank_window")
+    assert has_operator(df, "Window")
+    assert exchange_count(df) <= 2  # window hash + declared ORDER BY
+    (schema,) = scan_schemas(df)
+    assert schema == "struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"
+    # q_s02: the tumbling-window batch shape is one agg over the scan —
+    # window binning is a projection, never a join or extra shuffle
+    df = _df(spark, "q_s02_window_agg")
+    assert join_kinds(df) == []
+    assert exchange_count(df) <= 2  # agg hash + declared ORDER BY
+    # q27: the full assembly pipeline must stay cartesian-free and keep
+    # its joins broadcast at sf0.1 (the path-merge fold's shape)
+    df = _df(spark, "q27_assembly")
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert kinds and all(
+        k in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin")
+        for k in kinds
+    )
