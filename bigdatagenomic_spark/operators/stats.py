@@ -1934,6 +1934,11 @@ def q_x_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("_cnt"),
         F.sum("_is1").cast("long").alias("_c1"),
     )
+    # deliberately NO checkpoint_input here: Spark's shuffle-stage reuse
+    # already serves the repartitionByRange sample pass from dv's agg
+    # exchange, and the round-14 shuffle_audit measured the eager
+    # checkpoint ADDING a filtered scan pass (126k -> 153k input
+    # records), not removing one — SCALING.md Part 15 addendum
     cum = two_phase_cumsum(dv, "_cnt", [F.col("v").asc()], out_col="_cum")
     d38 = "decimal(38,0)"
     dr = (F.lit(2) * F.col("_cum") - F.col("_cnt") + 1).cast("long")
@@ -2034,6 +2039,10 @@ def q_x_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_is1").cast("long").alias("_c1"),
         (F.count("*") - F.sum("_is1")).cast("long").alias("_c2"),
     )
+    # deliberately NO checkpoint_input here (the q_x_mann_whitney
+    # finding, SCALING.md Part 15 addendum): shuffle-stage reuse already
+    # serves the sample pass from dv's agg exchange, and the measured
+    # effect of the eager checkpoint was one EXTRA filtered scan pass
     cum1 = two_phase_cumsum(dv, "_c1", [F.col("v").asc()], out_col="_cum1")
     cum2 = two_phase_cumsum(cum1, "_c2", [F.col("v").asc()], out_col="_cum2")
     d38 = "decimal(38,0)"
@@ -2582,6 +2591,10 @@ def q_x_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # deliberately NOT checkpointed: the round-14 shuffle_audit measured
+    # ~1 events scan here already — shuffle-stage reuse serves every
+    # consumer (tot + the cumsum's sample/shuffle) from the daily agg's
+    # exchange (SCALING.md Part 15 addendum)
     daily = (
         ev.select(F.to_date("ts").alias("day"))
         .groupBy("day")
@@ -2655,6 +2668,10 @@ def q_x_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1/n2/runs are exact, z is one identical double expression.
     """
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # deliberately NOT checkpointed: the round-14 shuffle_audit measured
+    # exactly 1 events scan here — shuffle-stage reuse serves both the
+    # totals aggregate and the lag chain from the daily agg's exchange
+    # (SCALING.md Part 15 addendum)
     daily = (
         ev.select(F.to_date("ts").alias("day"))
         .groupBy("day")
@@ -2764,7 +2781,16 @@ def q_x_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.datediff(F.max("day"), F.min("day")).cast("long").alias("lt"))
     )
-    grid = lives.groupBy("lt").agg(F.count("*").cast("long").alias("d"))
+    # eager checkpoint (round-14 shuffle_audit, SCALING.md Part 15
+    # addendum): unlike the single-exchange daily grids, this grid sits
+    # TWO exchanges deep (user min/max agg -> lifetime count), and the
+    # measured cost without the checkpoint was a full second events
+    # scan (200k -> 100k input records with it)
+    grid = (
+        lives.groupBy("lt")
+        .agg(F.count("*").cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
     tot = grid.agg(F.sum("d").cast("long").alias("_n"))
     cum = two_phase_cumsum(grid, "d", [F.col("lt").asc()], out_col="_cum")
     base = cum.crossJoin(F.broadcast(tot)).select(
