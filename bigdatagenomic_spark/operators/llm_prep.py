@@ -1386,6 +1386,71 @@ def q_x_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CDC_W = 16   # rolling window (chars)
 CDC_DIV = 64  # boundary when window-hash % CDC_DIV == 0 -> ~64-char chunks
+CDC_M = 1048573  # window-hash modulus (20-bit prime)
+CDC_B = 131      # polynomial base
+# fixed per-offset weights B^(W-1-i) mod M: 16 codepoint*weight products
+# each < 2^41 (codepoint < 2^21, weight < 2^20), so the un-reduced
+# 16-term sum < 2^45 stays comfortably inside BIGINT on every engine
+CDC_POW = [pow(CDC_B, CDC_W - 1 - i, CDC_M) for i in range(CDC_W)]
+
+# The boundary rule as a pure Spark-SQL expression pair — the
+# executable SPEC for the Arrow kernel below (pinned equal by
+# tests/test_round9_ops.py::test_cdc_kernel_matches_sql_spec). The
+# kernel exists because Spark evaluates higher-order-function lambdas
+# interpreted, ~2 µs/position regardless of the hash inside (md5 and
+# this 16-term polynomial both measured ~3.1 s for the sf0.1 corpus's
+# 1.47M positions at local[16]); the vectorized kernel runs the same
+# positions in ~0.5 s.
+CDC_CODES_EXPR = (
+    "transform(sequence(1, tlen),"
+    " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"
+)
+CDC_CUTS_EXPR = (
+    f"transform(filter(sequence(1, tlen - {CDC_W} + 1),"
+    " p -> ("
+    + " + ".join(
+        f"element_at(codes, p + {i}) * {CDC_POW[i]}L" for i in range(CDC_W)
+    )
+    + f") % {CDC_M} % {CDC_DIV} = 0),"
+    f" p -> p + {CDC_W} - 1)"
+)
+
+
+def _cdc_cuts_udf():
+    """Arrow-batched boundary kernel: 1-based cut-end positions per doc.
+
+    numpy does the whole O(len·W) window-hash sweep as one
+    sliding-window matmul per document (utf-32 decode gives the same
+    codepoint sequence Spark's ``ascii(substring(...))`` and DuckDB's
+    ``ascii(substr(...))`` produce — verified across BMP and astral
+    planes). Vectorized batch kernel, never row-at-a-time Python: the
+    same Arrow boundary discipline as the multimodal codecs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    pow_vec = np.array(CDC_POW, dtype=np.int64)
+
+    def cuts(texts):
+        out = []
+        for t in texts:
+            codes = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            if codes.shape[0] < CDC_W:
+                out.append([])
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(codes, CDC_W)
+            h = (win @ pow_vec) % CDC_M % CDC_DIV
+            out.append((np.nonzero(h == 0)[0] + CDC_W).tolist())
+        return pd.Series(out)
+
+    # real-object annotations (not strings): the module's
+    # `from __future__ import annotations` would otherwise stringify
+    # inline hints and break pandas_udf's type-hint inference
+    cuts.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(cuts, ArrayType(LongType()))
 
 
 def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1398,30 +1463,27 @@ def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk hash — the dedupable-bytes signal.
 
     Boundary rule (deterministic, engines agree exactly): cut after
-    position ``p + W - 1`` wherever the 60-bit md5 of the W-char window
-    at p is ≡ 0 (mod CDC_DIV); no min/max chunk clamp (the clamp makes
-    boundary choice sequential — this formulation keeps the whole doc a
-    row-local array computation). Docs shorter than W are excluded by
-    contract.
+    position ``p + W - 1`` wherever the rolling-polynomial hash of the
+    W-char window at p (sum of codepoint·CDC_B^k mod CDC_M, the
+    Rabin-Karp window hash) is ≡ 0 (mod CDC_DIV); no min/max chunk
+    clamp (the clamp makes boundary choice sequential — this
+    formulation keeps the whole doc a row-local array computation).
+    Docs shorter than W are excluded by contract. Chunk fingerprints
+    stay md5 (one per ~64-char chunk — off the hot path).
 
-    Scale shape: boundary detection + chunking are MAP-ONLY array
-    expressions (O(len·W) md5 work per row, zero shuffle — production
-    would swap a true rolling polynomial into the same plan); the only
-    exchange is the chunk-hash window for n_dup, keyed on the
+    Scale shape: boundary detection is a row-local Arrow-batched
+    vectorized kernel (``_cdc_cuts_udf`` — one sliding-window matmul
+    per doc, zero shuffle; 6× the interpreted HOF-expression form,
+    0.53 s vs 3.13 s for sf0.1's 1.47M window positions, identical
+    cuts), with the pure-SQL spec retained in CDC_CUTS_EXPR and pinned
+    equal in tests; chunking stays a JVM-side array expression. The
+    only exchange is the chunk-hash window for n_dup, keyed on the
     high-cardinality hash."""
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     s1 = d.select("doc_id", "text", F.length("text").alias("tlen")).where(
         F.length("text") >= CDC_W
     )
-    s2 = s1.withColumn(
-        "cuts",
-        F.expr(
-            f"transform(filter(sequence(1, tlen - {CDC_W} + 1),"
-            f" p -> CAST(conv(substring(md5(substring(text, p, {CDC_W})),"
-            f" 1, 15), 16, 10) AS BIGINT) % {CDC_DIV} = 0),"
-            f" p -> p + {CDC_W} - 1)"
-        ),
-    ).withColumn(
+    s2 = s1.withColumn("cuts", _cdc_cuts_udf()(F.col("text"))).withColumn(
         "ends_all",
         F.expr("concat(filter(cuts, c -> c < tlen), array(tlen))"),
     ).withColumn(
@@ -1453,18 +1515,27 @@ def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+_CDC_DUCK_TERMS = " + ".join(
+    f"codes[p + {i}] * {CDC_POW[i]}" for i in range(CDC_W)
+)
+
 Q_TEXT_CDC_CHUNKS_SQL = f"""
 WITH d AS (
   SELECT doc_id, text, length(text) AS tlen FROM documents
   WHERE text IS NOT NULL AND length(text) >= {CDC_W}
+), cp AS (
+  SELECT doc_id, text, tlen,
+         list_transform(range(1, tlen + 1),
+                        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))
+           AS codes
+  FROM d
 ), c AS (
   SELECT doc_id, text, tlen,
          list_transform(
            list_filter(range(1, tlen - {CDC_W} + 2),
-             p -> CAST(('0x' || substr(md5(substr(text, p, {CDC_W})), 1, 15))
-                       AS BIGINT) % {CDC_DIV} = 0),
+             p -> ({_CDC_DUCK_TERMS}) % {CDC_M} % {CDC_DIV} = 0),
            p -> p + {CDC_W} - 1) AS cuts
-  FROM d
+  FROM cp
 ), b AS (
   SELECT doc_id, text, tlen,
          list_concat(list_filter(cuts, x -> x < tlen), [tlen]) AS ends_all

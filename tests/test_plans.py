@@ -675,10 +675,17 @@ def test_round9_ops_plan_shapes(spark):
     df = _df(spark, "q_sim_range_search")
     assert not has_operator(df, "Window")
     assert "SortMergeJoin" not in join_kinds(df)
-    # CDC: chunk-hash window + output sort only; no join anywhere
+    # CDC: chunk-hash window + output sort only; no join anywhere.
+    # Boundary detection must stay the VECTORIZED Arrow kernel
+    # (ArrowEvalPython), never row-at-a-time Python (BatchEvalPython)
+    # and never the interpreted HOF expression form (measured 6x
+    # slower at sf0.1 — llm_prep._cdc_cuts_udf docstring)
     df = _df(spark, "q_text_cdc_chunks")
     assert join_kinds(df) == []
     assert exchange_count(df) <= 2
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_tranche_c_contract_plan_shapes(spark):

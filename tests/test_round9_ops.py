@@ -284,3 +284,40 @@ def test_cdc_boundaries_stable_under_prefix_edit(spark):
     missing = [h for h in tail_chunks[1:] if h not in h1]
     assert not missing, f"CDC stability violated: {len(missing)} lost"
     assert shared, "edited doc shares no chunks with the original"
+
+
+def test_cdc_kernel_matches_sql_spec(spark):
+    """The Arrow-batched boundary kernel (_cdc_cuts_udf) and the
+    pure-SQL expression spec (CDC_CODES_EXPR + CDC_CUTS_EXPR) must
+    produce identical cut positions — on the real sf0.001 corpus AND
+    on strings that cross the BMP/astral codepoint seam, where
+    ascii(substring(...)) and the kernel's utf-32 decode could drift
+    apart."""
+    import bigdatagenomic_spark.operators.llm_prep as LP
+    from bigdatagenomic_spark.sources.tables import load_table
+
+    corpus = (
+        load_table(spark, SF, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    extra = spark.createDataFrame(
+        [
+            (100001, "café naïve 中文 text mixed in " * 8),
+            (100002, "astral \U0001f680\U0001f9ec plane codepoints " * 10),
+            (100003, "x" * LP.CDC_W),  # minimum-length doc
+        ],
+        "doc_id long, text string",
+    )
+    both = corpus.unionByName(extra).withColumn("tlen", F.length("text"))
+    got = (
+        both.where(F.col("tlen") >= LP.CDC_W)
+        .withColumn("kernel_cuts", LP._cdc_cuts_udf()(F.col("text")))
+        .withColumn("codes", F.expr(LP.CDC_CODES_EXPR))
+        .withColumn("spec_cuts", F.expr(LP.CDC_CUTS_EXPR))
+        .select("doc_id", "kernel_cuts", "spec_cuts")
+        .collect()
+    )
+    assert got
+    for r in got:
+        assert list(r.kernel_cuts) == list(r.spec_cuts), r.doc_id
