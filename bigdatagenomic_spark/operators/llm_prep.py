@@ -1406,13 +1406,18 @@ CDC_CODES_EXPR = (
     " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"
 )
 CDC_CUTS_EXPR = (
+    # the tlen guard keeps the spec total: below W the kernel returns
+    # [] while an unguarded sequence(1, tlen - W + 1) would DESCEND
+    # (sequence(1, 0) = [1, 0]) and feed non-positive positions into
+    # element_at (code-review find, round-14 continuation)
+    f"CASE WHEN tlen < {CDC_W} THEN array() ELSE "
     f"transform(filter(sequence(1, tlen - {CDC_W} + 1),"
     " p -> ("
     + " + ".join(
         f"element_at(codes, p + {i}) * {CDC_POW[i]}L" for i in range(CDC_W)
     )
     + f") % {CDC_M} % {CDC_DIV} = 0),"
-    f" p -> p + {CDC_W} - 1)"
+    f" p -> p + {CDC_W} - 1) END"
 )
 
 
@@ -1421,8 +1426,11 @@ def _cdc_cuts_udf():
 
     numpy does the whole O(len·W) window-hash sweep as one
     sliding-window matmul per document (utf-32 decode gives the same
-    codepoint sequence Spark's ``ascii(substring(...))`` and DuckDB's
-    ``ascii(substr(...))`` produce — verified across BMP and astral
+    codepoint sequence ``ascii(substring(...))`` produces on the
+    pinned Spark 4 — Spark 3's ascii() returned the signed first UTF-8
+    byte instead, so the spec-equality test is the guard if the engine
+    is ever downgraded — and the same sequence DuckDB's
+    ``ascii(substr(...))`` produces; verified across BMP and astral
     planes). Vectorized batch kernel, never row-at-a-time Python: the
     same Arrow boundary discipline as the multimodal codecs."""
     import numpy as np
