@@ -1421,6 +1421,24 @@ CDC_CUTS_EXPR = (
 )
 
 
+def _cdc_cut_positions(text):
+    """Pure numpy single-document boundary sweep: 1-based cut-end
+    positions (the kernel's per-row unit, exposed for direct
+    hypothesis testing against the no-shared-code Horner reference in
+    tests/test_round9_properties.py — no Spark session needed)."""
+    import numpy as np
+
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    if codes.shape[0] < CDC_W:
+        return []
+    win = np.lib.stride_tricks.sliding_window_view(codes, CDC_W)
+    pow_vec = np.array(CDC_POW, dtype=np.int64)
+    h = (win @ pow_vec) % CDC_M % CDC_DIV
+    return (np.nonzero(h == 0)[0] + CDC_W).tolist()
+
+
 def _cdc_cuts_udf():
     """Arrow-batched boundary kernel: 1-based cut-end positions per doc.
 
@@ -1433,26 +1451,12 @@ def _cdc_cuts_udf():
     ``ascii(substr(...))`` produces; verified across BMP and astral
     planes). Vectorized batch kernel, never row-at-a-time Python: the
     same Arrow boundary discipline as the multimodal codecs."""
-    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    pow_vec = np.array(CDC_POW, dtype=np.int64)
-
     def cuts(texts):
-        out = []
-        for t in texts:
-            codes = np.frombuffer(
-                t.encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int64)
-            if codes.shape[0] < CDC_W:
-                out.append([])
-                continue
-            win = np.lib.stride_tricks.sliding_window_view(codes, CDC_W)
-            h = (win @ pow_vec) % CDC_M % CDC_DIV
-            out.append((np.nonzero(h == 0)[0] + CDC_W).tolist())
-        return pd.Series(out)
+        return pd.Series([_cdc_cut_positions(t) for t in texts])
 
     # real-object annotations (not strings): the module's
     # `from __future__ import annotations` would otherwise stringify

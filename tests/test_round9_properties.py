@@ -74,6 +74,40 @@ def test_cdc_oracle_matches_python_reference(text):
     assert got == _cdc_python(text)
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=1,
+            max_codepoint=0x10FFFF,
+            exclude_categories=("Cs",),
+        ),
+        max_size=400,
+    )
+)
+def test_cdc_kernel_matches_python_reference(text):
+    """The numpy boundary kernel (sliding_window_view matmul over the
+    utf-32 codepoint array — the per-row unit of the Arrow pandas_udf)
+    must agree position-for-position with the naive-Horner reference on
+    arbitrary Unicode, INCLUDING below-window-length strings where the
+    kernel's [] contract applies. Together with
+    test_cdc_oracle_matches_python_reference (DuckDB vs the same
+    reference) and test_round9_ops.py::test_cdc_kernel_matches_sql_spec
+    (kernel vs the Spark SQL expression on real corpus), this closes
+    the 4-way agreement: kernel == Spark spec == DuckDB == Horner."""
+    from bigdatagenomic_spark.operators.llm_prep import _cdc_cut_positions
+
+    n = len(text)
+    expect = []
+    for p in range(1, n - CDC_W + 2):
+        h = 0
+        for ch in text[p - 1 : p - 1 + CDC_W]:
+            h = (h * CDC_B + ord(ch)) % CDC_M
+        if h % CDC_DIV == 0:
+            expect.append(p + CDC_W - 1)
+    assert _cdc_cut_positions(text) == expect
+
+
 def _half_away_micro(x: float) -> int:
     s = 1 if x >= 0 else -1
     return s * int(abs(x) * 10000 + 0.5)
