@@ -45,7 +45,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from bigdatagenomic_spark.functions import tokens
-from bigdatagenomic_spark.sources.tables import load_table
+from bigdatagenomic_spark.sources.tables import fan_out, load_table
 
 N_MERGES = 8
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from bigdatagenomic_spark.functions import md5_long, normalize_text, tokens
 from bigdatagenomic_spark.operators.text import STOPSETS
-from bigdatagenomic_spark.sources.tables import load_table
+from bigdatagenomic_spark.sources.tables import fan_out, load_table
 
 QUALITY_THRESHOLD = 0.5  # keeps ~60% of driver docs (median quality 0.59)
 SAMPLE_MOD = 10
@@ -207,7 +207,7 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     every three documents (derived from doc_id, mirrored exactly in the
     oracle) and then scrubs it — exercising match, count and replace on
     rows with and without hits."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = fan_out(load_table(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
     did = F.col("doc_id")
     dirty = (
         F.when(
@@ -344,7 +344,7 @@ def curriculum_order(docs: DataFrame, stage_tokens: int = STAGE_TOKENS) -> DataF
 
 def q_x_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(
-        load_table(spark, sf_dir, "documents")
+        fan_out(load_table(spark, sf_dir, "documents"))
     ).orderBy("doc_id")
 
 

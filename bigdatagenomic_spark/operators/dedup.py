@@ -39,7 +39,7 @@ from bigdatagenomic_spark.functions import (
     tokens,
     word_shingles,
 )
-from bigdatagenomic_spark.sources.tables import load_table
+from bigdatagenomic_spark.sources.tables import fan_out, load_table
 
 # bounded samples keep the O(n^2)-flavored checks cheap at any sf
 PAIR_SAMPLE_DOCS = 400
@@ -289,7 +289,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over a bounded vector sample."""
     e = (
-        load_table(spark, sf_dir, "embeddings")
+        fan_out(load_table(spark, sf_dir, "embeddings"))
         .where(F.col("vec_id") < EMB_SAMPLE_VECS)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
@@ -874,7 +874,7 @@ def lsh_tuning_report(d: DataFrame) -> DataFrame:
 
 
 def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").where(
+    d = fan_out(load_table(spark, sf_dir, "documents")).where(
         F.col("doc_id") < PAIR_SAMPLE_DOCS
     )
     return lsh_tuning_report(d).orderBy("rows")
@@ -949,7 +949,7 @@ def q_dedup_lsh_autoconfig(spark: SparkSession, sf_dir: str) -> DataFrame:
     the default recall target, with its measured cost/recall — the
     decision itself is the oracle-checked artifact (the oracle replays
     sweep + the same ORDER BY ... LIMIT 1)."""
-    d = load_table(spark, sf_dir, "documents").where(
+    d = fan_out(load_table(spark, sf_dir, "documents")).where(
         F.col("doc_id") < PAIR_SAMPLE_DOCS
     )
     rep = lsh_tuning_report(d).localCheckpoint(eager=False)
@@ -1016,7 +1016,7 @@ def winnow_survivors(
 
 
 def q_dedup_winnow_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").where(
+    d = fan_out(load_table(spark, sf_dir, "documents")).where(
         F.col("doc_id") < WINNOW_SURV_DOCS
     )
     return winnow_survivors(d).orderBy("doc_id")
@@ -1124,7 +1124,7 @@ def semantic_survivors(
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_survivors(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        fan_out(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     ).orderBy("vec_id")
 
 
@@ -1234,7 +1234,7 @@ def q_dedup_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     # drop the '' artifact shingle of zero-token docs (Spark's concat_ws
     # over an all-null window emits '' where DuckDB's array_to_string
     # emits NULL — excluded in both engines so the SET semantics agree)

@@ -45,7 +45,7 @@ from bigdatagenomic_spark.functions import (
     tokens,
     word_shingles,
 )
-from bigdatagenomic_spark.sources.tables import load_table
+from bigdatagenomic_spark.sources.tables import fan_out, load_table
 
 CHUNK_SIZE = 64
 CHUNK_STRIDE = 48
@@ -566,23 +566,28 @@ def boilerplate_scrub(
         md5_long(F.concat(F.lit("\x02"), F.col("seg"))).alias("h2"),
         (((F.col("seg_id") + 1) * w) <= F.col("n_tok")).alias("is_full"),
     )
-    # materialize the narrow fingerprint table ONCE: it feeds both the
-    # frequency pass and the survivor anti-join, and without pinning it
-    # Catalyst re-derives each branch from the raw text — 6 scans and 6
-    # tokenize passes of the corpus for what is one 32-byte-row table
-    # (measured; with the pin: 1 tokenize here + 1 in the final
-    # reassembly join). The production analog is persisting the segment
-    # table between the two passes.
-    seg = seg.localCheckpoint(eager=False)
-    boiler = (
-        seg.where("is_full")
-        .groupBy("h1", "h2")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") > max_docs)
-        .select("h1", "h2")
+    # Distinct-doc frequency as ONE window pass (round 14): the old
+    # groupBy(count_distinct) -> left-anti shape consumed the
+    # fingerprint table twice (pinned with a checkpoint to avoid 6
+    # corpus tokenizes), then shuffled it again for the anti-join. A
+    # dense_rank over doc_id within the fingerprint partition followed
+    # by its partition max IS count(DISTINCT doc_id) — one exchange of
+    # the 32-byte rows, one sort, no checkpoint, no join-back, and it
+    # streams (no per-row set state), so a nav-bar segment hot in 1e6
+    # docs costs a sort, not memory. Partitioning adds is_full so a
+    # sub-w TAIL can never be scrubbed (the C4-style rule counts full
+    # w-word spans only) — textually a tail (<w words) can never equal
+    # a full segment anyway, so this only removes the 2^-120 md5-
+    # collision corner the anti-join tolerated.
+    from pyspark.sql import Window as W
+
+    wspec = W.partitionBy("h1", "h2", "is_full")
+    nd = F.max(F.dense_rank().over(wspec.orderBy("doc_id"))).over(
+        wspec.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     kept = (
-        seg.join(boiler, ["h1", "h2"], "left_anti")
+        seg.withColumn("_nd", nd)
+        .where(~(F.col("is_full") & (F.col("_nd") > max_docs)))
         .groupBy("doc_id")
         .agg(
             F.sort_array(F.collect_list("seg_id")).alias("keep_ids"),
@@ -806,17 +811,27 @@ def duplicated_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     100 TB shape: overlapping spans mean ~n_tok rows per doc through
     the frequency shuffle — that factor-w over the segment pass is the
     irreducible cost of offset-exact detection, so the shuffled rows
-    carry ONLY (doc_id, pos, h1, h2) (28 bytes), never span text, and
-    the fingerprint table is pinned once for its two consumers
-    (frequency pass + per-doc fold) like the boilerplate pass. The
-    span identity is a 120-bit fingerprint (two independent 60-bit
-    md5 halves), so corpus-scale birthday collisions are negligible
-    (~1e-13 expected pairs at 1e12 spans). Union coverage folds
-    row-locally from each doc's sorted start offsets (adjacent-gap
-    fold, no second shuffle).
+    carry ONLY (doc_id, pos, h1, h2) (28 bytes), never span text. The
+    occurrence count is a ``count(*)`` WINDOW over the fingerprint
+    (round 14): the previous groupBy→left-semi→join-back shape
+    consumed the fingerprint table twice AND re-tokenized the corpus a
+    second time for the per-doc base row, so the corpus crossed the
+    tokenizer twice and the fingerprints crossed the wire three times;
+    the window shuffles them by (h1, h2) exactly once and every
+    per-doc quantity folds out of the same pass (n_spans is the span
+    count, n_tok rides along, dup starts collect under the occ > 1
+    flag). The span identity is a 120-bit fingerprint (two independent
+    60-bit md5 halves), so corpus-scale birthday collisions are
+    negligible (~1e-13 expected pairs at 1e12 spans). Union coverage
+    folds row-locally from each doc's sorted start offsets
+    (adjacent-gap fold, no second shuffle).
     """
+    from pyspark.sql import Window as W
+
+    from bigdatagenomic_spark.sources.tables import fan_out
+
     toks = (
-        docs.where(F.col("text").isNotNull())
+        fan_out(docs.where(F.col("text").isNotNull()))
         .select("doc_id", tokens(F.col("text")).alias("t"))
         .where(F.size("t") >= w)
     )
@@ -839,19 +854,18 @@ def duplicated_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
         md5_long(F.col("span")).alias("h1"),
         md5_long(F.concat(F.lit("\x02"), F.col("span"))).alias("h2"),
     )
-    spans = spans.localCheckpoint(eager=False)
-    dup = (
-        spans.groupBy("h1", "h2")
-        .agg(F.count("*").alias("occ"))
-        .where(F.col("occ") > 1)
-        .select("h1", "h2")
-    )
+    occ = F.count("*").over(W.partitionBy("h1", "h2"))
     perdoc = (
-        spans.join(dup, ["h1", "h2"], "left_semi")
+        spans.withColumn("is_dup", occ > 1)
         .groupBy("doc_id")
         .agg(
-            F.sort_array(F.collect_list("pos")).alias("ps"),
-            F.count("*").cast("long").alias("n_dup_spans"),
+            F.max("n_tok").alias("n_tok"),
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup_spans"),
+            # collect_list skips the NULLs the when() leaves on non-dup rows
+            F.sort_array(
+                F.collect_list(F.when(F.col("is_dup"), F.col("pos")))
+            ).alias("ps"),
         )
     )
     ps = F.col("ps")
@@ -869,16 +883,11 @@ def duplicated_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
         )
         + w
     ).cast("long")
-    base = toks.select(
-        "doc_id",
-        F.size("t").cast("long").alias("n_tok"),
-        (F.size("t") - w + 1).cast("long").alias("n_spans"),
-    )
-    return base.join(perdoc, "doc_id", "left").select(
+    return perdoc.select(
         "doc_id",
         "n_tok",
         "n_spans",
-        F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+        "n_dup_spans",
         F.coalesce(F.when(F.size(ps) > 0, cov), F.lit(0).cast("long")).alias(
             "dup_tokens"
         ),
@@ -1359,7 +1368,7 @@ def q_x_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_band_table,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     is_eval = (F.col("doc_id") % DECON_FUZZY_MOD) == 0
     tb = lsh_band_table(d.where(~is_eval)).select(
         F.col("doc_id").alias("a_id"), "band", "bkey"
@@ -1491,7 +1500,7 @@ def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal in tests; chunking stays a JVM-side array expression. The
     only exchange is the chunk-hash window for n_dup, keyed on the
     high-cardinality hash."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = fan_out(load_table(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
     s1 = d.select("doc_id", "text", F.length("text").alias("tlen")).where(
         F.length("text") >= CDC_W
     )

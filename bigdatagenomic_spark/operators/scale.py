@@ -855,12 +855,18 @@ def q_x_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     by c_custkey, which cannot change which VALUES occupy the middle
     ranks.
     """
-    from bigdatagenomic_spark.sources.tables import load_table
+    from bigdatagenomic_spark.sources.tables import fan_out, load_table
 
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_mktsegment").alias("grp"),
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
-        "c_custkey",
+    # fan_out (round 14): `c` has two consumers (the range-rank, whose
+    # sampler replays un-exchanged lineage, and the counts aggregate) —
+    # the round-robin shuffle is computed once and reused by all three
+    # jobs, so the scan runs once and the rank/agg work is parallel
+    c = fan_out(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_mktsegment").alias("grp"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+            "c_custkey",
+        )
     )
     ranked = two_phase_rank(
         c,
@@ -927,11 +933,16 @@ def q_x_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     row is ever ranked or checkpointed. Ties need no tiebreaker at
     all: the overlap form IS the tie-proof kept multiset.
     """
-    from bigdatagenomic_spark.sources.tables import load_table
+    from bigdatagenomic_spark.sources.tables import fan_out, load_table
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("grp"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    # fan_out (round 14): the single-row-group scan otherwise runs the
+    # whole 600k-row partial aggregate as ONE task; no-op when the scan
+    # already arrives in >= default-parallelism splits
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("grp"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
     )
     # localCheckpoint the grid BEFORE two_phase_cumsum: its internal
     # repartitionByRange SAMPLES the un-materialized input to pick
@@ -1009,11 +1020,14 @@ def q_x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded broadcast); the winsorized SUM is the kept-band overlap sum
     plus t*lo + t*hi exactly. winsor_mean_micro is integer-exact.
     """
-    from bigdatagenomic_spark.sources.tables import load_table
+    from bigdatagenomic_spark.sources.tables import fan_out, load_table
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("grp"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    # fan_out (round 14): parallelize the 600k-row partial aggregate
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("grp"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
     )
     # localCheckpoint the grid BEFORE two_phase_cumsum: its internal
     # repartitionByRange SAMPLES the un-materialized input to pick
@@ -1119,9 +1133,12 @@ def q_x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the x100 sweep (67 s, SCALING_r11s2.json first run); the grid
     form moves only |distinct prices| rows after the cell aggregate.
     """
-    from bigdatagenomic_spark.sources.tables import load_table
+    from bigdatagenomic_spark.sources.tables import fan_out, load_table
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # fan_out (round 14): parallelize the 600k-row cell partial aggregate
+    li = fan_out(load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ))
     cells = (
         li.select(
             F.col("l_returnflag").alias("g"),

@@ -25,14 +25,21 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from bigdatagenomic_spark.functions import cosine
-from bigdatagenomic_spark.sources.tables import load_table
+from bigdatagenomic_spark.sources.tables import fan_out, load_table
 
 N_QUERIES = 8
 TOP_K = 5
 
 
-def _vecs(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings").select(
+def _vecs(spark, sf_dir, fanned: bool = True):
+    e = load_table(spark, sf_dir, "embeddings")
+    # fan_out pays off when the consumer does per-row vector math
+    # (sq_topk A/B: 0.56 vs 0.96 s); the pure map-only projections
+    # (emb_normalize A/B: 0.62 vs 0.40 s) skip it - the round-robin
+    # exchange of the raw vectors costs more than 1-task folds.
+    if fanned:
+        e = fan_out(e)
+    return e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
@@ -387,7 +394,7 @@ def q_x_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver canonicalizes results through pandas, where raw list columns
     are unsortable/unhashable; integers cast to identical strings on both
     engines, so the whole vector stays hash-checkable."""
-    e = _vecs(spark, sf_dir)
+    e = _vecs(spark, sf_dir, fanned=False)
     norm = F.sqrt(
         F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
     )

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from bigdatagenomic_spark.functions import md5_long, tokens
 from bigdatagenomic_spark.operators.relational import round2_portable
-from bigdatagenomic_spark.sources.tables import load_table
+from bigdatagenomic_spark.sources.tables import fan_out, load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -949,7 +949,7 @@ def cms_word_monitor(
 
 
 def q_x_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cms_word_monitor(load_table(spark, sf_dir, "documents")).orderBy(
+    return cms_word_monitor(fan_out(load_table(spark, sf_dir, "documents"))).orderBy(
         F.desc("exact_count"), F.asc("word")
     )
 
@@ -1789,7 +1789,8 @@ def q_x_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (round-13 cell-grid form): ranks never touch the fact
     table at all — ONE map-side-combined aggregate collapses the facts
     to the joint (qv, dv) contingency grid (<=550 cells per group), the
-    two marginals carry the tie structure through two_phase_cumsum, and
+    two marginals carry the tie structure through per-group window
+    cumsums (broadcast-bounded by the same contract as the grid), and
     the five moments are a count-weighted aggregate over the CELLS
     (sum(drx*dry) over rows == sum(cnt*drx*dry) over cells, exactly).
     DECIMAL(38,0)/HUGEINT sums keep them exact to ~7e8 rows/group
@@ -1798,9 +1799,14 @@ def q_x_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the original fact-row window formulation, so the grid algebra
     is checked against an independent derivation every round.
     """
-    from bigdatagenomic_spark.operators.scale import two_phase_cumsum
+    from pyspark.sql import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
+    # NO fan_out here (round 14 A/B, 1.78 vs 0.81 s): the cell partial
+    # aggregate collapses 600k rows to <=1650 cells BEFORE any
+    # exchange, so a round-robin fan-out ships the whole fact (plus its
+    # retry-determinism local sort) for work the map-side combine does
+    # in place.
     base = li.select(
         "l_returnflag",
         F.round(F.col("l_quantity")).cast("long").alias("qv"),
@@ -1820,26 +1826,37 @@ def q_x_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("_cnt"))
         .localCheckpoint(eager=True)
     )
+    # Marginal cumsums run as plain per-group windows (round 14): the
+    # marginals are sub-grids of the contingency grid, and two lines
+    # down BOTH are broadcast — the plan already asserts they are
+    # driver-bounded, so a per-(l_returnflag) window over <=|grid| rows
+    # carries the exact same boundedness contract. two_phase_cumsum on
+    # a <=550-row input paid 3 extra driver jobs (range sample,
+    # checkpoint, offset collect) per marginal for zero scale benefit.
+    wq = (
+        W.partitionBy("l_returnflag")
+        .orderBy(F.col("qv").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     xm = cells.groupBy("l_returnflag", "qv").agg(
         F.sum("_cnt").cast("long").alias("_cq")
     )
-    rq = two_phase_cumsum(
-        xm.withColumnRenamed("_cq", "_cnt"), "_cnt",
-        [F.col("qv").asc()], group_cols=["l_returnflag"], out_col="_cum",
-    ).select(
+    rq = xm.select(
         "l_returnflag", "qv",
-        (F.lit(2) * F.col("_cum") - F.col("_cnt") + 1)
+        (F.lit(2) * F.sum("_cq").over(wq) - F.col("_cq") + 1)
         .cast("long").alias("_drx"),
+    )
+    wd = (
+        W.partitionBy("l_returnflag")
+        .orderBy(F.col("dv").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     ym = cells.groupBy("l_returnflag", "dv").agg(
         F.sum("_cnt").cast("long").alias("_cd")
     )
-    rd = two_phase_cumsum(
-        ym.withColumnRenamed("_cd", "_cnt"), "_cnt",
-        [F.col("dv").asc()], group_cols=["l_returnflag"], out_col="_cum",
-    ).select(
+    rd = ym.select(
         "l_returnflag", "dv",
-        (F.lit(2) * F.col("_cum") - F.col("_cnt") + 1)
+        (F.lit(2) * F.sum("_cd").over(wd) - F.col("_cd") + 1)
         .cast("long").alias("_dry"),
     )
     joined = cells.join(F.broadcast(rq), ["l_returnflag", "qv"]).join(

@@ -27,7 +27,7 @@ from bigdatagenomic_spark.functions import (
     normalize_text,
     tokens,
 )
-from bigdatagenomic_spark.sources.tables import load_table
+from bigdatagenomic_spark.sources.tables import fan_out, load_table
 
 # fixed stopword sets (mirrored as literals in the oracle SQL)
 STOPSETS: dict[str, list[str]] = {
@@ -213,7 +213,7 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted text is reported as an md5 fingerprint, not the text
     itself, keeping the result narrow.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     seeded = F.concat(
         F.coalesce(F.col("text"), F.lit("")),
         F.when(
@@ -281,7 +281,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5-60bit of normalized text + winnowing-style
     min/max 5-gram shingle hashes (rolling-hash document sketch)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     s1 = d.select("doc_id", normalize_text(F.col("text")).alias("norm"))
     s2 = s1.select(
         "doc_id",
@@ -423,7 +423,7 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     only on the word keys. Counts gate at >= 5 so the log is stable;
     floor-rounding keeps the doubles portable.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     # tokenize ONCE into a bound column (see q_text_bigrams): the pair
     # builder references the array three times, totals twice
     toks = d.select(
@@ -592,7 +592,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. Token array and bigram array are bound to columns in staged
     projections (never recomputed per reference).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     s1 = d.select("doc_id", tokens(F.col("text")).alias("t"))
     bigrams = F.filter(
         F.zip_with(
@@ -1147,7 +1147,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scores floor-round at 4 decimals for the cross-engine hash; ties
     break by doc_id.
     """
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = fan_out(load_table(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
     tok = F.filter(
         F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit("")
     )
@@ -1317,7 +1317,7 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIVIDE_BY_ZERO — the q_x_rolling_corr lesson applies to 0.0/0.0
     too).
     """
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = fan_out(load_table(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
 
     def ent_cols(t):
         n = F.size(t)
@@ -1390,22 +1390,33 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the only shuffle key is the 60-bit md5 of the shingle
     (never the shingle string — the boilerplate/winnow fingerprint
     lesson: a 5-word string key is ~40 bytes of wire per occurrence,
-    the hash is 8); document-frequency is one map-side-combinable
-    count over (hash) and the novel flag joins back on the same
-    narrow key. Short docs (< 5 tokens) contribute their partial
-    shingle like the other shingle ops (concat_ws null-skip == the
-    oracle's NULL list indexing).
+    the hash is 8). Document frequency is a ``count(*)`` WINDOW over
+    the hash, not a groupBy + join-back: the join formulation consumed
+    the tokenize/shingle subtree TWICE (one Generate per consumer in
+    the round-14 before-plan — the corpus was tokenized once to build
+    df(h) and again to probe it), whereas the window shuffles the
+    (doc_id, h) pairs by h exactly once and tokenizes once. Same df
+    value per row (the window frame is the whole h-partition), so
+    n_novel/n_shingles are bit-identical. Skew surface (a corpus-hot
+    shingle funnelling one h into one task) is unchanged — the old
+    shape's shuffled-hash/sort-merge join at scale keyed on the same h.
+    Short docs (< 5 tokens) contribute their partial shingle like the
+    other shingle ops (concat_ws null-skip == the oracle's NULL list
+    indexing).
     """
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    from pyspark.sql import Window as W
+
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    )
     from bigdatagenomic_spark.functions import word_shingles
 
     sh = d.select(
         "doc_id",
         F.explode(word_shingles(tokens(F.col("text")), NOVELTY_N)).alias("sh"),
     ).select("doc_id", md5_long(F.col("sh")).alias("h"))
-    df_h = sh.groupBy("h").agg(F.count("*").alias("df"))
     per_doc = (
-        sh.join(df_h, "h")
+        sh.withColumn("df", F.count("*").over(W.partitionBy("h")))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_shingles"),
@@ -1462,7 +1473,7 @@ def q_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     array expressions — a map-only scan projection, no explode, no
     shuffle; every emitted number is an exact integer.
     """
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = fan_out(load_table(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
 
     def stats(sents):
         wc = F.transform(
@@ -1543,7 +1554,7 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     float at the engine/oracle boundary). 0-token docs are dropped by
     the same CASE-guarded path as entropy.
     """
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = fan_out(load_table(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
 
     def cols(t):
         n = F.size(t)
@@ -1617,7 +1628,7 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with no sentences or no words are dropped (the divisions are
     never evaluated for them — ANSI discipline).
     """
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = fan_out(load_table(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
 
     def wordstats(t):
         # vowel-group count: split on [aeiou]+ yields groups+1 parts
@@ -1977,7 +1988,7 @@ def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q_text_entropy. At 100 TB this is embarrassingly parallel with
     the scan.
     """
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = fan_out(load_table(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
 
     def grams_of(t, n: int):
         idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
@@ -2144,7 +2155,7 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (phrase, word-position), not per occurrence), one join back, and
     a global top-K via orderBy().limit() — TakeOrdered, no full sort.
     """
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = fan_out(load_table(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
     ph = (
         d.select(
             F.explode(

@@ -73,6 +73,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Raise map-side parallelism after a narrow-split scan (guide §2.5,
+    "input skew": one huge unsplittable input partition).
+
+    The driver testdata ships every table as ONE parquet row group, so a
+    scan — and every map-side operator fused above it (tokenize, shingle,
+    minhash, vector math) — executes as ONE task regardless of
+    ``maxPartitionBytes`` (a row group is the atomic split unit; measured
+    round 14: the whole q_text_novelty tokenize ran 1-task on local[32],
+    2.06 s vs 0.53 s fanned out). At production scale the same table
+    arrives in thousands of row groups, so this is a NO-OP whenever the
+    scan already carries at least the session's default parallelism —
+    the repartition only fires exactly in the degenerate-layout case it
+    exists for. Round-robin (not keyed): the goal is slot balance, and
+    Spark's sort-before-repartition keeps retries deterministic.
+
+    Use at the root of CPU-heavy per-row pipelines; pure column
+    projections and already-shuffle-rooted plans don't need it.
+    """
+    sc = df.sparkSession.sparkContext
+    target = parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -656,10 +656,13 @@ def test_round9_ops_plan_shapes(spark):
     df = _df(spark, "q_text_ttr")
     assert join_kinds(df) == []
     assert exchange_count(df) <= 1
-    # BM25: 1-row stats aggregate + TakeOrdered, no corpus join
+    # BM25: 1-row stats aggregate + TakeOrdered, no corpus join; +1
+    # exchange since round 14 — the scale-adaptive fan_out after the
+    # narrow-split scan (sources/tables.py; A/B 1.65 vs 2.03 s, the
+    # tokenize is the heavy per-row case), a no-op on multi-split inputs
     df = _df(spark, "q_text_bm25")
     assert "SortMergeJoin" not in join_kinds(df)
-    assert exchange_count(df) <= 2
+    assert exchange_count(df) <= 3
     assert has_operator(df, "TakeOrderedAndProject")
     # attribution: ONE user-keyed window exchange + output sort, no join
     df = _df(spark, "q_x_attribution")
@@ -680,9 +683,13 @@ def test_round9_ops_plan_shapes(spark):
     # (ArrowEvalPython), never row-at-a-time Python (BatchEvalPython)
     # and never the interpreted HOF expression form (measured 6x
     # slower at sf0.1 — llm_prep._cdc_cuts_udf docstring)
+    # +1 exchange since round 14: the scale-adaptive fan_out after the
+    # narrow-split scan raises the Arrow kernel's task parallelism from
+    # the input's split count (1 on this testdata) to the cluster's
+    # slots; a no-op on multi-split inputs
     df = _df(spark, "q_text_cdc_chunks")
     assert join_kinds(df) == []
-    assert exchange_count(df) <= 2
+    assert exchange_count(df) <= 3
     plan = formatted_plan(df)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
