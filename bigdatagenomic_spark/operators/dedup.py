@@ -184,7 +184,16 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          that shuffles |candidates| rows, not |corpus| x 4
     """
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_SAMPLE_DOCS)
-    return _jaccard_verify(lsh_candidate_pairs(d), _shingle_base(d))
+    # pin the per-doc shingle sets once (round 14): the verify stage
+    # joins `base` on BOTH pair sides, and un-pinned each side re-ran
+    # the scan + tokenize + shingle subtree (4 parquet scans in the
+    # before-plan, plans/r14/q_dedup_minhash_pairs_before.txt). The
+    # table is bounded by PAIR_SAMPLE_DOCS, so materializing it is
+    # driver-bounded by construction; measured 1.38 -> 1.10 s at sf0.1
+    # together with the band-table pin in lsh_candidate_pairs.
+    return _jaccard_verify(
+        lsh_candidate_pairs(d), _shingle_base(d).localCheckpoint(eager=False)
+    )
 
 
 def lsh_candidate_pairs(d: DataFrame) -> DataFrame:
@@ -193,8 +202,16 @@ def lsh_candidate_pairs(d: DataFrame) -> DataFrame:
     stage of the batch pair pass and the streaming index maintenance
     (streaming/ops.py), kept in one place so the banding can't drift.
     dropDuplicates on the pair key: a pair colliding in 2 bands must
-    count once."""
-    bands = lsh_band_table(d)
+    count once.
+
+    The band table is pinned (lazy localCheckpoint) before the
+    self-join: both join sides reference it, and un-pinned each side
+    re-derived the 16-permutation signature pipeline from raw text
+    (round 14; the streaming index path already pins its per-batch
+    band table the same way, streaming/ops.py). Narrow (doc_id, band,
+    bkey) rows, so the pin is cheap at any corpus size — the
+    production analog is persisting the signature table."""
+    bands = lsh_band_table(d).localCheckpoint(eager=False)
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "bkey")
     return (

@@ -80,7 +80,11 @@ def two_phase_rank(
     parts = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in group_cols], *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # lazy: the collect below is always the first action, so it
+        # materializes the checkpoint in the SAME job — one fewer
+        # blocking job per call than eager (round 14); the pid pinning
+        # is identical (pinned at first materialization)
+        .localCheckpoint(eager=False)
     )
     counts = (
         parts.groupBy("_pid", *group_cols).agg(F.count("*").alias("_n")).collect()
@@ -149,7 +153,11 @@ def two_phase_cumsum(
     parts = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in group_cols], *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # lazy: the collect below is always the first action, so it
+        # materializes the checkpoint in the SAME job — one fewer
+        # blocking job per call than eager (round 14); the pid pinning
+        # is identical (pinned at first materialization)
+        .localCheckpoint(eager=False)
     )
     sums = (
         parts.groupBy("_pid", *group_cols)
