@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from bigdatagenomic_spark.functions import md5_long
 from bigdatagenomic_spark.operators.relational import round2_portable
-from bigdatagenomic_spark.sources.tables import fan_out, load_table
+from bigdatagenomic_spark.sources.tables import load_table
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 SAMPLE_PCT = 10
@@ -320,7 +320,7 @@ def q_x_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery — Catalyst decorrelates it into an
     aggregate + join, no per-row re-execution (SURVEY.md §4.1)."""
     spark_dir = sf_dir  # registered views are per-call; use SQL directly
-    from bigdatagenomic_spark.sources.tables import fan_out, load_table as _lt
+    from bigdatagenomic_spark.sources.tables import load_table as _lt
 
     _lt(spark, spark_dir, "orders").createOrReplaceTempView("_qx_orders")
     _lt(spark, spark_dir, "lineitem").createOrReplaceTempView("_qx_lineitem")
@@ -3055,17 +3055,15 @@ def q_x_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatagenomic_spark.operators.scale import two_phase_rank
 
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    # fan_out (round 14): two_phase_rank's range sampler replays
-    # un-exchanged lineage, so the bare scan ran twice AND single-task;
-    # the round-robin shuffle below is computed once, reused by the
-    # sampler and the rank shuffle, and spreads the 150k-row projection
-    # across the cluster's slots (no-op on multi-split inputs)
-    o = fan_out(
-        load_table(spark, sf_dir, "orders").select(
-            "o_orderpriority",
-            "o_orderkey",
-            cents.alias("cents"),
-        )
+    # NO fan_out here (round 15, quiet-host interleaved A/B: OFF
+    # 1.386 s vs ON 1.493 s — the VERDICT r14 re-adjudication of the
+    # kept wash): the projection is 3 narrow columns, and the rank
+    # exchange reshuffles by range right after, so the round-robin
+    # exchange is a pure extra pass
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        cents.alias("cents"),
     )
     ranked = two_phase_rank(
         o,

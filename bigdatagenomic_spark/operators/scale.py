@@ -863,18 +863,17 @@ def q_x_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     by c_custkey, which cannot change which VALUES occupy the middle
     ranks.
     """
-    from bigdatagenomic_spark.sources.tables import fan_out, load_table
+    from bigdatagenomic_spark.sources.tables import load_table
 
-    # fan_out (round 14): `c` has two consumers (the range-rank, whose
-    # sampler replays un-exchanged lineage, and the counts aggregate) —
-    # the round-robin shuffle is computed once and reused by all three
-    # jobs, so the scan runs once and the rank/agg work is parallel
-    c = fan_out(
-        load_table(spark, sf_dir, "customer").select(
-            F.col("c_mktsegment").alias("grp"),
-            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
-            "c_custkey",
-        )
+    # NO fan_out here (round 15): the round-14 "wash" A/B never disabled
+    # this site (function-local import, missed by the module-attribute
+    # monkeypatch); the honest source-level A/B measured OFF 1.047 s vs
+    # ON 1.113 s — the round-robin exchange + retry-determinism sort of
+    # the projection costs more than the 1-task scan it parallelizes
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("grp"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        "c_custkey",
     )
     ranked = two_phase_rank(
         c,
@@ -941,16 +940,18 @@ def q_x_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     row is ever ranked or checkpointed. Ties need no tiebreaker at
     all: the overlap form IS the tie-proof kept multiset.
     """
-    from bigdatagenomic_spark.sources.tables import fan_out, load_table
+    from bigdatagenomic_spark.sources.tables import load_table
 
-    # fan_out (round 14): the single-row-group scan otherwise runs the
-    # whole 600k-row partial aggregate as ONE task; no-op when the scan
-    # already arrives in >= default-parallelism splits
-    li = fan_out(
-        load_table(spark, sf_dir, "lineitem").select(
-            F.col("l_returnflag").alias("grp"),
-            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-        )
+    # NO fan_out here (round 15): the driver's quiet-host bench measured
+    # the round-14 fan_out at 6.277 s vs 2.861 s without (BENCH_r14 vs
+    # r13, control 0.80), and the honest source-level A/B agrees (OFF
+    # 2.859 vs ON 3.264). The grid barely collapses (594k cells from
+    # 600k rows), so the round-robin exchange shipped ~2x the bytes the
+    # query's own shuffle moves. The round-14 "wash" A/B never disabled
+    # this site (function-local import, missed by the monkeypatch).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
     # localCheckpoint the grid BEFORE two_phase_cumsum: its internal
     # repartitionByRange SAMPLES the un-materialized input to pick
@@ -1028,14 +1029,16 @@ def q_x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded broadcast); the winsorized SUM is the kept-band overlap sum
     plus t*lo + t*hi exactly. winsor_mean_micro is integer-exact.
     """
-    from bigdatagenomic_spark.sources.tables import fan_out, load_table
+    from bigdatagenomic_spark.sources.tables import load_table
 
-    # fan_out (round 14): parallelize the 600k-row partial aggregate
-    li = fan_out(
-        load_table(spark, sf_dir, "lineitem").select(
-            F.col("l_returnflag").alias("grp"),
-            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-        )
+    # NO fan_out here (round 15, honest source-level A/B: OFF 3.472 s
+    # vs ON 4.103 s): same 594k-cell non-collapsing grid as
+    # q_x_trimmed_mean — the exchange ships more bytes than it saves.
+    # The round-14 "wash" A/B never disabled this site (function-local
+    # import, missed by the module-attribute monkeypatch).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
     # localCheckpoint the grid BEFORE two_phase_cumsum: its internal
     # repartitionByRange SAMPLES the un-materialized input to pick
@@ -1141,12 +1144,15 @@ def q_x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the x100 sweep (67 s, SCALING_r11s2.json first run); the grid
     form moves only |distinct prices| rows after the cell aggregate.
     """
-    from bigdatagenomic_spark.sources.tables import fan_out, load_table
+    from bigdatagenomic_spark.sources.tables import load_table
 
-    # fan_out (round 14): parallelize the 600k-row cell partial aggregate
-    li = fan_out(load_table(spark, sf_dir, "lineitem").select(
+    # NO fan_out here (round 15, honest source-level A/B: OFF 2.383 s
+    # vs ON 2.672 s; the round-14 "wash" never disabled this
+    # function-local-import site). The (g, p) grid is fact-sized, so
+    # the round-robin exchange ships the rows twice.
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
-    ))
+    )
     cells = (
         li.select(
             F.col("l_returnflag").alias("g"),

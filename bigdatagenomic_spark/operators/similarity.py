@@ -92,7 +92,12 @@ def cosine_topk(
 
 
 def q26_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vecs(spark, sf_dir)
+    # fanned=False (round 15, quiet-host interleaved A/B: OFF 0.572 s
+    # vs ON 0.586 s — the VERDICT r14 re-adjudication of the kept
+    # wash): the broadcast-side filter collapses queries to N_QUERIES
+    # rows and the candidate side is one dot product per row, under
+    # the per-row-compute break-even for the exchange
+    vecs = _vecs(spark, sf_dir, fanned=False)
     return cosine_topk(vecs.where(F.col("vec_id") < N_QUERIES), vecs)
 
 
