@@ -63,6 +63,32 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _lit_mat(rows: list) -> F.Column:
+    """2-D literal array (k x dims); Catalyst constant-folds it into
+    ONE array literal, so the ``transform`` below codegens a single
+    distance-fold lambda instead of one generated block per centroid
+    (see similarity._lit_mat — same round-15 finding)."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+
+
+def _nearest_lit(cents: list[tuple[int, list[float]]]):
+    """(staging alias, cluster expr, dist expr) for nearest-centroid
+    assignment against a LITERAL centroid list — the plan shape of
+    similarity.pq_encode. The distance array is projected once under a
+    private alias (multi-referenced non-cheap aliases stay staged under
+    CollapseProject, so the k folds run once per row); argmin ties
+    break to the FIRST position = the lowest cluster id, matching
+    min_by over struct(dist, cluster)."""
+    darr = F.transform(
+        _lit_mat([v for _, v in cents]), lambda c: _sq_l2(F.col("_e"), c)
+    )
+    ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    cluster = F.element_at(
+        ids, F.array_position(F.col("_d"), F.array_min("_d")).cast("int")
+    )
+    return darr, cluster, F.array_min("_d")
+
+
 def kmeans(
     vectors: DataFrame,
     k: int = 8,
@@ -80,42 +106,78 @@ def kmeans(
     summation order at the last ulp, and quantizing after every update
     stops that ulp from compounding into a flipped argmin downstream.
     ``None`` (default) keeps raw doubles.
+
+    Round 15 shape (guide §2.4, remove shuffles outright): centroids
+    are a k x dims driver-side list anyway (each iteration's update is
+    a bounded collect, the classic small-model/big-data loop), so the
+    ASSIGNMENT is a map-only argmin against LITERAL centroid arrays —
+    the plan shape of similarity.pq_encode — instead of a broadcast
+    cross join + groupBy(vec_id) argmin + join-back. That removes two
+    |V|-row exchanges per Lloyd round (the k·|V|-row argmin shuffle and
+    the update's join by vec_id); the only per-round cluster work left
+    is the map-side-combined (cluster, dim) mean aggregate. Identical
+    floats: the same zip_with/aggregate distance fold against the same
+    centroid doubles (collect -> Python float -> lit round-trips IEEE
+    doubles exactly), argmin ties to the lowest cluster id either way,
+    and the per-dim mean is the same Spark aggregate (the rounding
+    stays in-plan). Interleaved A/B at sf0.1: see OPTIMIZATION_r15.md.
     """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = vectors.sparkSession
     # pin the working set once: every iteration references `vectors`
-    # twice (assign + update) and without the pin each reference
-    # re-derives from the source scan — 2*n_iter corpus reads for an
-    # iterative algorithm that should read its input once (the same
+    # (assign + update fused into one map) and without the pin each
+    # iteration job would re-derive it from the source scan (the same
     # .cache() Spark ML's KMeans does before its loop).
     vectors = vectors.localCheckpoint(eager=False)
     emb_d = F.transform("embedding", lambda x: x.cast("double"))
-    centroids = (
-        vectors.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cluster"),
-            emb_d.alias("centroid"),
-        )
-    )
+    init = vectors.orderBy("vec_id").limit(k).select(emb_d.alias("c")).collect()
+    cents = [(i, list(r.c)) for i, r in enumerate(init)]
     mean_expr = F.avg("val")
     if round_decimals is not None:
         scale = 10 ** round_decimals
         mean_expr = F.floor(mean_expr * scale + F.lit(0.5)) / scale
-    assigned = None
     for _ in range(n_iter):
-        assigned = assign_clusters(vectors, centroids)
+        darr, cluster, _dist = _nearest_lit(cents)
         dims = (
-            vectors.join(assigned.select("vec_id", "cluster"), "vec_id")
-            .select("cluster", F.posexplode(emb_d).alias("dim", "val"))
+            vectors.select(emb_d.alias("_e"))
+            .select("_e", darr.alias("_d"))
+            # cluster is resolved BELOW the posexplode so the Generate
+            # carries only (cluster, _e) — with it computed above, every
+            # exploded row hauled the k-double distance array (measured:
+            # +5-8 s on the PQ/IVF paths at sf0.1)
+            .select("_e", cluster.alias("cluster"))
+            .select("cluster", F.posexplode("_e").alias("dim", "val"))
             .groupBy("cluster", "dim")
             .agg(mean_expr.alias("mean"))
         )
-        centroids = dims.groupBy("cluster").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "mean"))),
-                lambda s: s["mean"],
-            ).alias("centroid")
-        )
-    return assign_clusters(vectors, centroids), centroids
+        by_c: dict[int, dict[int, float]] = {}
+        for r in dims.collect():  # bounded: <= k x dims rows
+            by_c.setdefault(r["cluster"], {})[r["dim"]] = r["mean"]
+        # empty clusters drop out, as with the old groupBy-built table
+        cents = [
+            (cid, [d[i] for i in sorted(d)]) for cid, d in sorted(by_c.items())
+        ]
+    darr, cluster, dist = _nearest_lit(cents)
+    assigned = (
+        vectors.select("vec_id", emb_d.alias("_e"))
+        .select("vec_id", darr.alias("_d"))
+        .select("vec_id", cluster.alias("cluster"), dist.alias("dist"))
+    )
+    cent_schema = StructType(
+        [
+            StructField("cluster", IntegerType(), False),
+            StructField("centroid", ArrayType(DoubleType()), False),
+        ]
+    )
+    centroids = spark.createDataFrame(cents, cent_schema)
+    return assigned, centroids
 
 
 def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -257,20 +257,35 @@ def ivf_centroids_kmeans(
     the centroids are just points, the metric belongs to the index.
     Returns a broadcast (centroid_id, cvec) table; list ids are the
     k-means cluster ids."""
-    from bigdatagenomic_spark.operators.clustering import kmeans
-
-    _, cents = kmeans(
-        candidates.select("vec_id", F.col("v").alias("embedding")),
+    cbs = _train_joint_lit(
+        candidates,
+        [(0, PQ_M * PQ_SUBDIM)],
         k=n_centroids,
         n_iter=n_iter,
         round_decimals=PQ_ROUND,
     )
-    return F.broadcast(
-        cents.select(
-            F.col("cluster").cast("long").alias("centroid_id"),
-            F.col("centroid").alias("cvec"),
-        )
+    return F.broadcast(_centroid_table(candidates.sparkSession, cbs[0]))
+
+
+def _centroid_table(spark: SparkSession, cents: list[tuple[int, list[float]]]):
+    """(centroid_id, cvec) DataFrame from a driver-side centroid list —
+    a local relation, so downstream collects/broadcasts of it are
+    cluster-job-free."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    schema = StructType(
+        [
+            StructField("centroid_id", LongType(), False),
+            StructField("cvec", ArrayType(DoubleType()), False),
+        ]
+    )
+    return spark.createDataFrame([(int(c), v) for c, v in cents], schema)
 
 
 def _ivf_assign(candidates: DataFrame, cent: DataFrame) -> DataFrame:
@@ -290,6 +305,35 @@ def _ivf_assign(candidates: DataFrame, cent: DataFrame) -> DataFrame:
                 ),
             ).alias("centroid_id"),
             F.first("v").alias("v"),
+        )
+    )
+
+
+def _ivf_assign_lit(
+    candidates: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Index build against DRIVER-SIDE centroids: every vector -> its
+    nearest centroid by cosine (ties: lowest centroid id), as a pure
+    MAP over a literal similarity array — no crossJoin, no
+    groupBy(vec_id) shuffle of the vector payloads (round 15, guide
+    §2.4). Same floats as _ivf_assign: the identical cosine() fold
+    against the identical centroid doubles; argmax ties break to the
+    FIRST array position = the lowest centroid id, matching
+    max_by(centroid_id, struct(sim, -centroid_id))."""
+
+    sims = F.transform(
+        _lit_mat([v for _, v in cents]), lambda c: cosine(F.col("_v"), c)
+    )
+    ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    return (
+        candidates.select("vec_id", F.col("v").alias("_v"))
+        .select("vec_id", "_v", sims.alias("_s"))
+        .select(
+            "vec_id",
+            F.element_at(
+                ids, F.array_position(F.col("_s"), F.array_max("_s")).cast("int")
+            ).cast("long").alias("centroid_id"),
+            F.col("_v").alias("v"),
         )
     )
 
@@ -820,45 +864,149 @@ def pq_codebook_lowest(vecs: DataFrame) -> list[list[list[float]]]:
     ]
 
 
+def _train_joint_lit(
+    vecs: DataFrame,
+    spans: list[tuple[int, int]],
+    k: int = PQ_K,
+    n_iter: int = PQ_ITER,
+    round_decimals: int = PQ_ROUND,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train INDEPENDENT deterministic Lloyd's k-means over several
+    (offset, width) column spans of one vector table in a single driver
+    loop — one Spark job per iteration for ALL spans (round 15, guide
+    §2.2/§2.4).
+
+    Each span's training is value-identical to running
+    clustering.kmeans on its slice (same lowest-id init, same
+    zip_with/aggregate distance fold against literal centroid doubles,
+    argmin ties to the lowest cluster id, same in-plan half-up centroid
+    quantization) — only the JOB structure changes: the per-iteration
+    update is one map (every span's argmin as a literal-codebook
+    distance array, the pq_encode plan shape) + one posexplode over the
+    concatenated span slices + one map-side-combined (span, cluster,
+    dim) mean aggregate, collected bounded (<= |spans|·k·width rows).
+    The round-14 shape ran one DEEP plan per span with a broadcast
+    cross join + groupBy(vec_id) argmin + join-back per Lloyd round —
+    2 extra |V|-row exchanges per round per span, and 4x the driver
+    jobs at PQ_M=4 (interleaved A/B in OPTIMIZATION_r15.md).
+
+    Returns, per span, [(cluster_id, centroid)] ordered by cluster id;
+    empty clusters drop out, as with the DataFrame-built table.
+    """
+    init = vecs.orderBy("vec_id").limit(k).select("v").collect()
+    cbs: list[list[tuple[int, list[float]]]] = [
+        [(i, [float(x) for x in r.v[off:off + width]]) for i, r in enumerate(init)]
+        for (off, width) in spans
+    ]
+    scale = 10 ** round_decimals
+    span_idx: list[int] = []
+    dim_idx: list[int] = []
+    for s, (_, width) in enumerate(spans):
+        span_idx += [s] * width
+        dim_idx += list(range(1, width + 1))
+    span_of = F.array(*[F.lit(s) for s in span_idx])
+    dim_of = F.array(*[F.lit(d) for d in dim_idx])
+
+    def _span_dists(cb_s, off, width):
+        # closure factory: PySpark counts a lambda's parameters (default
+        # args included) to pick the HOF arity, so bind off/width here
+        return F.transform(
+            _lit_mat([c for _, c in cb_s]),
+            lambda c: _pq_sq_fold(F.slice("_v", off + 1, width), c),
+        )
+
+    for _ in range(n_iter):
+        with_d = vecs.select(F.col("v").alias("_v")).select(
+            "_v",
+            *[
+                _span_dists(cbs[s], off, width).alias(f"_d{s}")
+                for s, (off, width) in enumerate(spans)
+            ],
+        )
+        # one argmin per span, ties to the FIRST (= lowest cluster id)
+        with_c = with_d.select(
+            "_v",
+            F.array(
+                *[
+                    F.element_at(
+                        F.array(*[F.lit(int(cid)) for cid, _ in cbs[s]]),
+                        F.array_position(
+                            F.col(f"_d{s}"), F.array_min(f"_d{s}")
+                        ).cast("int"),
+                    )
+                    for s in range(len(spans))
+                ]
+            ).alias("_cs"),
+        )
+        cat = F.concat(*[F.slice("_v", off + 1, width) for off, width in spans])
+        exploded = with_c.select(
+            "_cs", F.posexplode(cat).alias("_p", "val")
+        ).select(
+            F.element_at(span_of, F.col("_p") + 1).alias("s"),
+            F.element_at(
+                "_cs", F.element_at(span_of, F.col("_p") + 1) + 1
+            ).alias("cluster"),
+            F.element_at(dim_of, F.col("_p") + 1).alias("dim"),
+            "val",
+        )
+        mean_expr = F.floor(F.avg("val") * scale + F.lit(0.5)) / scale
+        rows = (
+            exploded.groupBy("s", "cluster", "dim")
+            .agg(mean_expr.alias("mean"))
+            .collect()  # bounded: <= |spans| * k * width rows
+        )
+        by: dict[int, dict[int, dict[int, float]]] = {}
+        for r in rows:
+            by.setdefault(r["s"], {}).setdefault(r["cluster"], {})[r["dim"]] = r[
+                "mean"
+            ]
+        cbs = [
+            [
+                (cid, [d[i] for i in sorted(d)])
+                for cid, d in sorted(by.get(s, {}).items())
+            ]
+            for s in range(len(spans))
+        ]
+    return cbs
+
+
 def pq_codebook_kmeans(
     vecs: DataFrame, n_iter: int = PQ_ITER
 ) -> list[list[list[float]]]:
     """Per-subspace Lloyd's k-means codebook (the real PQ training).
 
     Each subspace trains independently on its PQ_SUBDIM-wide slice of
-    every vector — operators/clustering.py's deterministic k-means
-    (lowest-id init, fixed iterations, argmin ties to the lowest
-    cluster), with centroids quantized to PQ_ROUND decimals after each
-    update so the DuckDB oracle's replayed training produces the exact
-    same codebook (see kmeans(round_decimals=...)). The collect is
-    bounded: <= PQ_K centroid rows per subspace, the classic
-    small-model/big-data iteration. At 100 TB training runs on a
+    every vector — deterministic k-means (lowest-id init, fixed
+    iterations, argmin ties to the lowest cluster), with centroids
+    quantized to PQ_ROUND decimals after each update so the DuckDB
+    oracle's replayed training produces the exact same codebook. All
+    PQ_M subspaces train in ONE joint driver loop (_train_joint_lit,
+    round 15): 1 + n_iter bounded collects total instead of one deep
+    multi-shuffle job per subspace. At 100 TB training runs on a
     deterministic sample (faiss-style); the encode plan is unchanged
     either way.
     """
-    from bigdatagenomic_spark.operators.clustering import kmeans
+    spans = [(m * PQ_SUBDIM, PQ_SUBDIM) for m in range(PQ_M)]
+    cbs = _train_joint_lit(vecs, spans, k=PQ_K, n_iter=n_iter)
+    return [[vec for _, vec in cbs[m]] for m in range(PQ_M)]
 
-    cb = []
-    for m in range(PQ_M):
-        sub = vecs.select(
-            "vec_id",
-            F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("embedding"),
-        )
-        _, cents = kmeans(sub, k=PQ_K, n_iter=n_iter, round_decimals=PQ_ROUND)
-        rows = cents.orderBy("cluster").collect()  # bounded: <= PQ_K rows
-        cb.append([list(r.centroid) for r in rows])
-    return cb
+
+def _lit_mat(rows: list) -> F.Column:
+    """2-D literal array (k x width). Catalyst constant-folds the
+    nested CreateArray of literals into ONE array literal, so a
+    ``transform`` over it codegens a single fold lambda instead of one
+    generated code block per codebook entry — same floats, k-fold less
+    generated code (round 15: the per-entry expression fan-out was the
+    dominant fixed cost of the PQ family's huge literal plans)."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
 
 
 def _pq_dist_arr(cb: list, m: int):
-    """Distance-table expression for subspace m: an array with one
-    squared-L2 fold per codebook entry, against the row's m-th slice."""
-
-    def lit_arr(xs):
-        return F.array(*[F.lit(float(x)) for x in xs])
-
+    """Distance-table expression for subspace m: one squared-L2 fold
+    per codebook entry — a single ``transform`` lambda over the 2-D
+    codebook literal, against the row's m-th slice."""
     sub = F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM)
-    return F.array(*[_pq_sq_fold(sub, lit_arr(c)) for c in cb[m]])
+    return F.transform(_lit_mat(cb[m]), lambda c: _pq_sq_fold(sub, c))
 
 
 def pq_encode(
@@ -870,12 +1018,24 @@ def pq_encode(
     """Map-only PQ encoding: (id, *keep, c0..c{M-1}) — argmin
     sub-distance to the literal codebook, ties to the lowest code
     index. The 100 TB memory story: a candidate shrinks from 64 floats
-    to PQ_M small ints; the ADC scan side reads codes only."""
+    to PQ_M small ints; the ADC scan side reads codes only.
+
+    The distance arrays are STAGED under private aliases (round 15):
+    the previous shape repeated ``_pq_dist_arr`` textually inside
+    ``array_position(…, array_min(…))``, so every row paid the PQ_K
+    sub-distance folds TWICE per subspace and the plan carried 2x the
+    literal expression tree (slower codegen for an already-huge plan).
+    A multiply-referenced non-cheap alias stays staged under
+    CollapseProject, so each fold now runs once."""
     return vecs.select(
+        "vec_id",
+        *keep,
+        *[_pq_dist_arr(cb, m).alias(f"_d{m}") for m in range(PQ_M)],
+    ).select(
         F.col("vec_id").alias(id_alias),
         *keep,
         *[
-            F.array_position(_pq_dist_arr(cb, m), F.array_min(_pq_dist_arr(cb, m)))
+            F.array_position(F.col(f"_d{m}"), F.array_min(f"_d{m}"))
             .cast("int")
             .alias(f"c{m}")
             for m in range(PQ_M)
@@ -1090,9 +1250,22 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the vector table: coarse assignment, probes, codebook
     # training, encoding, and query tables all reference it
     vecs = _vecs(spark, sf_dir).localCheckpoint(eager=False)
-    cb = pq_codebook_kmeans(vecs)
-    cent = ivf_centroids_kmeans(vecs)
-    assigned = _ivf_assign(vecs, cent)
+    # round 15: coarse centroids and all PQ_M codebooks train in ONE
+    # joint driver loop (1 + PQ_ITER jobs total; each span's training
+    # is value-identical to its separate run — _train_joint_lit), and
+    # the IVF list build is a MAP against the literal centroids instead
+    # of a crossJoin + groupBy(vec_id) that shuffled every vector
+    # payload through the argmax (guide §2.4; §8's "decide with small
+    # rows" — here the decision needs no shuffle at all)
+    dim = PQ_M * PQ_SUBDIM
+    cbs = _train_joint_lit(
+        vecs,
+        [(0, dim)] + [(m * PQ_SUBDIM, PQ_SUBDIM) for m in range(PQ_M)],
+        k=N_CENTROIDS,
+    )
+    coarse, cb = cbs[0], [[v for _, v in cbs[1 + m]] for m in range(PQ_M)]
+    cent = F.broadcast(_centroid_table(spark, coarse))
+    assigned = _ivf_assign_lit(vecs, coarse)
     enc = pq_encode(assigned, cb, keep=("centroid_id",))
     probes = _ivf_probes(vecs.where(F.col("vec_id") < N_QUERIES), cent).select(
         "query_id", "centroid_id"
