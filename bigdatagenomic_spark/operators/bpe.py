@@ -142,22 +142,22 @@ def bpe_train(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     i = F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos")
-    # lazy checkpoints (round 15, VERDICT r14 #6 — the two_phase-helper
-    # lesson applied to the merge loop): each round's checkpoint still
-    # truncates the 8-deep window lineage (the DataFrame's plan roots at
-    # the checkpoint RDD immediately), but materialization happens
-    # inside the first job that touches it — the next round's best-pair
-    # broadcast — instead of one BLOCKING driver job per round. 1 +
-    # n_merges eager jobs become zero standalone jobs; per-round values
-    # and the window semantics are unchanged (no pid-dependent exprs).
+    # EAGER per-round checkpoints, deliberately (round 15, VERDICT r14
+    # #6 re-audited): the lazy form (materialize inside the next
+    # round's best-pair broadcast, zero standalone jobs) was
+    # interleaved-A/B'd and measured WORSE at the preflight SF (eager
+    # 4.14 s vs lazy 4.55 s at sf0.01; wash at sf0.1) — the broadcast
+    # build serializes the previous round's merge windows into its
+    # blocking path, costing more than the saved job submission.
+    # Reverted per the measured-wins-only rule (tools/ab_bpe_r15.py).
     syms = vocab.select(
         "word", "freq", i
     ).select(
         "word", "freq", "pos", F.col("word").substr(F.col("pos"), F.lit(1)).alias("sym")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     for _ in range(n_merges):
         best = _best_pair(_pair_counts(syms))
-        syms = _merge_round(syms, best).localCheckpoint(eager=False)
+        syms = _merge_round(syms, best).localCheckpoint(eager=True)
     return syms.groupBy("word", "freq").agg(
         F.count("*").cast("long").alias("n_sym"),
         F.array_join(
