@@ -276,6 +276,7 @@ def test_merge_cases(spark, name, bit_compat):
     assert assembled.length == len(assembled.content)
 
 
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_merge_case_values_spot_check(spark):
     """Hand-computed expectations (not via the oracle) for three cases."""
     # D: gap of 5 between [100,109] and [115,124]

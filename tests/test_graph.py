@@ -3,6 +3,8 @@ components (vs a Python union-find ground truth)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigdatagenomic_spark.operators.graph import (
@@ -458,6 +460,7 @@ def test_scc_planted_mixed_graph(spark):
     }
 
 
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_scc_matches_python_tarjan(spark):
     """The Spark trim+coloring result equals an iterative Tarjan run on
     the same derived temporal co-purchase edge set (independent
@@ -709,6 +712,7 @@ def test_low_complexity_flags_homopolymer(spark):
     assert (rows[0].dust_num, rows[0].dust_den) == (110, 10)
 
 
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_tip_unitigs_planted(spark):
     """Planted junction graph: main path A->B->C->D with a 1-node head
     tip X->B and a branch C->Y (Y dangles). Expected tips: A and X

@@ -423,6 +423,7 @@ def test_dedup_rate_report_counts_dups(spark):
     assert got["src_b"].dup_bps == 0
 
 
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_pq_codebook_kmeans_beats_lowest_on_clustered_data(spark):
     """Codebook calibration (VERDICT r5 #3): on clustered data the
     k-means-trained codebook must beat the lowest-id one.
@@ -986,6 +987,7 @@ def test_semantic_survivors_planted_clusters(spark):
     assert kept == [1, 2, 6, 7]
 
 
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_sem_k_scales_with_corpus_and_bounds_block_pairs(spark):
     """VERDICT r7 item 2: k must be a deterministic function of the
     corpus size so within-cluster pairing never goes corpus-quadratic.

@@ -9,6 +9,8 @@ the bench-scale directory.
 
 from __future__ import annotations
 
+import pytest
+
 from bigdatagenomic_spark import queries as Q
 from bigdatagenomic_spark.plans import (
     codegen_stage_count,
@@ -358,6 +360,7 @@ _BNLJ_ALLOWED = {
 }
 
 
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_no_cartesian_and_bnlj_only_where_intended(spark):
     """Registry-wide plan hygiene: NO CartesianProduct anywhere, and
     BroadcastNestedLoopJoin only in the allowlisted queries that attach

@@ -7,6 +7,8 @@ missing matches, and input-row-order permutations.
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
@@ -117,6 +119,7 @@ def test_boilerplate_scrub_reassembly_identity(spark, seed):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(seed=st.integers(0, 10**6), length=st.integers(9, 40))
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_deep_pointer_doubling_and_pairwise_fold_agree(spark, seed, length):
     """VERDICT r5 #7: exercise the pointer-doubling extraction at real
     depth (length >= 9 -> >= 4 doubling rounds under a forced-tiny byte
@@ -179,6 +182,7 @@ def test_deep_pointer_doubling_and_pairwise_fold_agree(spark, seed, length):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(perm_seed=st.integers(0, 10_000))
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_merge_fold_invariant_to_row_order(spark, perm_seed):
     """SURVEY.md §5.2 item 4: the assembly fold's result must not depend
     on the physical order reads arrive in."""
@@ -278,6 +282,7 @@ _snap_rows = st.lists(
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(old=_snap_rows, new=_snap_rows)
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_snapshot_diff_reconstructs_new_from_old(spark, old, new):
     """Applying the diff to the old snapshot must reproduce the new one:
     old - removed - changed + (changed ∪ added rows from new) == new."""
@@ -495,6 +500,7 @@ def _bpe_reference(word_freqs: dict[str, int], n_merges: int) -> dict[str, list[
     ),
     n_merges=st.integers(1, 4),
 )
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_bpe_train_matches_sequential_reference(spark, words, n_merges):
     """The distributed window-algebra trainer must equal the sequential
     merge loop on arbitrary small corpora — including same-symbol runs

@@ -18,7 +18,16 @@ SF_DIR = "/root/testdata/sf0.001"
 _QUERIES = Q.queries()
 _ORACLES = Q.oracle_sql()
 
-WITH_ORACLE = sorted(_ORACLES)
+# round 15: the heaviest oracle replays (DuckDB-side recursive/unrolled
+# CTEs, not Spark) are `slow`-marked out of the default driver-budget
+# run (pytest.ini); the driver's own correctness harness still checks
+# them at sf0.01, and `-m slow` runs them here.
+_SLOW_ORACLES = {"q_graph_pagerank", "q_graph_scc", "q_text_rake_keywords"}
+
+WITH_ORACLE = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLES else n
+    for n in sorted(_ORACLES)
+]
 ROWS_ONLY = sorted(set(_QUERIES) - set(_ORACLES))
 
 

@@ -21,6 +21,8 @@ meanwhile gets a permanent @example pin.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import math
 import re
@@ -865,6 +867,7 @@ def test_codon_usage_oracle_matches_python(texts):
         max_size=10,
     )
 )
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_dinuc_bias_oracle_matches_python(texts):
     con = duckdb.connect()
     con.register(
@@ -1047,6 +1050,7 @@ def test_lang_confusion_oracle_matches_python(rows):
         max_size=40,
     )
 )
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_two_hop_oracle_matches_python(pairs):
     from bigdatagenomic_spark.operators.graph import Q_GRAPH_TWO_HOP_SQL
 

@@ -16,6 +16,8 @@ marginal-algebra bug cannot hide.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import duckdb
@@ -44,6 +46,7 @@ from bigdatagenomic_spark.operators.stats import (
 # discovered pin (round 14): two days sharing a count collapsed to one
 # tie group; n_days must be sum(t), not the tie-group count
 @example(day_specs=[("click", 0, 1), ("click", 1, 1)])
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_mann_kendall_oracle_matches_python(day_specs):
     # expand (type, day, count) specs into individual event rows so the
     # oracle's daily-count aggregate is itself under test

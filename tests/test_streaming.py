@@ -224,6 +224,7 @@ def test_s01_parquet_sink_roundtrip(spark, replay_dir, tmp_path):
         assert abs(v[1] - want[k][1]) <= 0.011
 
 
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_s08_stream_stream_join(spark, replay_dir):
     """Stream-stream interval join equals the batch join over the same
     events (both sides replayed from the same chunked stream)."""
@@ -245,6 +246,7 @@ def test_s08_stream_stream_join(spark, replay_dir):
     assert len(w) > 0
 
 
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_s09_foreach_batch_upsert_sink(spark, replay_dir, tmp_path):
     """S09: update-mode agg drained through the partition-overwrite
     upsert sink must equal the batch aggregation — including windows
@@ -511,6 +513,7 @@ def test_sssp_hand_computed(spark):
     assert got == {(0, 0), (2, 1), (1, 3), (3, 4)}
 
 
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_s15_stream_stream_left_outer_join(spark, replay_dir):
     """S15: the LEFT OUTER stream-stream interval join. Matched rows
     emit eagerly and equal the inner join's; NULL rows emit only for
@@ -548,6 +551,7 @@ def test_s15_stream_stream_left_outer_join(spark, replay_dir):
     assert len(got_null) > 0
 
 
+@pytest.mark.slow  # round 15: driver-budget cut (see pytest.ini)
 def test_s16_cascaded_funnel_join_stream_equals_batch(spark, replay_dir):
     """S16: the cascaded view→click→purchase stream-stream join chain
     equals the batch chain over the same events (inner joins emit
