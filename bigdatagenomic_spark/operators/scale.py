@@ -966,12 +966,15 @@ def q_x_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = two_phase_cumsum(
         dv, "_cnt", [F.col("cents").asc()], group_cols=["grp"], out_col="_cum"
     )
-    # n per group = MAX of the inclusive cumsum, derived from `cum`
-    # (lineage ends at two_phase_cumsum's internal checkpoint) — a
-    # dv-rooted total was a second consumer of the un-checkpointed
-    # aggregate and replayed the fact scan (round-13 fix, the
-    # q_dedup_kmv lesson in its join-back form)
-    tot = cum.groupBy("grp").agg(F.max("_cum").cast("long").alias("n"))
+    # n per group = SUM of the grid counts, rooted at the EAGER dv
+    # checkpoint (round 15): the round-13 shape derived n as
+    # max(_cum) over `cum`, whose plan contains the per-partition
+    # window cumsum — so the broadcast build replayed the whole window
+    # pass a second time (profiled: ~0.5 s of the final job at sf0.1).
+    # dv is pinned (the fact scan cannot replay — the round-13 hazard
+    # this comment used to guard), and sum(_cnt) == max(_cum) exactly
+    # (long addition over the same counts).
+    tot = dv.groupBy("grp").agg(F.sum("_cnt").cast("long").alias("n"))
     base = cum.join(F.broadcast(tot), "grp").withColumn(
         "_kept",
         F.expr(
@@ -1050,15 +1053,17 @@ def q_x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("_cnt"))
         .localCheckpoint(eager=True)
     )
+    # pin `cum` lazily (round 15): it feeds the bounds broadcast AND
+    # the kept-band aggregate, and each consumer otherwise replays the
+    # per-partition window cumsum pass (profiled ~0.5 s each at sf0.1)
     cum = two_phase_cumsum(
         dv, "_cnt", [F.col("cents").asc()], group_cols=["grp"], out_col="_cum"
-    )
-    # n per group = MAX of the inclusive cumsum, derived from `cum`
-    # (lineage ends at two_phase_cumsum's internal checkpoint) — a
-    # dv-rooted total was a second consumer of the un-checkpointed
-    # aggregate and replayed the fact scan (round-13 fix, the
-    # q_dedup_kmv lesson in its join-back form)
-    tot = cum.groupBy("grp").agg(F.max("_cum").cast("long").alias("n"))
+    ).localCheckpoint(eager=False)
+    # n per group = SUM of the grid counts, rooted at the EAGER dv
+    # checkpoint (round 15, same change as q_x_trimmed_mean): identical
+    # to max(_cum) over cum, without replaying the window pass in the
+    # broadcast build; dv is pinned so the fact scan cannot replay.
+    tot = dv.groupBy("grp").agg(F.sum("_cnt").cast("long").alias("n"))
     wide = cum.join(F.broadcast(tot), "grp")
     bounds = wide.groupBy("grp", "n").agg(
         F.min(
