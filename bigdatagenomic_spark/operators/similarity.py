@@ -378,7 +378,12 @@ def ivf_topk(
 
     At scale: the assignment shuffles once on centroid_id (that IS the
     IVF index build); each query then touches n_probe/n_centroids of the
-    data instead of all of it.
+    data instead of all of it. (Round 15 tried the literal list-assign
+    here — the q_sim_ivfpq_topk device — and it measured WORSE in this
+    non-fused context: 4.48 vs 4.11 s interleaved at sf0.1; the 16x
+    64-dim literal cosine map per candidate costs more than the
+    broadcast-join argmax it replaces when the scoring exchange still
+    has to carry the vectors anyway. Reverted.)
     """
     import numpy as np
     import pandas as pd
